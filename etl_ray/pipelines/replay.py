@@ -1,0 +1,246 @@
+"""ReplayEngine — the checkpoint-window replay loop (the driver program).
+
+Reference analog: the per-day ingest loop ``main.py:81-86`` with its
+staging → ensure → load → rollup → audit → commit protocol (SURVEY.md
+§2.9). One checkpoint window here = one day there: the unit of
+fault-isolation, resume and audit.
+
+Per window:
+
+    read_parquet(window files, unified schema)        [S6 analog]
+      └─ map_batches(validate+route+combiner)         [M3 + Citus routing]
+           └─ groupby('part')                         [THE one shuffle]
+                └─ map_groups(LWW merge)              [K1-K7 + ensure S10]
+                     ├─ staged partition parquet      [S9 bulk sink]
+                     └─ stats rows (tiny)  ──► incremental rollups [A4-A6]
+                                          ──► manifest swap        [commit]
+
+The merge stage returns only metrics + per-(repo,lang) delta rows — the
+full partition state never flows back to the driver; ``take_all`` here
+materializes O(P + touched repo×lang) rows, not data.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from etl_ray.sources.events import Window, list_segments, plan_windows, read_window, unified_schema
+from etl_ray.stages.merge import make_merge_fn
+from etl_ray.stages.validate import make_validate_fn
+from etl_ray.state.manifest import Manifest, ManifestStore
+from etl_ray.pipelines import rollups
+from etl_ray.schema import EVENT_COLUMNS
+
+#: Core event columns the engine owns; everything else is evolved payload.
+_CORE = set(EVENT_COLUMNS)
+
+
+class ReplayEngine:
+    """Applies a recorded change log to a partitioned Parquet lake.
+
+    Parameters
+    ----------
+    lake_dir : str
+        Root of the lake (created if missing). Holds partition state
+        files, summaries, staged files and manifests.
+    num_partitions : int
+        Hash-partition count ``P`` for ``part = hash(repo, path) % P``.
+        Pinned in the first manifest; must stay constant for a lake's
+        lifetime (like Citus' shard_count). Size ``P ≈ max(2×cluster
+        cores, 64)`` so each partition state stays object-store sized.
+    batch_size : int | None
+        ``map_batches`` batch size for the validate stage. None lets Ray
+        pick (full blocks) — right for slim rows; lower it for very wide
+        ``content`` payloads.
+    """
+
+    def __init__(
+        self,
+        lake_dir: str,
+        num_partitions: int = 64,
+        batch_size: int | None = None,
+    ):
+        self.store = ManifestStore(lake_dir)
+        self.lake_dir = lake_dir
+        current = self.store.current()
+        if current is not None and current.num_partitions:
+            num_partitions = current.num_partitions
+        self.num_partitions = num_partitions
+        self.batch_size = batch_size
+
+    # ------------------------------------------------------------------ run
+
+    def replay(
+        self,
+        events_path: str | list[str],
+        window_events: int = 250_000,
+        max_windows: int | None = None,
+    ) -> dict[str, Any]:
+        """Replay a recorded log, resuming from the committed manifest.
+
+        Deterministic window planning over the sorted segment list makes
+        ``manifest.windows_done`` a valid resume cursor: already-committed
+        windows are skipped without reading their data.
+        """
+        files = (
+            events_path if isinstance(events_path, list) else list_segments(events_path)
+        )
+        schema = unified_schema(files)
+        windows = plan_windows(files, window_events)
+        current = self.store.current()
+        done = current.windows_done if current else 0
+        ran = 0
+        out: dict[str, Any] = {"windows_total": len(windows), "windows_skipped": done}
+        for w in windows[done:]:
+            if max_windows is not None and ran >= max_windows:
+                break
+            out[f"window_{w.index}"] = self.run_window(w, schema)
+            ran += 1
+        out["windows_run"] = ran
+        m = self.store.current()
+        if m:
+            out["checkpoint_id"] = m.checkpoint_id
+            out["metrics"] = m.metrics
+        return out
+
+    def run_window(self, window: Window, schema: pa.Schema) -> dict[str, Any]:
+        """Execute one checkpoint window end-to-end and commit it."""
+        t0 = time.perf_counter()
+        prior = self.store.current() or Manifest(num_partitions=self.num_partitions)
+        ckpt_id = prior.checkpoint_id + 1
+
+        # evolved payload columns = anything beyond the core event envelope,
+        # remembered across windows in the manifest (additive evolution)
+        payload_types = dict(prior.payload_types)
+        for f in schema:
+            if f.name not in _CORE and f.name not in payload_types:
+                payload_types[f.name] = str(f.type)
+
+        ds = read_window(window, schema)
+        ds = ds.map_batches(
+            make_validate_fn(self.num_partitions),
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+        )
+        staging = self.store.staging_dir(ckpt_id)
+        prior_files = {
+            int(p): self.store.abs_path(info["file"])
+            for p, info in prior.partitions.items()
+        }
+        merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
+        stats_ds = ds.groupby("part").map_groups(merge, batch_format="pyarrow")
+        stats = stats_ds.take_all()  # tiny: metrics + delta rows only
+        stats_t = pa.Table.from_pylist(stats) if stats else None
+
+        # --- fold window results into the next manifest --------------------
+        m = Manifest(
+            checkpoint_id=ckpt_id,
+            num_partitions=self.num_partitions,
+            partitions=dict(prior.partitions),
+            summaries=dict(prior.summaries),
+            payload_types=payload_types,
+            windows_done=window.index + 1,
+        )
+        agg = {
+            k: 0
+            for k in ("events_in", "applied", "inserts", "updates", "deletes",
+                      "stale", "invalid", "parts_touched", "parts_changed")
+        }
+        deltas = None
+        if stats_t is not None and stats_t.num_rows:
+            kinds = stats_t.column("kind")
+            met = stats_t.filter(pc.equal(kinds, "metrics"))
+            deltas = stats_t.filter(pc.equal(kinds, "delta"))
+            for row in met.to_pylist():
+                part = str(row["part"])
+                prev = prior.partitions.get(part, {})
+                prev_wm = prev.get("watermark", -1)
+                m.partitions[part] = {
+                    "file": self.store.rel_path(row["staged_file"]),
+                    "rows": row["state_rows"],
+                    "tombstones": row["tombstones"],
+                    "watermark": max(prev_wm, row["watermark"]),
+                }
+                for k in ("events_in", "applied", "inserts", "updates",
+                          "deletes", "stale", "invalid"):
+                    agg[k] += row[k] or 0
+                agg["parts_touched"] += 1
+                agg["parts_changed"] += 1 if row["changed"] else 0
+
+        # --- incremental rollups (delta-by-delta) ---------------------------
+        base = rollups.load_base(
+            self.store.abs_path(prior.summaries["summary_repo_lang"])
+            if "summary_repo_lang" in prior.summaries
+            else None
+        )
+        dl = (
+            deltas.select(["repo", "lang", "d_files", "d_bytes", "w_cs"])
+            if deltas is not None and deltas.num_rows
+            else pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "d_files": pa.array([], pa.int64()),
+                    "d_bytes": pa.array([], pa.int64()),
+                    "w_cs": pa.array([], pa.int64()),
+                }
+            )
+        )
+        new_base = rollups.update_base(base, dl)
+        summary_paths = rollups.stage_summaries(new_base, staging)
+        m.summaries = {k: self.store.rel_path(v) for k, v in summary_paths.items()}
+
+        agg["window_rows"] = window.rows
+        agg["wall_sec"] = round(time.perf_counter() - t0, 4)
+        m.metrics = agg
+        self.store.commit(m)  # ← the exactly-once boundary
+        return agg
+
+    # ------------------------------------------------------------- reading
+
+    def final_state(self, columns: list[str] | None = None) -> rd.Dataset:
+        """The lake's current live rows as a streaming Dataset."""
+        m = self._require_manifest()
+        files = [self.store.abs_path(p["file"]) for p in m.partitions.values()]
+        if not files:
+            raise ValueError("empty lake: no partitions committed yet")
+        ds = rd.read_parquet(files)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.fill_null(t.column("deleted"), False))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+
+    def summary(self, name: str) -> pa.Table:
+        """One of summary_repo_lang / summary_by_repo / summary_by_lang."""
+        import pyarrow.parquet as pq
+
+        m = self._require_manifest()
+        return pq.read_table(self.store.abs_path(m.summaries[name]))
+
+    def metrics_history(self) -> list[dict[str, Any]]:
+        """Per-checkpoint audit rows (analog of audit_log)."""
+        return [
+            {"checkpoint_id": m.checkpoint_id, **m.metrics}
+            for m in self.store.history()
+        ]
+
+    def partition_lineage(self) -> dict[str, dict[str, Any]]:
+        """part -> {file, rows, tombstones, watermark} from the manifest."""
+        return self._require_manifest().partitions
+
+    def _require_manifest(self) -> Manifest:
+        m = self.store.current()
+        if m is None:
+            raise ValueError(f"no manifest in {self.lake_dir}")
+        return m

@@ -1,0 +1,329 @@
+"""Per-partition last-writer-wins merge — the engine's core operator.
+
+Reference analog: the per-key ordered state machine of the trajectory
+builder (``etl/trajectory/builder.py:41-78,93`` — group by key, sort by
+time, sequential fold) combined with the ensure/upsert discipline of the
+loaders (``etl/insert/bulk_inserter.py:59-113`` select-or-insert;
+``etl/rollup/sql/fact_cell_rollup.sql:138`` ``ON CONFLICT DO NOTHING``).
+
+Runs inside ``groupby('part').map_groups`` — one invocation per touched
+lake partition per checkpoint window. Everything is vectorized Arrow
+(sort + adjacent-compare dedup), no Python row loop; the only per-row
+Python is ``hashlib.sha256`` over the *newly applied* rows (the mandated
+per-row invariant column), never over the raw event stream.
+
+Exactly-once: the staged file path is deterministic in
+``(checkpoint, part)`` and written via temp-file + ``os.replace``; a
+retried task overwrites its own output byte-compatibly and the manifest
+swap (state/manifest.py) is the single commit point. If a window leaves
+a partition unchanged (all events stale duplicates), the prior file is
+reused — untouched partitions are never rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from etl_ray.hashing import sha256_hex
+from etl_ray.schema import OP_DELETE
+from etl_ray.stages.validate import _keep_last_per_key
+
+#: Schema of the small stats table each merge call returns (metrics rows +
+#: per-(repo,lang) delta rows for the incremental rollups).
+STATS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # 'metrics' | 'delta'
+        ("part", pa.int32()),
+        ("staged_file", pa.string()),
+        ("changed", pa.bool_()),
+        ("state_rows", pa.int64()),
+        ("tombstones", pa.int64()),
+        ("watermark", pa.int64()),
+        ("events_in", pa.int64()),
+        ("applied", pa.int64()),
+        ("inserts", pa.int64()),
+        ("updates", pa.int64()),
+        ("deletes", pa.int64()),
+        ("stale", pa.int64()),
+        ("invalid", pa.int64()),
+        ("repo", pa.string()),
+        ("lang", pa.string()),
+        ("d_files", pa.int64()),
+        ("d_bytes", pa.int64()),
+        ("w_cs", pa.int64()),
+    ]
+)
+
+_STATE_CORE = [
+    "repo", "path", "commit", "commit_seq", "seq", "lang", "content",
+    "content_sha256", "deleted", "part",
+]
+
+
+def _empty_state(part_type: pa.DataType = pa.int32()) -> pa.Table:
+    return pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "commit": pa.array([], pa.string()),
+            "commit_seq": pa.array([], pa.int64()),
+            "seq": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "content": pa.array([], pa.string()),
+            "content_sha256": pa.array([], pa.string()),
+            "deleted": pa.array([], pa.bool_()),
+            "part": pa.array([], part_type),
+        }
+    )
+
+
+def _align_columns(t: pa.Table, columns: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Project ``t`` onto exactly ``columns``, null-filling missing ones
+    (the Arrow schema-evolution path: additive columns appear as nulls in
+    older data — SURVEY.md §1.3 'ensure' tolerance)."""
+    arrays = []
+    for name, typ in columns:
+        if name in t.column_names:
+            arrays.append(t.column(name).cast(typ))
+        else:
+            arrays.append(pa.nulls(t.num_rows, typ))
+    return pa.table(dict(zip([c[0] for c in columns], arrays)))
+
+
+def _group_counts(t: pa.Table) -> pa.Table:
+    """(repo, lang) -> (cnt, bytes) over live rows."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "bytes": pa.array([], pa.int64()),
+            }
+        )
+    tb = pa.table(
+        {
+            "repo": t.column("repo"),
+            "lang": pc.fill_null(t.column("lang"), ""),
+            "b": pc.cast(pc.binary_length(pc.fill_null(t.column("content"), "")), pa.int64()),
+        }
+    )
+    g = tb.group_by(["repo", "lang"]).aggregate([("b", "count"), ("b", "sum")])
+    return g.rename_columns(["repo", "lang", "cnt", "bytes"])
+
+
+def write_atomic_parquet(table: pa.Table, path: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def make_merge_fn(
+    staging_dir: str,
+    prior_files: dict[int, str],
+    payload_types: dict[str, str],
+    ckpt_id: int,
+):
+    """Build the map_groups merge fn for one checkpoint window.
+
+    ``prior_files``: part -> absolute path of the partition's current state
+    file (from the committed manifest). ``payload_types``: evolved payload
+    column name -> arrow type string (beyond the core state columns).
+    """
+
+    extra_cols = [(n, pa.type_for_alias(t)) for n, t in payload_types.items()]
+    state_cols = [
+        ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
+        ("commit_seq", pa.int64()), ("seq", pa.int64()), ("lang", pa.string()),
+        ("content", pa.string()), ("content_sha256", pa.string()),
+        ("deleted", pa.bool_()), ("part", pa.int32()),
+    ] + extra_cols
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return STATS_SCHEMA.empty_table()
+        part = int(group.column("part")[0].as_py())
+        valid_mask = group.column("_valid").combine_chunks()
+        invalid = int(pc.sum(pc.invert(valid_mask)).as_py() or 0)
+        events_in = group.num_rows
+        delta = _keep_last_per_key(group.filter(valid_mask))
+
+        prior_path = prior_files.get(part)
+        prior = pq.read_table(prior_path) if prior_path else _empty_state()
+
+        # --- align prior + delta onto the (possibly evolved) state schema ---
+        delta_deleted = pc.equal(delta.column("op"), OP_DELETE)
+        delta_t = _align_columns(delta, state_cols)
+        delta_t = delta_t.set_column(
+            delta_t.column_names.index("deleted"), "deleted", delta_deleted
+        )
+        prior_t = _align_columns(prior, state_cols)
+        src = pa.concat_tables([delta_t, prior_t]).append_column(
+            "_src",
+            pa.concat_arrays(
+                [
+                    pa.nulls(delta_t.num_rows, pa.int8()).fill_null(0),
+                    pa.nulls(prior_t.num_rows, pa.int8()).fill_null(1),
+                ]
+            ),
+        )
+
+        # --- LWW combine: sort + keep-last; prior wins (commit_seq, seq) ties
+        idx = pc.sort_indices(
+            src,
+            sort_keys=[
+                ("repo", "ascending"), ("path", "ascending"),
+                ("commit_seq", "ascending"), ("seq", "ascending"),
+                ("_src", "ascending"),
+            ],
+        )
+        src = src.take(idx)
+        n = src.num_rows
+        repo_a = src.column("repo").combine_chunks()
+        path_a = src.column("path").combine_chunks()
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            same_next = pc.and_(
+                pc.equal(repo_a.slice(0, n - 1), repo_a.slice(1)),
+                pc.equal(path_a.slice(0, n - 1), path_a.slice(1)),
+            )
+            last[: n - 1] = np.invert(same_next.to_numpy(zero_copy_only=False))
+        new_state = src.filter(pa.array(last))
+
+        applied_mask = pc.equal(new_state.column("_src"), 0).combine_chunks()
+        applied = int(pc.sum(applied_mask).as_py() or 0)
+        stale = delta_t.num_rows - applied
+
+        # --- per-row sha256 invariant, computed only for newly applied rows
+        del_col = new_state.column("deleted").combine_chunks()
+        need_sha = pc.and_(applied_mask, pc.invert(pc.fill_null(del_col, False)))
+        need_np = need_sha.to_numpy(zero_copy_only=False)
+        if need_np.any():
+            sha_old = new_state.column("content_sha256").to_pandas().to_numpy(dtype=object)
+            new_contents = new_state.column("content").combine_chunks().filter(need_sha)
+            sha_new = sha256_hex(new_contents).to_pandas().to_numpy(dtype=object)
+            sha_old[need_np] = sha_new
+            new_state = new_state.set_column(
+                new_state.column_names.index("content_sha256"),
+                "content_sha256",
+                pa.array(sha_old, type=pa.string()),
+            )
+        # tombstones carry no content
+        if applied:
+            dead = pc.fill_null(del_col, False)
+            new_state = new_state.set_column(
+                new_state.column_names.index("content"),
+                "content",
+                pc.if_else(dead, pa.nulls(new_state.num_rows, pa.string()),
+                           new_state.column("content")),
+            )
+
+        # --- metrics -------------------------------------------------------
+        applied_rows = new_state.filter(applied_mask)
+        ops_applied = applied_rows.column("deleted")
+        deletes = int(pc.sum(pc.fill_null(ops_applied, False)).as_py() or 0)
+        # insert = applied live row whose key was absent-or-tombstone in prior
+        upserts = applied - deletes
+        prior_live = prior_t.filter(pc.invert(pc.fill_null(prior_t.column("deleted"), False)))
+        live_mask = pc.invert(pc.fill_null(new_state.column("deleted"), False))
+        new_live = new_state.filter(live_mask)
+        state_rows = new_live.num_rows
+        tombstones = new_state.num_rows - state_rows
+        inserts = max(0, state_rows - prior_live.num_rows + deletes_effective(prior_live, new_state))
+        updates = upserts - inserts if upserts >= inserts else 0
+        wm_col = applied_rows.column("commit_seq")
+        prior_wm = -1
+        watermark = int(pc.max(wm_col).as_py()) if applied else prior_wm
+
+        # --- stage the new partition file (or reuse prior when unchanged) ---
+        changed = applied > 0 or prior_path is None
+        if changed:
+            out = new_state.drop_columns(["_src"])
+            staged = os.path.join(staging_dir, f"part-{part:05d}.parquet")
+            write_atomic_parquet(out, staged)
+        else:
+            staged = prior_path
+
+        # --- per-(repo,lang) deltas for the incremental rollups -------------
+        gp = _group_counts(prior_live)
+        gn = _group_counts(new_live)
+        j = gn.join(gp, keys=["repo", "lang"], join_type="full outer",
+                    right_suffix="_p")
+        d_files = pc.subtract(pc.fill_null(j.column("cnt"), 0), pc.fill_null(j.column("cnt_p"), 0))
+        d_bytes = pc.subtract(pc.fill_null(j.column("bytes"), 0), pc.fill_null(j.column("bytes_p"), 0))
+        wtab = (
+            pa.table(
+                {
+                    "repo": applied_rows.column("repo"),
+                    "lang": pc.fill_null(applied_rows.column("lang"), ""),
+                    "cs": applied_rows.column("commit_seq"),
+                }
+            )
+            .group_by(["repo", "lang"])
+            .aggregate([("cs", "max")])
+            .rename_columns(["repo", "lang", "w_cs"])
+        )
+        dtab = pa.table(
+            {
+                "repo": j.column("repo"),
+                "lang": j.column("lang"),
+                "d_files": d_files,
+                "d_bytes": d_bytes,
+            }
+        ).join(wtab, keys=["repo", "lang"], join_type="full outer")
+        nz = pc.or_(
+            pc.or_(
+                pc.not_equal(pc.fill_null(dtab.column("d_files"), 0), 0),
+                pc.not_equal(pc.fill_null(dtab.column("d_bytes"), 0), 0),
+            ),
+            pc.is_valid(dtab.column("w_cs")),
+        )
+        dtab = dtab.filter(nz)
+
+        # --- assemble stats table -----------------------------------------
+        nd = dtab.num_rows
+        stats = {
+            "kind": ["metrics"] + ["delta"] * nd,
+            "part": [part] * (1 + nd),
+            "staged_file": [staged] + [None] * nd,
+            "changed": [changed] + [None] * nd,
+            "state_rows": [state_rows] + [None] * nd,
+            "tombstones": [tombstones] + [None] * nd,
+            "watermark": [watermark] + [None] * nd,
+            "events_in": [events_in] + [None] * nd,
+            "applied": [applied] + [None] * nd,
+            "inserts": [inserts] + [None] * nd,
+            "updates": [updates] + [None] * nd,
+            "deletes": [deletes] + [None] * nd,
+            "stale": [stale] + [None] * nd,
+            "invalid": [invalid] + [None] * nd,
+            "repo": [None] + dtab.column("repo").to_pylist(),
+            "lang": [None] + dtab.column("lang").to_pylist(),
+            "d_files": [None] + pc.fill_null(dtab.column("d_files"), 0).to_pylist(),
+            "d_bytes": [None] + pc.fill_null(dtab.column("d_bytes"), 0).to_pylist(),
+            "w_cs": [None] + dtab.column("w_cs").to_pylist(),
+        }
+        return pa.table(stats, schema=STATS_SCHEMA)
+
+    return merge
+
+
+def deletes_effective(prior_live: pa.Table, new_state: pa.Table) -> int:
+    """Count prior-live keys that are tombstoned in the new state."""
+    if prior_live.num_rows == 0:
+        return 0
+    dead = new_state.filter(pc.fill_null(new_state.column("deleted"), False))
+    if dead.num_rows == 0:
+        return 0
+    j = prior_live.select(["repo", "path"]).join(
+        dead.select(["repo", "path"]).append_column("_d", pa.nulls(dead.num_rows, pa.int8()).fill_null(1)),
+        keys=["repo", "path"],
+        join_type="inner",
+    )
+    return j.num_rows

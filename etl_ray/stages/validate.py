@@ -1,0 +1,90 @@
+"""Validate / normalize / route stage — stateless ``map_batches`` over Arrow.
+
+Reference analog: the predicate cleaning filter
+(``etl/cleaning/clean_data.py:123-148`` — 7 conjunctive rules dropping
+malformed AIS rows) plus the Citus hash routing
+(``etl/init/sql/50_citus_distribution.sql``). Here a change event is
+*invalid* when repo/path is null or empty, ``op`` is not one of I/U/D, or
+``commit_seq`` is null. Invalid rows are NOT dropped silently: they are
+flagged ``_valid=false`` and carried (they are rare) so the merge stage
+can count them into the per-window audit metrics (reference analog:
+audit_log row counts, ``etl/audit/logger.py:81-103``) before discarding.
+
+The stage also pre-reduces each batch to the per-key last-writer winner
+(max ``(commit_seq, seq)`` per (repo, path)) — the combiner that cuts
+shuffle volume for duplicate/update-heavy streams BEFORE the single
+all-to-all exchange on ``part`` (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from etl_ray.hashing import partition_ids
+from etl_ray.schema import VALID_OPS
+
+
+def _keep_last_per_key(t: pa.Table) -> pa.Table:
+    """Keep only the max-(commit_seq, seq) row per (repo, path).
+
+    Vectorized: one multi-key sort + an adjacent-shift compare — no Python
+    row loop (reference's per-key winner selection is the pandas
+    sort+dedup idiom; ours stays in Arrow).
+    """
+    if t.num_rows <= 1:
+        return t
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("repo", "ascending"),
+            ("path", "ascending"),
+            ("commit_seq", "ascending"),
+            ("seq", "ascending"),
+        ],
+    )
+    t = t.take(idx)
+    repo = t.column("repo").combine_chunks()
+    path = t.column("path").combine_chunks()
+    n = t.num_rows
+    # row i is a winner iff key[i] != key[i+1]
+    same_next = pc.and_(
+        pc.equal(repo.slice(0, n - 1), repo.slice(1)),
+        pc.equal(path.slice(0, n - 1), path.slice(1)),
+    )
+    last = np.ones(n, dtype=bool)
+    last[: n - 1] = np.invert(same_next.to_numpy(zero_copy_only=False))
+    return t.filter(pa.array(last))
+
+
+def make_validate_fn(num_partitions: int, pre_reduce: bool = True):
+    """Build the validate/route batch fn for ``map_batches`` (pyarrow)."""
+
+    def validate(batch: pa.Table) -> pa.Table:
+        repo = batch.column("repo")
+        path = batch.column("path")
+        op = batch.column("op")
+        cs = batch.column("commit_seq")
+        valid = pc.and_(
+            pc.and_(
+                pc.and_(pc.is_valid(repo), pc.not_equal(pc.fill_null(repo, ""), "")),
+                pc.and_(pc.is_valid(path), pc.not_equal(pc.fill_null(path, ""), "")),
+            ),
+            pc.and_(pc.is_in(op, value_set=pa.array(VALID_OPS)), pc.is_valid(cs)),
+        )
+        batch = batch.append_column("_valid", valid)
+        batch = batch.append_column(
+            "part", partition_ids(repo, path, num_partitions)
+        )
+        if not pre_reduce:
+            return batch
+        mask = valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
+        good = batch.filter(mask)
+        bad = batch.filter(pc.invert(mask))
+        good = _keep_last_per_key(good)
+        if bad.num_rows == 0:
+            return good
+        return pa.concat_tables([good, bad], promote_options="default")
+
+    return validate

@@ -1,0 +1,115 @@
+"""Two-phase-commit manifest — the engine's exactly-once boundary.
+
+Reference analog: the single per-day ``conn.commit()`` that makes a whole
+day's staging → ensure → load → rollup visible atomically
+(``main.py:144-147``), plus the audit_log row written in the same
+transaction (``etl/insert/insert_audit.py:16-32``).
+
+Protocol (Iceberg-style, single-writer driver):
+
+1. merge tasks write staged partition files under
+   ``<lake>/_staging/ckpt=<N>/`` with deterministic names (retry-safe),
+2. the driver writes ``<lake>/_manifests/manifest-<N>.json`` (temp +
+   ``os.replace`` → atomic on POSIX),
+3. the driver atomically swaps ``<lake>/MANIFEST.json`` to point at it.
+
+The manifest IS the lake: files not referenced by the current manifest
+do not exist as far as readers are concerned; a crash between any two
+steps leaves the previous manifest intact and the next run re-stages the
+window deterministically (analog of ``dipaal_rollback`` partition-level
+reprocessing, ``etl/init/single_statement_sql/98_rollback.sql``).
+Numbered manifests are retained as lineage history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+
+CURRENT_POINTER = "MANIFEST.json"
+MANIFEST_DIR = "_manifests"
+STAGING_DIR = "_staging"
+
+
+@dataclass
+class Manifest:
+    checkpoint_id: int = -1
+    num_partitions: int = 0
+    #: part(str) -> {"file": relpath, "rows", "tombstones", "watermark"}
+    partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: logical summary name -> relpath of its parquet file
+    summaries: dict[str, str] = field(default_factory=dict)
+    #: evolved payload columns beyond the core state schema: name -> arrow type alias
+    payload_types: dict[str, str] = field(default_factory=dict)
+    #: metrics of the window that produced this manifest
+    metrics: dict[str, Any] = field(default_factory=dict)
+    #: replay-source fingerprint: window plan position (resume key)
+    windows_done: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Manifest":
+        d = json.loads(s)
+        m = cls()
+        for k, v in d.items():
+            if hasattr(m, k):
+                setattr(m, k, v)
+        return m
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class ManifestStore:
+    """Reads/writes manifests under a lake directory (single-writer)."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        os.makedirs(os.path.join(lake_dir, MANIFEST_DIR), exist_ok=True)
+
+    def staging_dir(self, ckpt_id: int) -> str:
+        d = os.path.join(self.lake_dir, STAGING_DIR, f"ckpt={ckpt_id:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def current(self) -> Manifest | None:
+        p = os.path.join(self.lake_dir, CURRENT_POINTER)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return Manifest.from_json(f.read())
+
+    def commit(self, m: Manifest) -> None:
+        """Two-phase: write numbered manifest, then swap the pointer."""
+        numbered = os.path.join(
+            self.lake_dir, MANIFEST_DIR, f"manifest-{m.checkpoint_id:06d}.json"
+        )
+        _atomic_write(numbered, m.to_json())
+        _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
+
+    def history(self) -> list[Manifest]:
+        d = os.path.join(self.lake_dir, MANIFEST_DIR)
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    out.append(Manifest.from_json(f.read()))
+        return out
+
+    def abs_path(self, rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(self.lake_dir, rel)
+
+    def rel_path(self, p: str) -> str:
+        return os.path.relpath(p, self.lake_dir) if os.path.isabs(p) else p
