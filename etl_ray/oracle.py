@@ -33,7 +33,7 @@ def reduce_events(table: pa.Table) -> OracleResult:
     cols = table.column_names
     extra = [c for c in cols if c not in ("seq", "op", "commit_seq", "repo", "path", "commit", "lang", "content")]
     rows = table.to_pylist()
-    rows.sort(key=lambda r: (r["commit_seq"], r["seq"]))
+    rows.sort(key=lambda r: (r["commit_seq"] is None, r["commit_seq"] or 0, r["seq"]))
 
     state: dict[tuple[str, str], dict] = {}
     tombs: set[tuple[str, str]] = set()
