@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+via ``ray.put`` and every ``map_batches`` task does one numpy matmul per
+batch (never re-shipped per batch). Scale path: LSH-bucketed variant
+(random-hyperplane signs → bucket groupby → in-bucket brute force) that
+turns the all-pairs scan into a per-bucket scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from etl_ray.functions.rounding import round_half_away
+
+
+def _matrix(batch_embeddings) -> np.ndarray:
+    return np.stack(batch_embeddings.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+
+    ``__init__`` fetches the query matrix once per actor (``ray.get`` of a
+    ``ray.put`` handle) and pre-normalizes it; ``__call__`` is one matmul
+    per batch. Emits (query_id, neighbor_id, sim) candidate rows — a
+    global ``groupby(query_id)`` top-k merge finalizes.
+    """
+
+    def __init__(self, queries_ref, id_col: str = "vec_id"):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["matrix"])
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch.column("embedding")))
+        sims = self.q_mat @ m.T  # (n_queries, batch)
+        nq, nb = sims.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.q_ids, nb)),
+                "neighbor_id": pa.array(np.tile(ids, nq)),
+                "sim": pa.array(round_half_away(sims.ravel(), 6)),
+            }
+        )
+
+
+def knn_cosine(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k for each query id (brute force baseline).
+
+    Ties broken by neighbor_id ascending; sims rounded to 6 dp BEFORE
+    ranking so results are stable across engines and summation orders.
+    """
+    qset = pa.array(list(query_ids), pa.int64())
+    qrows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qref = ray.put(
+        {
+            "ids": np.array([r[id_col] for r in qrows], dtype=np.int64),
+            "matrix": np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows]),
+        }
+    )
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return g
+
+    out = cand.groupby("query_id").map_groups(topk, batch_format="pandas")
+    res = out.to_pandas().sort_values(["query_id", "sim", "neighbor_id"],
+                                      ascending=[True, False, True])
+    return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+
+
+class LshBucketStage:
+    """Random-hyperplane LSH: sign-bit bucket id per row (seeded planes
+    built once per actor). Vectors in the same bucket are near-duplicates
+    candidates; brute force runs within buckets only."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column("embedding"))
+        signs = (m @ self.planes.T) > 0
+        bucket = np.zeros(len(m), dtype=np.int64)
+        for i in range(signs.shape[1]):
+            bucket |= signs[:, i].astype(np.int64) << i
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def lsh_near_duplicates(
+    ds: rd.Dataset,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Embedding near-dup pairs (cosine ≥ threshold) via LSH buckets.
+
+    NOTE: approximate — pairs split across buckets are missed; raise
+    recall by repeating with multiple plane seeds and unioning (the
+    multi-probe path), or verify against the brute-force baseline on a
+    sample. The bucket groupby is the only shuffle.
+    """
+    dim = len(ds.take(1)[0]["embedding"])
+    b = ds.map_batches(
+        LshBucketStage,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+
+    def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        m = _normalize(np.stack(group["embedding"].to_numpy()).astype(np.float64))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        sims = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        s = round_half_away(sims[ai, bi], 6)
+        keep = s >= threshold
+        a, bb = ids[ai][keep], ids[bi][keep]
+        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        return pd.DataFrame({"a": lo, "b": hi, "sim": s[keep]})
+
+    pairs = b.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
+    res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+
+
+def brute_force_near_duplicates(
+    ds: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id",
+    predicate=None,
+) -> pa.Table:
+    """Exact near-dup pairs — one side broadcast, the other streamed.
+
+    ``predicate``: optional vectorized fn ``pa.Table -> boolean mask``
+    restricting the pair domain. Suitable when the filtered side fits in
+    memory; for symmetric all-pairs at scale use ``lsh_near_duplicates``.
+    """
+    side = ds
+    if predicate is not None:
+        side = ds.map_batches(
+            lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+        )
+    rows = side.select_columns([id_col, "embedding"]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in rows]))
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    sims = m @ m.T
+    ai, bi = np.triu_indices(len(ids), k=1)
+    s = round_half_away(sims[ai, bi], 6)
+    keep = s >= threshold
+    return pa.table(
+        {
+            "a": pa.array(ids[ai][keep]),
+            "b": pa.array(ids[bi][keep]),
+            "sim": pa.array(s[keep]),
+        }
+    )

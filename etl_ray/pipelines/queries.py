@@ -1,0 +1,815 @@
+"""The engine's query surface over the driver testdata tables.
+
+Each entry pairs a Ray-Data pipeline (callable ``fn(sf_dir)``) with the
+equivalent ANSI SQL (DuckDB oracle) where expressible — the driver's
+correctness gate runs both at sf=0.01 and hash-compares values, so every
+computed column is named identically on both sides and floats are
+rounded identically BEFORE any ranking/limit.
+
+Query IDs map back to the operator inventory in SURVEY.md §2 (cited per
+query). Reference file:line cites are to /root/reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from etl_ray.functions import dedup as F_dedup
+from etl_ray.functions import multimodal as F_mm
+from etl_ray.functions import similarity as F_sim
+from etl_ray.functions import text as F_text
+from etl_ray.functions.rounding import round_half_away
+from etl_ray.functions.scalar import smart_date_id
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[str], Any]
+    sql: str | None
+    doc: str = ""
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# =============================================================== relational
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: filter + grouped aggregate.
+
+    SURVEY M3 (predicate filter, clean_data.py:123-148) + A4 (level-1
+    groupby, heatmaps/01_count.sql:44-50). Column-pruned read; vectorized
+    Arrow filter; Ray pre-aggregates partial groups per block before the
+    shuffle automatically.
+    """
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    t = out.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "avg_disc"):
+        t[c] = round_half_away(t[c], 2)
+    return t
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via broadcast joins (SURVEY J2/J8:
+    small side shipped once with ray.put, looked up per batch — never a
+    shuffle join; mirrors mid_map flag enrichment,
+    ship_dimension.py:41-50)."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    nat_map = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    ref = ray.put((cust_map, nat_map))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        cmap, nmap = ray.get(ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        names = [nmap.get(cmap.get(k)) for k in keys]
+        return batch.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    t = out.to_pandas()
+    t["revenue"] = round_half_away(t["revenue"], 2)
+    return t
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top_customers(sf_dir: str):
+    """Top-10 by spend: grouped aggregate → global sort → limit (SURVEY
+    O4 top-k; ordering ties broken by custkey AFTER rounding so selection
+    matches the oracle)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    )
+    t = agg.to_pandas()
+    t["total_spent"] = round_half_away(t["total_spent"], 2)
+    t = t.sort_values(["total_spent", "o_custkey"], ascending=[False, True]).head(10)
+    t = t.rename(columns={"o_custkey": "custkey"})
+    return t.reset_index(drop=True)
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total_spent,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, custkey ASC LIMIT 10
+"""
+
+
+def distinct_priorities(sf_dir: str):
+    """Distinct values (SURVEY A2/D1 natural-key dedup,
+    drop_duplicates before ensure)."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority"])
+    return pa.table({"o_orderpriority": pa.array(sorted(ds.unique("o_orderpriority")))})
+
+
+DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def parts_by_brand(sf_dir: str):
+    """Filter + groupby over part (SURVEY M3 + A4)."""
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_size", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("p_size"), 25)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    t = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Mean("p_retailprice", alias_name="avg_price")
+    ).to_pandas()
+    t["avg_price"] = round_half_away(t["avg_price"], 2)
+    return t
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part WHERE p_size < 25 GROUP BY p_brand
+"""
+
+
+def grid_cells(sf_dir: str):
+    """Analytic grid-cell assignment + count (SURVEY J7: cell ids from
+    coordinates by integer division — no join needed when the grid is
+    analytic; fact_cell_rollup.sql:133 analog)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        cx = pc.cast(pc.floor(t.column("l_quantity")), pa.int64())
+        cy = pc.cast(pc.floor(pc.divide(t.column("l_extendedprice"), 1000.0)), pa.int64())
+        return pa.table({"cell_x": cx, "cell_y": cy})
+
+    out = ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby(["cell_x", "cell_y"]).aggregate(Count(alias_name="n")).to_pandas()
+
+
+GRID_CELLS_SQL = """
+SELECT CAST(floor(l_quantity) AS BIGINT) AS cell_x,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS cell_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ============================================================== events / CDC
+
+def cdc_lww_latest(sf_dir: str):
+    """Last event per user by (ts, event_id) — the LWW fold over a
+    generic event stream (SURVEY K1-K7 discipline: group, order, take
+    winner)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).tail(1)
+        return g[["user_id", "ts", "event_type", "value"]]
+
+    return ds.groupby("user_id").map_groups(last, batch_format="pandas").to_pandas()
+
+
+CDC_LWW_LATEST_SQL = """
+SELECT user_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def cdc_event_counts(sf_dir: str):
+    """Grouped counts + sums with Ray's partial pre-aggregation (SURVEY A4)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    t = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    ).to_pandas()
+    t["total_value"] = round_half_away(t["total_value"], 3)
+    return t
+
+
+CDC_EVENT_COUNTS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def cdc_sessionize(sf_dir: str):
+    """Gap-based sessionization — the reference's trajectory gap-split
+    (SURVEY K5/K6: new segment when Δt ≥ threshold,
+    builder.py:102-115) as a per-user fold. Gap: strict > 30 min."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+
+
+CDC_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+def cdc_value_delta(sf_dir: str):
+    """Σ|Δvalue| per user over time order — the reference's
+    calculate_delta UDF (SURVEY F1, calculate_delta.sql:1-20) as a
+    per-key vectorized fold."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        d = float(np.abs(np.diff(g["value"].to_numpy())).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "total_delta": [float(round_half_away(d, 3))]})
+
+    return ds.groupby("user_id").map_groups(delta, batch_format="pandas").to_pandas()
+
+
+CDC_VALUE_DELTA_SQL = """
+WITH o AS (
+  SELECT user_id, abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+  FROM events
+)
+SELECT user_id, round(coalesce(sum(d), 0), 3) AS total_delta FROM o GROUP BY user_id
+"""
+
+
+def cdc_mode_event_type(sf_dir: str):
+    """Most-frequent value per key, ties → smallest (SURVEY A1/O2: the
+    13-column mode aggregation of trajectory finalize,
+    builder.py:204-273)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g["event_type"].value_counts()
+        top = counts[counts == counts.max()].index.min()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "mode_event_type": [top]})
+
+    return ds.groupby("user_id").map_groups(mode, batch_format="pandas").to_pandas()
+
+
+CDC_MODE_SQL = """
+SELECT user_id, mode_event_type FROM (
+  SELECT user_id, event_type AS mode_event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def smart_date_counts(sf_dir: str):
+    """Smart integer date keys YYYYMMDD (SURVEY M9/F5,
+    helper_functions.py:167-176) + count per day."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    out = ds.map_batches(
+        lambda t: pa.table({"date_id": smart_date_id(t.column("ts"))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.groupby("date_id").aggregate(Count(alias_name="n")).to_pandas()
+
+
+SMART_DATE_SQL = """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS date_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
+def cdc_changes_compressed(sf_dir: str):
+    """Consecutive-duplicate compression count per user (SURVEY D3/K9:
+    tfloat compression, builder.py:346-375)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def changes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy()
+        n = 0 if len(v) == 0 else int(1 + (v[1:] != v[:-1]).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_changes": [n]})
+
+    return ds.groupby("user_id").map_groups(changes, batch_format="pandas").to_pandas()
+
+
+CDC_CHANGES_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR value <> lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+)
+SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_changes FROM o GROUP BY user_id
+"""
+
+
+# ================================================================= documents
+
+def text_token_stats(sf_dir: str):
+    """Per-lang token statistics (token counting op; vectorized re2
+    kernel in Arrow — no Python loop)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "n_tokens": F_text.token_count_column(t.column("text")),
+                "n_chars": t.column("n_chars"),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    t = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_chars", alias_name="avg_chars"),
+    ).to_pandas()
+    t["avg_chars"] = round_half_away(t["avg_chars"], 2)
+    return t
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def text_quality(sf_dir: str):
+    """Per-doc quality signals (length/whitespace/digit/upper ratios) —
+    the standard training-corpus quality pre-filter."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: F_text.quality_metrics(t).drop_columns(["text"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return out.to_pandas()
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       round(length(regexp_extract_all(text, '\\s')) * 1.0 / greatest(length(text), 1), 6) AS space_ratio,
+       round(length(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+       round(length(regexp_extract_all(text, '[A-Z]')) * 1.0 / greatest(length(text), 1), 6) AS upper_ratio
+FROM documents
+"""
+
+
+def _docs_with_dups(sf_dir: str) -> rd.Dataset:
+    """documents ∪ deterministic near-verbatim copies (doc_id+100000 for
+    doc_id % 10 == 0) — gives the dedup operators real duplicates to find
+    (the raw synthetic corpus has none)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        # deterministic: every doc_id % 10 == 0 gets a copy with a tail
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 10 == 0))
+        new_id = pc.add(dup.column("doc_id"), 100000)
+        new_text = pc.binary_join_element_wise(
+            pc.fill_null(dup.column("text"), ""), " trailing copy marker tokens", "")
+        dup = pa.table({"doc_id": new_id, "text": new_text, "lang": dup.column("lang")})
+        return pa.concat_tables([t, dup])
+
+    return ds.map_batches(copies, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup by sha256(text): hash-partitioned group, min-id winner
+    (SURVEY D1: natural-key dedup + ensure, bulk_inserter.py:59-113)."""
+    ds = _docs_with_dups(sf_dir)
+    ds = ds.map_batches(lambda b: F_dedup.add_sha256(b, "text"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "content_sha256": [g["content_sha256"].iloc[0]],
+                "doc_id": [g["doc_id"].iloc[0]],
+                "n_copies": [len(g)],
+            }
+        )
+
+    return ds.groupby("content_sha256").map_groups(first, batch_format="pandas").to_pandas()
+
+
+DEDUP_EXACT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha256(text) AS content_sha256, CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM all_docs GROUP BY sha256(text)
+"""
+
+
+def lang_distribution(sf_dir: str):
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+
+
+LANG_DISTRIBUTION_SQL = "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
+
+
+def langid_heuristic(sf_dir: str):
+    """Language-ID actor-pool stage (stopword n-gram heuristic) — no SQL
+    oracle (heuristic), driver records rows-only check."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(F_text.LangIdStage, batch_format="pandas",
+                         concurrency=2, batch_size=1024)
+    return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
+
+
+def fingerprint_docs(sf_dir: str):
+    """Rolling-hash document fingerprints (deterministic; rows-only)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: F_text.fingerprint_batch(t).drop_columns(["text"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas()
+
+
+def dedup_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate discovery + exact-Jaccard verify
+    (rows-only: LSH recall is probabilistic)."""
+    ds = _docs_with_dups(sf_dir)
+    return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs, Hamming ≤ 3 via banded pigeonhole
+    (rows-only)."""
+    ds = _docs_with_dups(sf_dir)
+    return F_dedup.simhash_near_pairs(ds, max_hamming=3)
+
+
+# ================================================================ embeddings
+
+def knn_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id<5 — broadcast
+    query matrix, one matmul per batch; sims rounded to 6 dp before
+    ranking on BOTH sides."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return F_sim.knn_cosine(ds, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        ["query_id", "neighbor_id", "sim"]
+    )
+
+
+KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS sim
+  FROM q CROSS JOIN embeddings WHERE vec_id <> query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+"""
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label centroid via partial (sum, count) per batch →
+    groupby(label, dim) — the pre-aggregate-before-shuffle discipline
+    (SURVEY A4 + guide 'Aggregation at scale')."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        out_l, out_d, out_s, out_c = [], [], [], []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            out_l.extend([int(lab)] * m.shape[1])
+            out_d.extend(range(1, m.shape[1] + 1))
+            out_s.extend(sel.sum(axis=0))
+            out_c.extend([len(sel)] * m.shape[1])
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_s, pa.float64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = agg.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s_sum"), Sum("c", alias_name="c_sum")
+    ).to_pandas()
+    out["centroid"] = round_half_away(out["s_sum"] / out["c_sum"], 6)
+    return out[["label", "dim", "centroid"]]
+
+
+CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(e), 6) AS centroid
+FROM (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+) GROUP BY label, dim
+"""
+
+
+def embedding_neardup(sf_dir: str):
+    """Exact cosine near-dup pairs within label=0 (threshold 0.25 —
+    synthetic vectors are near-orthogonal, so higher thresholds return
+    nothing). Brute-force on the small filtered side."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+    return F_sim.brute_force_near_duplicates(
+        ds, threshold=0.25, predicate=lambda t: pc.equal(t.column("label"), 0)
+    )
+
+
+NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label = 0)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+"""
+
+
+# ================================================================ multimodal
+
+def media_metadata(sf_dir: str):
+    """Multimodal plumbing: documents→opaque binary payloads, typed
+    metadata extracted per batch (byte length); SQL-checkable half of the
+    media path."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
+
+    def meta(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "kind": t.column("kind"),
+                "byte_len": pc.cast(pc.binary_length(t.column("payload")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
+MEDIA_METADATA_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+def multimodal_features(sf_dir: str):
+    """Actor-pool decode/feature stage over opaque payloads (decode is a
+    deterministic stub — see functions/multimodal.py; rows-only)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = F_mm.extract_features(ds, concurrency=2, batch_size=256)
+    return out.select_columns(["media_id", "feat_norm"]).to_pandas()
+
+
+# ===================================================== CDC engine (flagship)
+
+def _derive_doc_events(t: pa.Table) -> pa.Table:
+    """documents → deterministic change-event log (SQL-replicable):
+    doc d gets versions v = 0..(d % 3) (I then U), commit_seq = d*10+v,
+    content = text[:100+10v] + ':v{v}'; docs with d % 11 == 0 end with a
+    delete at commit_seq d*10 + (d % 3) + 1."""
+    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+    text = t.column("text").to_pandas().to_numpy(dtype=object)
+    lang = t.column("lang").to_pandas().to_numpy(dtype=object)
+    nv = (doc_id % 3) + 1
+    has_del = doc_id % 11 == 0
+    reps = nv + has_del.astype(np.int64)
+    ridx = np.repeat(np.arange(len(doc_id)), reps)
+    v = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.array([], int)
+    d = doc_id[ridx]
+    is_del = v == nv[ridx]  # the extra row beyond the last version
+    op = np.where(is_del, "D", np.where(v == 0, "I", "U")).astype(object)
+    commit_seq = d * 10 + v
+    content = np.array(
+        [
+            "" if dl else (tx or "")[: 100 + 10 * int(vv)] + f":v{int(vv)}"
+            for dl, tx, vv in zip(is_del, text[ridx], v)
+        ],
+        dtype=object,
+    )
+    return pa.table(
+        {
+            "seq": pa.array(commit_seq, pa.int64()),
+            "op": pa.array(op, pa.string()),
+            "commit_seq": pa.array(commit_seq, pa.int64()),
+            "repo": pa.array(["repo" + str(x % 7) for x in d], pa.string()),
+            "path": pa.array([f"docs/{x}.txt" for x in d], pa.string()),
+            "commit": pa.array([f"c{c}" for c in commit_seq], pa.string()),
+            "lang": pa.array(lang[ridx], pa.string()),
+            "content": pa.array(content, pa.string()),
+        }
+    )
+
+
+def _run_doc_replay(sf_dir: str):
+    """Derive events from documents, replay through the FULL engine
+    (validate → shuffle → LWW merge → manifest lake → incremental
+    summaries) in a fresh /tmp lake; return the engine."""
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/etl_ray_gate/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/log", exist_ok=True)
+    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    docs.map_batches(_derive_doc_events, batch_format="pyarrow",
+                     zero_copy_batch=True).write_parquet(f"{root}/log")
+    eng = ReplayEngine(f"{root}/lake", num_partitions=16)
+    # window size ~ half the log so the summaries are maintained across
+    # at least two checkpoint windows (incremental path exercised)
+    n_events = pq.ParquetDataset(f"{root}/log").read(columns=["seq"]).num_rows
+    eng.replay(f"{root}/log", window_events=max(1000, n_events // 2))
+    return eng
+
+
+def cdc_replay_docs(sf_dir: str):
+    """Flagship: full CDC replay over a documents-derived change log;
+    returns the lake's final state (per-row sha256 invariant)."""
+    eng = _run_doc_replay(sf_dir)
+    return (
+        eng.final_state(columns=["repo", "path", "commit_seq", "lang", "content_sha256"])
+        .to_pandas()
+    )
+
+
+CDC_REPLAY_DOCS_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256 FROM fin
+"""
+
+
+def cdc_docs_summary_repo(sf_dir: str):
+    """Incrementally-maintained per-repo summary of the doc-replay lake
+    (delta-by-delta across ≥2 checkpoint windows; SURVEY A4/A5 analog)."""
+    eng = _run_doc_replay(sf_dir)
+    t = eng.summary("summary_by_repo").to_pandas()
+    return t[["repo", "file_count", "total_bytes", "distinct_langs", "last_commit_seq"]]
+
+
+CDC_DOCS_SUMMARY_REPO_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+), wm AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         max(doc_id * 10 + (doc_id % 3) + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS wm
+  FROM documents GROUP BY 1
+)
+SELECT w.repo,
+       CAST(count(f.content) AS BIGINT) AS file_count,
+       CAST(coalesce(sum(octet_length(encode(f.content))), 0) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT f.lang) AS BIGINT) AS distinct_langs,
+       CAST(w.wm AS BIGINT) AS last_commit_seq
+FROM wm w LEFT JOIN fin f ON f.repo = w.repo
+GROUP BY w.repo, w.wm
+"""
+
+
+def cdc_docs_summary_lang(sf_dir: str):
+    eng = _run_doc_replay(sf_dir)
+    return eng.summary("summary_by_lang").to_pandas()[["lang", "file_count", "total_bytes"]]
+
+
+CDC_DOCS_SUMMARY_LANG_SQL = """
+WITH fin AS (
+  SELECT lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS file_count,
+       CAST(sum(octet_length(encode(content))) AS BIGINT) AS total_bytes
+FROM fin GROUP BY lang
+"""
+
+
+# ================================================================== registry
+
+QUERIES: dict[str, QueryDef] = {
+    # CDC engine (flagship)
+    "cdc_replay_docs": QueryDef(cdc_replay_docs, CDC_REPLAY_DOCS_SQL),
+    "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
+    "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
+    # event-stream operators
+    "cdc_lww_latest": QueryDef(cdc_lww_latest, CDC_LWW_LATEST_SQL),
+    "cdc_event_counts": QueryDef(cdc_event_counts, CDC_EVENT_COUNTS_SQL),
+    "cdc_sessionize": QueryDef(cdc_sessionize, CDC_SESSIONIZE_SQL),
+    "cdc_value_delta": QueryDef(cdc_value_delta, CDC_VALUE_DELTA_SQL),
+    "cdc_mode_event_type": QueryDef(cdc_mode_event_type, CDC_MODE_SQL),
+    "cdc_changes_compressed": QueryDef(cdc_changes_compressed, CDC_CHANGES_SQL),
+    "smart_date_counts": QueryDef(smart_date_counts, SMART_DATE_SQL),
+    # relational
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL),
+    "revenue_by_nation": QueryDef(revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "top_customers": QueryDef(top_customers, TOP_CUSTOMERS_SQL),
+    "distinct_priorities": QueryDef(distinct_priorities, DISTINCT_PRIORITIES_SQL),
+    "parts_by_brand": QueryDef(parts_by_brand, PARTS_BY_BRAND_SQL),
+    "grid_cells": QueryDef(grid_cells, GRID_CELLS_SQL),
+    # text / dedup
+    "text_token_stats": QueryDef(text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL),
+    "lang_distribution": QueryDef(lang_distribution, LANG_DISTRIBUTION_SQL),
+    "dedup_exact_docs": QueryDef(dedup_exact_docs, DEDUP_EXACT_SQL),
+    "langid_heuristic": QueryDef(langid_heuristic, None),
+    "fingerprint_docs": QueryDef(fingerprint_docs, None),
+    "dedup_minhash_pairs": QueryDef(dedup_minhash_pairs, None),
+    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None),
+    # embeddings
+    "knn_cosine_topk": QueryDef(knn_cosine_topk, KNN_SQL),
+    "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
+    "embedding_neardup": QueryDef(embedding_neardup, NEARDUP_SQL),
+    # multimodal
+    "media_metadata": QueryDef(media_metadata, MEDIA_METADATA_SQL),
+    "multimodal_features": QueryDef(multimodal_features, None),
+}
