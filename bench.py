@@ -1,0 +1,155 @@
+"""Benchmark driver — headline CDC replay throughput + query timings.
+
+Usage:
+    python bench.py              # one JSON line on stdout
+    python bench.py --scaling    # run at num_cpus=8 and 32 in fresh
+                                 # processes; report scaling efficiency
+
+Env:
+    GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS    num_cpus for ray.init (default 32)
+    GRAFT_BENCH_EVENTS  override the replay event count
+
+The headline metric is the wall time of a full mixed-scenario CDC replay
+(validate → hash-partition shuffle → LWW merge → exactly-once manifest
+lake → incremental rollups) over a seeded synthetic change log sized to
+the input sf (~5×10^5 events at sf0.1). The log is generated once and
+cached in /tmp; the lake is rebuilt fresh each run so only replay is
+timed. The OS page cache is warmed with one untimed read first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_event_log(sf: float, out_root: str = "/tmp/etl_ray_bench") -> tuple[str, int]:
+    """Generate (once, cached) the bench change log for this sf."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.generator import generate_events, write_event_log
+
+    n_keys = int(os.environ.get("GRAFT_BENCH_EVENTS", 0)) or max(2000, int(1_200_000 * sf))
+    log_dir = os.path.join(out_root, f"log_keys{n_keys}_seed42_mixed")
+    marker = os.path.join(log_dir, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(log_dir, ignore_errors=True)
+        log = generate_events(n_keys=n_keys, seed=42, scenario="mixed",
+                              mean_versions=4.0, content_len=192)
+        write_event_log(log, log_dir, n_files=8)
+        with open(marker, "w") as f:
+            f.write(str(log.table.num_rows))
+    files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir)) if f.endswith(".parquet")]
+    n_events = sum(pq.read_metadata(f).num_rows for f in files)
+    return log_dir, n_events
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    sf = _sf_from_dir(sf_dir)
+    log_dir, n_events = ensure_event_log(sf)
+
+    # warm OS page cache (untimed)
+    import pyarrow.parquet as pq
+    for f in os.listdir(log_dir):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(log_dir, f))
+
+    lake = f"/tmp/etl_ray_bench/lake_cpus{num_cpus}"
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = ReplayEngine(lake, num_partitions=64)
+    t0 = time.perf_counter()
+    eng.replay(log_dir, window_events=max(50_000, n_events // 4))
+    replay_sec = time.perf_counter() - t0
+
+    # headline queries over the sf dir
+    from etl_ray.pipelines.queries import QUERIES
+
+    q_names = [
+        "q1_pricing_summary", "revenue_by_nation", "cdc_lww_latest",
+        "cdc_sessionize", "text_token_stats", "dedup_exact_docs",
+        "knn_cosine_topk", "embedding_centroids",
+    ]
+    q_times = {}
+    for name in q_names:
+        t0 = time.perf_counter()
+        res = QUERIES[name].fn(sf_dir)
+        # force execution for lazy results
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "events": n_events,
+        "events_per_sec": round(n_events / replay_sec, 1),
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes — the
+    in-sandbox evidence for the north rule's two-cluster-size criterion."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "events_per_sec_8cpu": results[8]["events_per_sec"],
+        "events_per_sec_32cpu": results[32]["events_per_sec"],
+        "events": results[32]["events"],
+        "sf": results[32]["sf"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

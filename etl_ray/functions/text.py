@@ -108,9 +108,10 @@ def rolling_fingerprint(text: str) -> int:
     data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     # Horner evaluation, vectorized in log(n) squaring-free chunks would be
     # overkill; per-doc this reduces to a tight numpy loop over chunks.
-    for chunk in np.array_split(data, max(1, len(data) // 4096)):
-        for b in chunk:  # numpy scalar loop, C-boxed; docs are bounded
-            h = ((h * _B) + b) & _MASK
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        for chunk in np.array_split(data, max(1, len(data) // 4096)):
+            for b in chunk:  # numpy scalar loop, C-boxed; docs are bounded
+                h = ((h * _B) + b) & _MASK
     return int(h)
 
 

@@ -24,10 +24,12 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from etl_ray.sources.events import Window, list_segments, plan_windows, read_window, unified_schema
@@ -73,6 +75,45 @@ class ReplayEngine:
             num_partitions = current.num_partitions
         self.num_partitions = num_partitions
         self.batch_size = batch_size
+        cpus = 8
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        #: shuffle partitions for the routing exchange — capped by CPUs so
+        #: the hash-shuffle aggregator pool never oversubscribes the node
+        self.shuffle_partitions = max(2, min(num_partitions, cpus))
+        self._cpus = cpus
+
+    @contextmanager
+    def _hash_shuffle(self):
+        """Scope Ray's hash-shuffle strategy to THIS engine's pipelines.
+
+        The routing exchange shuffles by an integer bucket we computed
+        ourselves — a sort-based shuffle is pure waste (~9x slower,
+        measured in BASELINE.md). The strategy is set only around the
+        window pipeline and restored after: it is a global DataContext
+        knob, and leaking it would stall unrelated groupbys whose default
+        200 hash partitions oversubscribe small CPU counts with
+        aggregator actors.
+        """
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        saved = (
+            ctx.shuffle_strategy,
+            ctx.max_hash_shuffle_aggregators,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        )
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        ctx.max_hash_shuffle_aggregators = max(1, self._cpus // 2)
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        try:
+            yield
+        finally:
+            (
+                ctx.shuffle_strategy,
+                ctx.max_hash_shuffle_aggregators,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = saved
 
     # ------------------------------------------------------------------ run
 
@@ -135,9 +176,16 @@ class ReplayEngine:
             for p, info in prior.partitions.items()
         }
         merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
-        stats_ds = ds.groupby("part").map_groups(merge, batch_format="pyarrow")
-        stats = stats_ds.take_all()  # tiny: metrics + delta rows only
-        stats_t = pa.Table.from_pylist(stats) if stats else None
+        with self._hash_shuffle():
+            stats_ds = ds.groupby(
+                "part", num_partitions=self.shuffle_partitions
+            ).map_groups(merge, batch_format="pyarrow")
+            # tiny result: metrics + per-(repo,lang) delta rows only —
+            # collected as Arrow blocks, never as Python row dicts
+            blocks = [t for t in ray.get(stats_ds.to_arrow_refs()) if t.num_rows]
+        stats_t = (
+            pa.concat_tables(blocks, promote_options="default") if blocks else None
+        )
 
         # --- fold window results into the next manifest --------------------
         m = Manifest(

@@ -286,30 +286,55 @@ def make_merge_fn(
         )
         dtab = dtab.filter(nz)
 
-        # --- assemble stats table -----------------------------------------
+        # --- assemble stats table (vectorized, no Python row lists) --------
         nd = dtab.num_rows
-        stats = {
-            "kind": ["metrics"] + ["delta"] * nd,
-            "part": [part] * (1 + nd),
-            "staged_file": [staged] + [None] * nd,
-            "changed": [changed] + [None] * nd,
-            "state_rows": [state_rows] + [None] * nd,
-            "tombstones": [tombstones] + [None] * nd,
-            "watermark": [watermark] + [None] * nd,
-            "events_in": [events_in] + [None] * nd,
-            "applied": [applied] + [None] * nd,
-            "inserts": [inserts] + [None] * nd,
-            "updates": [updates] + [None] * nd,
-            "deletes": [deletes] + [None] * nd,
-            "stale": [stale] + [None] * nd,
-            "invalid": [invalid] + [None] * nd,
-            "repo": [None] + dtab.column("repo").to_pylist(),
-            "lang": [None] + dtab.column("lang").to_pylist(),
-            "d_files": [None] + pc.fill_null(dtab.column("d_files"), 0).to_pylist(),
-            "d_bytes": [None] + pc.fill_null(dtab.column("d_bytes"), 0).to_pylist(),
-            "w_cs": [None] + dtab.column("w_cs").to_pylist(),
-        }
-        return pa.table(stats, schema=STATS_SCHEMA)
+        metrics_row = pa.table(
+            {
+                "kind": ["metrics"], "part": pa.array([part], pa.int32()),
+                "staged_file": [staged], "changed": [changed],
+                "state_rows": pa.array([state_rows], pa.int64()),
+                "tombstones": pa.array([tombstones], pa.int64()),
+                "watermark": pa.array([watermark], pa.int64()),
+                "events_in": pa.array([events_in], pa.int64()),
+                "applied": pa.array([applied], pa.int64()),
+                "inserts": pa.array([inserts], pa.int64()),
+                "updates": pa.array([updates], pa.int64()),
+                "deletes": pa.array([deletes], pa.int64()),
+                "stale": pa.array([stale], pa.int64()),
+                "invalid": pa.array([invalid], pa.int64()),
+                "repo": pa.nulls(1, pa.string()), "lang": pa.nulls(1, pa.string()),
+                "d_files": pa.nulls(1, pa.int64()), "d_bytes": pa.nulls(1, pa.int64()),
+                "w_cs": pa.nulls(1, pa.int64()),
+            },
+            schema=STATS_SCHEMA,
+        )
+        if nd == 0:
+            return metrics_row
+        delta_rows = pa.table(
+            {
+                "kind": pa.array(["delta"] * nd, pa.string()),
+                "part": pa.array(np.full(nd, part, dtype=np.int32)),
+                "staged_file": pa.nulls(nd, pa.string()),
+                "changed": pa.nulls(nd, pa.bool_()),
+                "state_rows": pa.nulls(nd, pa.int64()),
+                "tombstones": pa.nulls(nd, pa.int64()),
+                "watermark": pa.nulls(nd, pa.int64()),
+                "events_in": pa.nulls(nd, pa.int64()),
+                "applied": pa.nulls(nd, pa.int64()),
+                "inserts": pa.nulls(nd, pa.int64()),
+                "updates": pa.nulls(nd, pa.int64()),
+                "deletes": pa.nulls(nd, pa.int64()),
+                "stale": pa.nulls(nd, pa.int64()),
+                "invalid": pa.nulls(nd, pa.int64()),
+                "repo": dtab.column("repo").cast(pa.string()),
+                "lang": dtab.column("lang").cast(pa.string()),
+                "d_files": pc.fill_null(dtab.column("d_files"), 0).cast(pa.int64()),
+                "d_bytes": pc.fill_null(dtab.column("d_bytes"), 0).cast(pa.int64()),
+                "w_cs": dtab.column("w_cs").cast(pa.int64()),
+            },
+            schema=STATS_SCHEMA,
+        )
+        return pa.concat_tables([metrics_row, delta_rows])
 
     return merge
 

@@ -1,0 +1,101 @@
+"""Pipeline tests for dedup / similarity operators on crafted fixtures
+with planted duplicates (the golden-fixture discipline of SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from etl_ray.functions import dedup as D
+from etl_ray.functions import multimodal as M
+from etl_ray.functions import similarity as S
+
+
+def _corpus():
+    base = " ".join(f"word{i} token{i % 7}" for i in range(60))
+    docs = {
+        0: base,
+        1: base + " tiny tail addition",          # near-dup of 0
+        2: base,                                   # exact dup of 0
+        3: " ".join(f"other{i} stuff{i % 5}" for i in range(60)),
+        4: "completely unrelated short text",
+    }
+    return pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    ds = rd.from_arrow(_corpus())
+    out = D.exact_dedup(ds).to_pandas()
+    assert set(out["doc_id"]) == {0, 1, 3, 4}  # 2 collapsed into 0
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    ds = rd.from_arrow(_corpus())
+    pairs = D.minhash_dedup_pairs(ds, threshold=0.5).to_pylist()
+    got = {(p["a"], p["b"]) for p in pairs}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all({a, b} <= {0, 1, 2} for a, b in got)
+    exact = {p["jaccard"] for p in pairs if (p["a"], p["b"]) == (0, 2)}
+    assert exact == {1.0}
+
+
+def test_simhash_finds_planted_near_dups(ray_session):
+    ds = rd.from_arrow(_corpus())
+    pairs = D.simhash_near_pairs(ds, max_hamming=3).to_pylist()
+    got = {(p["a"], p["b"]) for p in pairs}
+    assert (0, 2) in got  # identical docs: hamming 0
+    assert not any({a, b} == {0, 3} or {a, b} == {0, 4} for a, b in got)
+
+
+def _vectors():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((20, 8))
+    m[5] = m[0] + 0.01 * rng.standard_normal(8)  # near-dup of 0
+    return pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "label": pa.array([i % 2 for i in range(20)], pa.int32()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_knn_cosine_orders_by_similarity(ray_session):
+    ds = rd.from_arrow(_vectors())
+    out = S.knn_cosine(ds, query_ids=[0], k=3).to_pylist()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] == 5  # planted near-dup ranks first
+    sims = [r["sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_brute_force_near_duplicates_finds_planted_pair(ray_session):
+    ds = rd.from_arrow(_vectors())
+    pairs = S.brute_force_near_duplicates(ds, threshold=0.95).to_pylist()
+    assert {(p["a"], p["b"]) for p in pairs} == {(0, 5)}
+
+
+def test_lsh_near_duplicates_finds_planted_pair(ray_session):
+    ds = rd.from_arrow(_vectors())
+    pairs = S.lsh_near_duplicates(ds, threshold=0.95, n_planes=8).to_pylist()
+    assert (0, 5) in {(p["a"], p["b"]) for p in pairs}
+
+
+def test_multimodal_feature_plumbing(ray_session):
+    docs = rd.from_arrow(_corpus())
+    media = docs.map_batches(M.documents_as_media, batch_format="pyarrow")
+    out = M.extract_features(media, concurrency=2, batch_size=2).to_pandas()
+    assert set(out.columns) >= {"media_id", "kind", "feat", "feat_norm"}
+    assert len(out) == 5
+    assert "payload" not in out.columns  # heavy bytes dropped after decode
+    # deterministic: identical payloads (docs 0 and 2) → identical features
+    by_id = {r["media_id"]: r["feat_norm"] for _, r in out.iterrows()}
+    assert by_id[0] == by_id[2]
