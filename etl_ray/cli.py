@@ -1,0 +1,115 @@
+"""Command-line entry points.
+
+    python -m etl_ray.cli replay --events DIR --lake DIR [--window-events N]
+                                 [--num-partitions P] [--num-cpus C]
+    python -m etl_ray.cli generate --out DIR --n-keys N [--scenario mixed]
+    python -m etl_ray.cli status --lake DIR
+
+On a real cluster the same module runs under ``ray job submit`` — the
+only difference is ``ray.init(address="auto")`` picking up the cluster
+instead of local mode. These CLIs own their Ray session (init+shutdown);
+the library itself never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if ray.is_initialized():
+        return
+    kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                  logging_level="ERROR", log_to_driver=False)
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    if addr == "local" and num_cpus:
+        ray.init(address="local", num_cpus=num_cpus, **kwargs)
+    else:
+        ray.init(address=addr, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_replay(args) -> int:
+    _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    eng = ReplayEngine(args.lake, num_partitions=args.num_partitions)
+    out = eng.replay(args.events, window_events=args.window_events)
+    print(json.dumps(out, default=str))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from etl_ray.generator import generate_events, write_event_log
+
+    log = generate_events(n_keys=args.n_keys, seed=args.seed, scenario=args.scenario)
+    paths = write_event_log(log, args.out, n_files=args.n_files)
+    print(json.dumps({"files": len(paths), "events": log.table.num_rows, "out": args.out}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from etl_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(args.lake)
+    m = store.current()
+    if m is None:
+        print(json.dumps({"lake": args.lake, "status": "empty"}))
+        return 1
+    print(
+        json.dumps(
+            {
+                "lake": args.lake,
+                "checkpoint_id": m.checkpoint_id,
+                "windows_done": m.windows_done,
+                "partitions": len(m.partitions),
+                "rows": sum(p["rows"] for p in m.partitions.values()),
+                "tombstones": sum(p["tombstones"] for p in m.partitions.values()),
+                "watermark": max((p["watermark"] for p in m.partitions.values()), default=-1),
+                "metrics": m.metrics,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="replay a change log into a lake")
+    r.add_argument("--events", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--window-events", type=int, default=250_000)
+    r.add_argument("--num-partitions", type=int, default=64)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_replay)
+
+    g = sub.add_parser("generate", help="generate a synthetic change log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-keys", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--scenario", default="mixed")
+    g.add_argument("--n-files", type=int, default=8)
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("status", help="show lake manifest status")
+    s.add_argument("--lake", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

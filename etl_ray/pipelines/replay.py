@@ -163,20 +163,25 @@ class ReplayEngine:
             if f.name not in _CORE and f.name not in payload_types:
                 payload_types[f.name] = str(f.type)
 
-        ds = read_window(window, schema)
-        ds = ds.map_batches(
-            make_validate_fn(self.num_partitions),
-            batch_format="pyarrow",
-            batch_size=self.batch_size,
-            zero_copy_batch=True,
-        )
         staging = self.store.staging_dir(ckpt_id)
         prior_files = {
             int(p): self.store.abs_path(info["file"])
             for p, info in prior.partitions.items()
         }
         merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
+        # NOTE: the whole pipeline (incl. the read) is built inside the
+        # hash-shuffle scope — Ray snapshots DataContext at Dataset
+        # creation, so a strategy set after read_window would not apply.
         with self._hash_shuffle():
+            ds = read_window(
+                window, schema, override_num_blocks=max(2 * self._cpus, len(window.files))
+            )
+            ds = ds.map_batches(
+                make_validate_fn(self.num_partitions),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                zero_copy_batch=True,
+            )
             stats_ds = ds.groupby(
                 "part", num_partitions=self.shuffle_partitions
             ).map_groups(merge, batch_format="pyarrow")

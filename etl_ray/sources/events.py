@@ -60,10 +60,22 @@ def plan_windows(files: list[str], window_events: int) -> list[Window]:
     return windows
 
 
-def read_window(window: Window, schema: pa.Schema, columns: list[str] | None = None) -> rd.Dataset:
+def read_window(
+    window: Window,
+    schema: pa.Schema,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
     """Read one window as a Dataset, null-filling columns a segment lacks.
 
     Passing the unified ``schema`` makes the pyarrow scanner backfill
     missing (evolved) columns with nulls — the additive-evolution path.
+    ``override_num_blocks`` sizes read blocks (~2×CPUs keeps per-block
+    overhead low without starving the pipeline).
     """
-    return rd.read_parquet(window.files, schema=schema, columns=columns)
+    return rd.read_parquet(
+        window.files,
+        schema=schema,
+        columns=columns,
+        override_num_blocks=override_num_blocks,
+    )

@@ -146,6 +146,9 @@ def make_merge_fn(
     ] + extra_cols
 
     def merge(group: pa.Table) -> pa.Table:
+        # single-threaded Arrow inside the task — Ray parallelizes across
+        # partitions; per-worker thread pools would oversubscribe the node
+        pa.set_cpu_count(1)
         if group.num_rows == 0:
             return STATS_SCHEMA.empty_table()
         part = int(group.column("part")[0].as_py())

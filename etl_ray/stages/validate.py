@@ -62,6 +62,10 @@ def make_validate_fn(num_partitions: int, pre_reduce: bool = True):
     """Build the validate/route batch fn for ``map_batches`` (pyarrow)."""
 
     def validate(batch: pa.Table) -> pa.Table:
+        # Pin Arrow's intra-op thread pool inside the worker: Ray already
+        # parallelizes across tasks, and N workers × N-thread Arrow pools
+        # thrash the node (measured 3.5x slowdown at 32 CPUs, BASELINE.md).
+        pa.set_cpu_count(1)
         repo = batch.column("repo")
         path = batch.column("path")
         op = batch.column("op")
