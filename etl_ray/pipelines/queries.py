@@ -813,3 +813,153 @@ QUERIES: dict[str, QueryDef] = {
     "media_metadata": QueryDef(media_metadata, MEDIA_METADATA_SQL),
     "multimodal_features": QueryDef(multimodal_features, None),
 }
+
+
+# ====================================================== additional coverage
+
+def semi_join_orders(sf_dir: str):
+    """Broadcast semi-join filter (SURVEY J1/M5: the spatial semi-join vs
+    the boundary polygon — keep rows whose key is in a broadcast set, no
+    columns added): orders of customers with acctbal > 5000."""
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
+    keys = cust.filter(pc.greater(cust.column("c_acctbal"), 5000.0)).column("c_custkey")
+    key_ref = ray.put(set(keys.to_pylist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keyset = ray.get(key_ref)
+        mask = pa.array([k in keyset for k in batch.column("o_custkey").to_pylist()])
+        return batch.filter(mask)
+
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return out.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+
+
+SEMI_JOIN_ORDERS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority
+"""
+
+
+def distinct_dates_union(sf_dir: str):
+    """Union + distinct across tables (SURVEY D4: dates stacked from 3
+    columns then uniqued, date_dimension.py:26-32): smart date ids from
+    orders ∪ lineitem."""
+    o = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"]).map_batches(
+        lambda t: pa.table({"date_id": smart_date_id(t.column("o_orderdate"))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    l = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_shipdate"]).map_batches(
+        lambda t: pa.table({"date_id": smart_date_id(t.column("l_shipdate"))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ids = sorted(o.union(l).unique("date_id"))
+    return pa.table({"date_id": pa.array(ids, pa.int64())})
+
+
+DISTINCT_DATES_UNION_SQL = """
+SELECT DISTINCT CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS date_id
+FROM (
+  SELECT o_orderdate AS d FROM orders
+  UNION ALL
+  SELECT l_shipdate AS d FROM lineitem
+)
+"""
+
+
+def angular_delta(sf_dir: str):
+    """Upper-bounded angular total variation per key (SURVEY F2,
+    calculate_delta_upperbounded.sql — the delta_heading kernel):
+    events.value taken mod 360, folded per user in time order."""
+    from etl_ray.functions.scalar import calculate_delta_upperbounded
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.mod(g["value"].to_numpy(), 360.0)
+        d = calculate_delta_upperbounded(v, upper=360.0)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]],
+             "angular_delta": [float(round_half_away(d, 3))]}
+        )
+
+    return ds.groupby("user_id").map_groups(fold, batch_format="pandas").to_pandas()
+
+
+ANGULAR_DELTA_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         value - floor(value / 360.0) * 360.0 AS a
+  FROM events
+), s AS (
+  SELECT user_id, a,
+         lag(a) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM v
+)
+SELECT user_id,
+       round(coalesce(sum(least(
+         (p - a) - floor((p - a) / 360.0) * 360.0,
+         (a - p) - floor((a - p) / 360.0) * 360.0
+       )), 0), 3) AS angular_delta
+FROM s GROUP BY user_id
+"""
+
+
+def date_dimension(sf_dir: str):
+    """Date-dimension enrichment (SURVEY F7: dim_date attribute derivation,
+    date_dimension.py:34-78): distinct order dates → smart key + parts."""
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate")
+        return pa.table(
+            {
+                "date_id": smart_date_id(d),
+                "year": pc.cast(pc.year(d), pa.int64()),
+                "month": pc.cast(pc.month(d), pa.int64()),
+                "day": pc.cast(pc.day(d), pa.int64()),
+                "iso_dow": pc.cast(pc.day_of_week(d, count_from_zero=False, week_start=1), pa.int64()),
+                "quarter": pc.cast(pc.quarter(d), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return out.groupby("date_id").map_groups(dedup, batch_format="pandas").to_pandas()
+
+
+DATE_DIMENSION_SQL = """
+SELECT DISTINCT
+  CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate) AS BIGINT) AS date_id,
+  CAST(year(o_orderdate) AS BIGINT) AS year,
+  CAST(month(o_orderdate) AS BIGINT) AS month,
+  CAST(day(o_orderdate) AS BIGINT) AS day,
+  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+  CAST(quarter(o_orderdate) AS BIGINT) AS quarter
+FROM orders
+"""
+
+
+def cdc_audit_metrics(sf_dir: str):
+    """Per-checkpoint audit rows of the doc-replay lake (SURVEY A9/S11:
+    audit_log statistics jsonb; rows-only — engine-internal metrics)."""
+    eng = _run_doc_replay(sf_dir)
+    rows = eng.metrics_history()
+    return pd.DataFrame(rows)
+
+
+QUERIES.update(
+    {
+        "semi_join_orders": QueryDef(semi_join_orders, SEMI_JOIN_ORDERS_SQL),
+        "distinct_dates_union": QueryDef(distinct_dates_union, DISTINCT_DATES_UNION_SQL),
+        "angular_delta": QueryDef(angular_delta, ANGULAR_DELTA_SQL),
+        "date_dimension": QueryDef(date_dimension, DATE_DIMENSION_SQL),
+        "cdc_audit_metrics": QueryDef(cdc_audit_metrics, None),
+    }
+)

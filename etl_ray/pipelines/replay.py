@@ -84,17 +84,28 @@ class ReplayEngine:
         self._cpus = cpus
 
     @contextmanager
-    def _hash_shuffle(self):
-        """Scope Ray's hash-shuffle strategy to THIS engine's pipelines.
+    def _shuffle_scope(self):
+        """Scope the shuffle strategy to THIS engine's pipelines.
 
-        The routing exchange shuffles by an integer bucket we computed
-        ourselves — a sort-based shuffle is pure waste (~9x slower,
-        measured in BASELINE.md). The strategy is set only around the
-        window pipeline and restored after: it is a global DataContext
-        knob, and leaking it would stall unrelated groupbys whose default
-        200 hash partitions oversubscribe small CPU counts with
-        aggregator actors.
+        The routing exchange groups by an integer bucket we computed
+        ourselves, so either of Ray's strategies partitions it correctly:
+
+        - ``sort`` (Ray's default, task-based): measured fastest on the
+          single-node sandbox — no per-window aggregator-actor spawns
+          (see BASELINE.md for the 4/8/16/32-CPU curves).
+        - ``hash`` (actor-based exchange): the shape a multi-node
+          cluster's network shuffle takes; enable with
+          ``ETL_RAY_SHUFFLE=hash``. Aggregator count is capped to the
+          CPU count — an oversized aggregator pool deadlocks small
+          clusters (actors hold CPUs the map tasks need).
+
+        The knobs are global DataContext state, so they are set around
+        the window pipeline and restored after (Ray snapshots the
+        context at Dataset creation — the read must happen inside).
         """
+        if os.environ.get("ETL_RAY_SHUFFLE", "sort") != "hash":
+            yield
+            return
         from ray.data.context import DataContext, ShuffleStrategy
 
         ctx = DataContext.get_current()
@@ -170,9 +181,9 @@ class ReplayEngine:
         }
         merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
         # NOTE: the whole pipeline (incl. the read) is built inside the
-        # hash-shuffle scope — Ray snapshots DataContext at Dataset
-        # creation, so a strategy set after read_window would not apply.
-        with self._hash_shuffle():
+        # shuffle scope — Ray snapshots DataContext at Dataset creation,
+        # so a strategy set after read_window would not apply.
+        with self._shuffle_scope():
             ds = read_window(
                 window, schema, override_num_blocks=max(2 * self._cpus, len(window.files))
             )
