@@ -695,13 +695,16 @@ def _run_doc_replay(sf_dir: str):
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/log", exist_ok=True)
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    # repartition → ≥4 log segment files so the replay spans ≥2 checkpoint
+    # windows (the incremental summary path is actually exercised;
+    # window planning is segment-file-granular)
     docs.map_batches(_derive_doc_events, batch_format="pyarrow",
-                     zero_copy_batch=True).write_parquet(f"{root}/log")
+                     zero_copy_batch=True).repartition(4).write_parquet(f"{root}/log")
     eng = ReplayEngine(f"{root}/lake", num_partitions=16)
     # window size ~ half the log so the summaries are maintained across
     # at least two checkpoint windows (incremental path exercised)
     n_events = pq.ParquetDataset(f"{root}/log").read(columns=["seq"]).num_rows
-    eng.replay(f"{root}/log", window_events=max(1000, n_events // 2))
+    eng.replay(f"{root}/log", window_events=max(50, n_events // 2))
     return eng
 
 
