@@ -67,6 +67,7 @@ class ReplayEngine:
         lake_dir: str,
         num_partitions: int = 64,
         batch_size: int | None = None,
+        ensure_actors: int | None = None,
     ):
         self.store = ManifestStore(lake_dir)
         self.lake_dir = lake_dir
@@ -82,6 +83,14 @@ class ReplayEngine:
         #: the hash-shuffle aggregator pool never oversubscribes the node
         self.shuffle_partitions = max(2, min(num_partitions, cpus))
         self._cpus = cpus
+        #: >0 → merge via the cross-window EnsureActor pool (the
+        #: per-partition key→state index of stages/ensure.py) instead of
+        #: the stateless merge fn; steady-state windows then skip the
+        #: prior-state parquet read. Correctness is identical
+        #: (tests/test_ensure_actor.py proves parity + resume safety).
+        self.ensure_actors = ensure_actors or int(
+            os.environ.get("ETL_RAY_ENSURE_ACTORS", "0")
+        )
 
     @contextmanager
     def _shuffle_scope(self):
@@ -179,7 +188,21 @@ class ReplayEngine:
             int(p): self.store.abs_path(info["file"])
             for p, info in prior.partitions.items()
         }
-        merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
+        if self.ensure_actors:
+            import hashlib as _hl
+
+            from etl_ray.stages.ensure import get_or_create_actors, make_actor_merge_fn
+
+            tag = _hl.md5(os.path.abspath(self.lake_dir).encode()).hexdigest()[:10]
+            actors = get_or_create_actors(self.ensure_actors, tag)
+            prior_ckpts = {
+                int(p): info.get("ckpt", -1) for p, info in prior.partitions.items()
+            }
+            merge = make_actor_merge_fn(
+                actors, staging, prior_files, prior_ckpts, payload_types, ckpt_id
+            )
+        else:
+            merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
         # NOTE: the whole pipeline (incl. the read) is built inside the
         # shuffle scope — Ray snapshots DataContext at Dataset creation,
         # so a strategy set after read_window would not apply.
@@ -231,6 +254,9 @@ class ReplayEngine:
                     "rows": row["state_rows"],
                     "tombstones": row["tombstones"],
                     "watermark": max(prev_wm, row["watermark"]),
+                    # checkpoint that last rewrote this partition's file —
+                    # the ensure-actor cache key (stages/ensure.py)
+                    "ckpt": ckpt_id if row["changed"] else prev.get("ckpt", -1),
                 }
                 for k in ("events_in", "applied", "inserts", "updates",
                           "deletes", "stale", "invalid"):

@@ -129,12 +129,19 @@ def make_merge_fn(
     prior_files: dict[int, str],
     payload_types: dict[str, str],
     ckpt_id: int,
+    prior_override: pa.Table | None = None,
+    prior_override_path: str | None = None,
 ):
     """Build the map_groups merge fn for one checkpoint window.
 
     ``prior_files``: part -> absolute path of the partition's current state
     file (from the committed manifest). ``payload_types``: evolved payload
     column name -> arrow type string (beyond the core state columns).
+    ``prior_override``: when set (ensure-actor mode, stages/ensure.py),
+    the prior state table is supplied in-memory instead of read from
+    ``prior_files``; ``prior_override_path`` is the manifest file it
+    corresponds to (reused when the window leaves the partition
+    unchanged).
     """
 
     extra_cols = [(n, pa.type_for_alias(t)) for n, t in payload_types.items()]
@@ -157,8 +164,12 @@ def make_merge_fn(
         events_in = group.num_rows
         delta = _keep_last_per_key(group.filter(valid_mask))
 
-        prior_path = prior_files.get(part)
-        prior = pq.read_table(prior_path) if prior_path else _empty_state()
+        if prior_override is not None:
+            prior_path = prior_override_path
+            prior = prior_override
+        else:
+            prior_path = prior_files.get(part)
+            prior = pq.read_table(prior_path) if prior_path else _empty_state()
 
         # --- align prior + delta onto the (possibly evolved) state schema ---
         delta_deleted = pc.equal(delta.column("op"), OP_DELETE)

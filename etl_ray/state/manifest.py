@@ -108,6 +108,26 @@ class ManifestStore:
                     out.append(Manifest.from_json(f.read()))
         return out
 
+    def rollback(self, to_checkpoint: int) -> Manifest:
+        """Point the lake back at an earlier committed checkpoint.
+
+        Reference analog: ``dipaal_rollback(dateids[])`` — erase a loaded
+        delta so it can be re-delivered
+        (``etl/init/single_statement_sql/98_rollback.sql``). Because every
+        manifest is a full snapshot, rollback is one atomic pointer swap;
+        later checkpoints' files simply become unreferenced (a
+        re-replay overwrites their deterministic staged names).
+        """
+        p = os.path.join(
+            self.lake_dir, MANIFEST_DIR, f"manifest-{to_checkpoint:06d}.json"
+        )
+        if not os.path.exists(p):
+            raise ValueError(f"no committed manifest for checkpoint {to_checkpoint}")
+        with open(p) as f:
+            m = Manifest.from_json(f.read())
+        _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
+        return m
+
     def abs_path(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.lake_dir, rel)
 
