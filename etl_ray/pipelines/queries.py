@@ -966,3 +966,84 @@ QUERIES.update(
         "cdc_audit_metrics": QueryDef(cdc_audit_metrics, None),
     }
 )
+
+
+def cdc_attribution(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks): for every
+    'purchase' event, the latest preceding 'click' of the same user.
+    Composed as groupby(user) → per-group ordered forward-fill — the
+    bucketed merge_asof pattern; partitioning assumption: one user's
+    events fit one group."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        click_id = g["event_id"].where(g["event_type"] == "click")
+        # strictly-preceding click: shift before the forward fill
+        g["click_event_id"] = click_id.shift(1).ffill() if len(g) else click_id
+        # rows where the previous row itself was the click: shift(1) above
+        # already excludes the current row, so ties at equal ts keep the
+        # deterministic (ts, event_id) order
+        p = g[g["event_type"] == "purchase"][["user_id", "event_id", "click_event_id"]]
+        p = p.dropna(subset=["click_event_id"])
+        p["click_event_id"] = p["click_event_id"].astype("int64")
+        return p
+
+    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return out.to_pandas()
+
+
+CDC_ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_event_id
+  FROM events
+)
+SELECT user_id, event_id, CAST(click_event_id AS BIGINT) AS click_event_id
+FROM s
+WHERE event_type = 'purchase' AND click_event_id IS NOT NULL
+"""
+
+
+def tumbling_window(sf_dir: str):
+    """Tumbling-window aggregate (streaming-shaped custom op): 6-hour
+    windows per user — window id computed analytically (epoch // 21600),
+    then an ordinary pre-aggregated groupby; no watermark machinery
+    needed for a bounded replay (SURVEY §2.10)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        wid = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 21600.0)), pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "window_id": wid,
+            "value": t.column("value"),
+        })
+
+    out = ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    t = out.groupby(["user_id", "window_id"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    ).to_pandas()
+    t["total_value"] = round_half_away(t["total_value"], 3)
+    return t
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES.update(
+    {
+        "cdc_attribution": QueryDef(cdc_attribution, CDC_ATTRIBUTION_SQL),
+        "tumbling_window": QueryDef(tumbling_window, TUMBLING_WINDOW_SQL),
+    }
+)
