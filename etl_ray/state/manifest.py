@@ -128,6 +128,41 @@ class ManifestStore:
         _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
         return m
 
+    def gc(self, keep_checkpoints: int = 2) -> list[str]:
+        """Delete staged files no manifest within the retention window
+        references. Retention = the current manifest plus the last
+        ``keep_checkpoints`` numbered manifests (so ``rollback`` to any
+        retained checkpoint stays possible). Returns deleted paths.
+
+        Reference analog: month-partition retention + rollback scripts —
+        storage hygiene is explicit, never implicit.
+        """
+        keep: set[str] = set()
+        manifests = self.history()[-keep_checkpoints:] if keep_checkpoints else []
+        current = self.current()
+        if current is not None:
+            manifests.append(current)
+        for m in manifests:
+            for info in m.partitions.values():
+                keep.add(os.path.normpath(self.abs_path(info["file"])))
+            for rel in m.summaries.values():
+                keep.add(os.path.normpath(self.abs_path(rel)))
+        deleted = []
+        staging_root = os.path.join(self.lake_dir, STAGING_DIR)
+        if os.path.isdir(staging_root):
+            for dirpath, _dirs, files in os.walk(staging_root):
+                for f in files:
+                    p = os.path.normpath(os.path.join(dirpath, f))
+                    if p not in keep:
+                        os.unlink(p)
+                        deleted.append(p)
+            # drop now-empty ckpt dirs
+            for d in sorted(os.listdir(staging_root)):
+                full = os.path.join(staging_root, d)
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+        return deleted
+
     def abs_path(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.lake_dir, rel)
 
