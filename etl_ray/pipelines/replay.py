@@ -265,7 +265,7 @@ class ReplayEngine:
                 agg["parts_changed"] += 1 if row["changed"] else 0
 
         # --- incremental rollups (delta-by-delta) ---------------------------
-        base = rollups.load_base(
+        prior_base_path = (
             self.store.abs_path(prior.summaries["summary_repo_lang"])
             if "summary_repo_lang" in prior.summaries
             else None
@@ -283,7 +283,18 @@ class ReplayEngine:
                 }
             )
         )
-        new_base = rollups.update_base(base, dl)
+        import pyarrow.parquet as _pq
+
+        base_rows = (
+            _pq.read_metadata(prior_base_path).num_rows if prior_base_path else 0
+        )
+        if base_rows + dl.num_rows > rollups.RAY_THRESHOLD:
+            # scale path: distributed fold (see rollups.update_base_ray)
+            out_path = os.path.join(staging, "summary_repo_lang.parquet")
+            rollups.update_base_ray(prior_base_path, dl, out_path)
+            new_base = _pq.read_table(out_path)
+        else:
+            new_base = rollups.update_base(rollups.load_base(prior_base_path), dl)
         summary_paths = rollups.stage_summaries(new_base, staging)
         m.summaries = {k: self.store.rel_path(v) for k, v in summary_paths.items()}
 
@@ -296,12 +307,19 @@ class ReplayEngine:
     # ------------------------------------------------------------- reading
 
     def final_state(self, columns: list[str] | None = None) -> rd.Dataset:
-        """The lake's current live rows as a streaming Dataset."""
+        """The lake's current live rows as a streaming Dataset.
+
+        Column pruning is pushed into the parquet read (only the
+        requested columns + the tombstone flag leave storage).
+        """
         m = self._require_manifest()
         files = [self.store.abs_path(p["file"]) for p in m.partitions.values()]
         if not files:
             raise ValueError("empty lake: no partitions committed yet")
-        ds = rd.read_parquet(files)
+        read_cols = None
+        if columns:
+            read_cols = list(dict.fromkeys([*columns, "deleted"]))
+        ds = rd.read_parquet(files, columns=read_cols)
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t.column("deleted"), False))),
             batch_format="pyarrow",

@@ -112,6 +112,66 @@ def derive_by_lang(base: pa.Table) -> pa.Table:
     return g.rename_columns(["lang", "file_count", "total_bytes"])
 
 
+def update_base_ray(
+    prior_base_path: str | None, deltas: pa.Table, out_path: str
+) -> str:
+    """The scale path: the same fold as :func:`update_base` expressed as
+    a ``ray.data`` union + distributed groupby-aggregate, used when the
+    base table outgrows comfortable driver-side processing
+    (O(#repos × #langs) rows). The aggregation runs distributed; the
+    result is collected once for atomic staging — at extreme
+    cardinalities swap that tail (and the by_repo/by_lang derivations)
+    for ``ds.write_parquet(dir)`` + directory manifest refs; the fold
+    itself already scales. Identical output to the driver-side path
+    (tests/test_rollups_ray.py)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    dl = pa.table(
+        {
+            "repo": deltas.column("repo"),
+            "lang": deltas.column("lang"),
+            "d_files": pc.fill_null(deltas.column("d_files"), 0).cast(pa.int64()),
+            "d_bytes": pc.fill_null(deltas.column("d_bytes"), 0).cast(pa.int64()),
+            "w_cs": pc.fill_null(deltas.column("w_cs"), -1).cast(pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(dl)
+    if prior_base_path and os.path.exists(prior_base_path):
+        prior_ds = rd.read_parquet(prior_base_path).map_batches(
+            lambda t: pa.table(
+                {
+                    "repo": t.column("repo"),
+                    "lang": t.column("lang"),
+                    "d_files": t.column("file_count"),
+                    "d_bytes": t.column("total_bytes"),
+                    "w_cs": t.column("last_commit_seq"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ds = ds.union(prior_ds)
+    agg = ds.groupby(["repo", "lang"]).aggregate(
+        Sum("d_files", alias_name="file_count"),
+        Sum("d_bytes", alias_name="total_bytes"),
+        Max("w_cs", alias_name="last_commit_seq"),
+    )
+    # small result per partition; collect as arrow and write atomically so
+    # the manifest points at exactly one deterministic file
+    import ray as _ray
+
+    blocks = [t for t in _ray.get(agg.to_arrow_refs()) if t.num_rows]
+    new_base = (
+        pa.concat_tables(blocks).cast(BASE_SCHEMA)
+        if blocks
+        else _empty_base()
+    )
+    new_base = new_base.sort_by([("repo", "ascending"), ("lang", "ascending")])
+    write_atomic_parquet(new_base, out_path)
+    return out_path
+
+
 def load_base(path: str | None) -> pa.Table | None:
     if path and os.path.exists(path):
         return pq.read_table(path)
