@@ -53,16 +53,23 @@ _TOKEN_RE = re.compile(r"\S+")
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-token shingles of a document."""
     toks = _TOKEN_RE.findall((text or "").lower())
-    if len(toks) < k:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not joined:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    # vectorized SipHash over the shingle strings (C loop, not Python)
-    return pd.util.hash_array(
-        np.asarray(joined, dtype=object), hash_key="etl_ray_shingle1", categorize=False
+    # vectorized: hash tokens once (SipHash, C loop), then combine each
+    # k-window with a polynomial rolling hash — k vectorized passes, no
+    # Python-level shingle-string building (10x+ on long docs)
+    th = pd.util.hash_array(
+        np.asarray(toks, dtype=object), hash_key="etl_ray_shingle1", categorize=False
     )
+    if len(th) < k:
+        k = len(th)
+    n = len(th) - k + 1
+    B = np.uint64(0x100000001B3)
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * B + th[j : j + n]
+    return acc
 
 
 class MinHashStage:
@@ -132,6 +139,44 @@ def candidate_pairs(group: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame
     return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
 
+def candidate_pairs_partition(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Vectorized candidate generation over a WHOLE shuffle partition of
+    (band_id, band_hash, id) rows: one lexsort + run detection instead of
+    one Python call per bucket (millions of tiny buckets otherwise make
+    per-group dispatch the bottleneck). Buckets are whole within a
+    partition because the shuffle key is hash(band_id, band_hash)."""
+    if t.num_rows < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    band = t.column("band_id").to_numpy(zero_copy_only=False)
+    h = t.column("band_hash").to_numpy(zero_copy_only=False)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h, band))
+    band, h, ids = band[order], h[order], ids[order]
+    new_run = np.empty(len(ids), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(ids))
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):  # touches only buckets with ≥2 members
+        if e - s < 2:
+            continue
+        bucket = np.unique(ids[s:e])
+        if len(bucket) < 2:
+            continue
+        ai, bi = np.triu_indices(len(bucket), k=1)
+        out_a.append(bucket[ai])
+        out_b.append(bucket[bi])
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+        }
+    )
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact k-token-shingle Jaccard — the verification kernel."""
     sa = set(_shingle_hashes(text_a, k).tolist())
@@ -171,12 +216,22 @@ def minhash_dedup_pairs(
         concurrency=2,
         batch_size=1024,
     )
-    bands = sigs.map_batches(
-        lambda b: lsh_band_rows(b, n_bands=n_bands, id_col=id_col),
-        batch_format="pyarrow",
-    )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: candidate_pairs(g, id_col), batch_format="pandas"
+    n_buckets = 32
+
+    def explode_with_bucket(b: pa.Table) -> pa.Table:
+        rows = lsh_band_rows(b, n_bands=n_bands, id_col=id_col)
+        band = rows.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = rows.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = ((band * np.uint64(0x9E3779B97F4A7C15)) ^ h) % np.uint64(n_buckets)
+        return rows.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+    bands = sigs.map_batches(explode_with_bucket, batch_format="pyarrow")
+    # shuffle on the bucket (whole LSH buckets co-locate), then ONE
+    # vectorized candidate pass per partition — per-bucket Python dispatch
+    # would dominate (millions of tiny buckets)
+    pairs = bands.groupby("bucket").map_groups(
+        lambda t: candidate_pairs_partition(t, id_col), batch_format="pyarrow"
     )
     pairs_t = pairs.to_pandas().drop_duplicates().reset_index(drop=True)
     if pairs_t.empty:
@@ -242,6 +297,10 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
         outs = []
         for band in range(4):
             piece = (s >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):
+                bucket = (
+                    (np.uint64(band) * np.uint64(0x9E3779B97F4A7C15)) ^ piece
+                ) % np.uint64(32)
             outs.append(
                 pa.table(
                     {
@@ -249,6 +308,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
                         "band_val": pa.array(piece.astype(np.int64)),
                         id_col: pa.array(ids),
                         "simhash": pa.array(s.astype(np.int64)),
+                        "bucket": pa.array(bucket.astype(np.int32)),
                     }
                 )
             )
@@ -256,19 +316,51 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
 
     bands = sig.map_batches(explode, batch_format="pyarrow")
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype=np.int64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= verify.max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+    def verify_partition(t: pa.Table) -> pa.Table:
+        """Whole-partition vectorized verify (one call per shuffle bucket,
+        not per (band, value) group — same rationale as
+        candidate_pairs_partition)."""
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        band = t.column("band_id").to_numpy(zero_copy_only=False)
+        val = t.column("band_val").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, val, band))
+        band, val, ids, hs = band[order], val[order], ids[order], hs[order]
+        new_run = np.empty(len(ids), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (band[1:] != band[:-1]) | (val[1:] != val[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b, out_h = [], [], []
+        for s0, e0 in zip(starts, ends):
+            if e0 - s0 < 2:
+                continue
+            gi, gh = ids[s0:e0], hs[s0:e0]
+            _, uniq_idx = np.unique(gi, return_index=True)
+            gi, gh = gi[uniq_idx], gh[uniq_idx]
+            if len(gi) < 2:
+                continue
+            ai, bi = np.triu_indices(len(gi), k=1)
+            x = gh[ai] ^ gh[bi]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            keep = ham <= max_hamming
+            out_a.append(gi[ai][keep])
+            out_b.append(gi[bi][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
+            }
+        )
 
-    verify.max_hamming = max_hamming
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(verify, batch_format="pandas")
+    pairs = bands.groupby("bucket").map_groups(verify_partition, batch_format="pyarrow")
     res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
