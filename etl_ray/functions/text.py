@@ -131,9 +131,9 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         powers[0] = np.uint64(1)
         if n > 1:
             np.multiply.accumulate(np.full(n - 1, _B, dtype=np.uint64), out=powers[1:])
-        acc = np.uint64(np.sum(data * powers[::-1], dtype=np.uint64))
-        lead = np.uint64(1469598103934665603)
-        # lead * B^n
-        bn = powers[-1] * _B
-        out[i] = (lead * bn + acc) & _MASK
+        with np.errstate(over="ignore"):  # uint64 wraparound intended
+            acc = np.uint64(np.sum(data * powers[::-1], dtype=np.uint64))
+            lead = np.uint64(1469598103934665603)
+            bn = powers[-1] * _B  # lead * B^n
+            out[i] = (lead * bn + acc) & _MASK
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64)))
