@@ -19,11 +19,13 @@ import os
 import sys
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True when WE own the session (and
+    should shut it down) — never tear down a caller's session."""
     import ray
 
     if ray.is_initialized():
-        return
+        return False
     kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
                   logging_level="ERROR", log_to_driver=False)
     addr = os.environ.get("RAY_ADDRESS", "local")
@@ -34,18 +36,20 @@ def _init_ray(num_cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return True
 
 
 def cmd_replay(args) -> int:
-    _init_ray(args.num_cpus)
+    owned = _init_ray(args.num_cpus)
     from etl_ray.pipelines.replay import ReplayEngine
 
     eng = ReplayEngine(args.lake, num_partitions=args.num_partitions)
     out = eng.replay(args.events, window_events=args.window_events)
     print(json.dumps(out, default=str))
-    import ray
+    if owned:
+        import ray
 
-    ray.shutdown()
+        ray.shutdown()
     return 0
 
 

@@ -192,3 +192,104 @@ def brute_force_near_duplicates(
             "sim": pa.array(s[keep]),
         }
     )
+
+
+class IvfIndexStage:
+    """IVF-style ANN assignment stage: nearest-centroid id per row.
+
+    Centroids are a broadcast matrix (``ray.put`` once, fetched per actor
+    in ``__init__``); assignment is one matmul per batch. With the lake's
+    discipline this is the 'coarse quantizer' of a classic IVF index —
+    vectors co-locate by centroid for probe-limited search.
+    """
+
+    def __init__(self, centroids_ref):
+        self.centroids = _normalize(ray.get(centroids_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch.column("embedding")))
+        assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("centroid_id", pa.array(assign))
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    centroid_stride: int = 50,
+) -> pa.Table:
+    """Approximate cosine top-k via an IVF coarse index.
+
+    Deterministic 'training': every ``centroid_stride``-th vector (by id)
+    is a centroid — seedless and reproducible (real systems run k-means;
+    the index mechanics are identical). Each vector is assigned to its
+    nearest centroid (one matmul, broadcast centroids); each query probes
+    only its ``n_probe`` nearest centroid buckets — the scan shrinks by
+    ~``centroid_stride / n_probe`` at some recall cost
+    (tests pin recall ≥ 0.6 vs the brute-force baseline).
+    """
+    cent_rows = ds.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                (t.column(id_col).to_numpy(zero_copy_only=False) % centroid_stride) == 0
+            )
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    cent_rows.sort(key=lambda r: r[id_col])
+    cent = np.stack([np.asarray(r["embedding"], np.float64) for r in cent_rows])
+    cent_ref = ray.put(cent)
+
+    assigned = ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs={"centroids_ref": cent_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=4096,
+    )
+
+    qset = pa.array(list(query_ids), pa.int64())
+    qrows = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), value_set=qset)),
+        batch_format="pyarrow",
+    ).take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    q_mat = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in qrows]))
+    q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    probe = np.argsort(-(q_mat @ _normalize(cent).T), axis=1)[:, :n_probe]
+    probe_sets = {int(q_ids[i]): set(map(int, probe[i])) for i in range(len(q_ids))}
+    wanted = sorted({c for s in probe_sets.values() for c in s})
+
+    # scan only the probed buckets (the IVF payoff)
+    bucket_rows = assigned.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("centroid_id"), value_set=pa.array(wanted, pa.int32()))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+
+    out_q, out_n, out_s = [], [], []
+    by_bucket: dict[int, list] = {}
+    for r in bucket_rows:
+        by_bucket.setdefault(int(r["centroid_id"]), []).append(r)
+    for qi, qvec in zip(q_ids, q_mat):
+        cand = [r for c in probe_sets[int(qi)] for r in by_bucket.get(c, [])]
+        cand = [r for r in cand if r[id_col] != qi]
+        if not cand:
+            continue
+        m = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in cand]))
+        sims = round_half_away(m @ qvec, 6)
+        ids = np.array([r[id_col] for r in cand], dtype=np.int64)
+        order = np.lexsort((ids, -sims))[:k]
+        out_q.extend([int(qi)] * len(order))
+        out_n.extend(ids[order].tolist())
+        out_s.extend(sims[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )

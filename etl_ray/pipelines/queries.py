@@ -1047,3 +1047,45 @@ QUERIES.update(
         "tumbling_window": QueryDef(tumbling_window, TUMBLING_WINDOW_SQL),
     }
 )
+
+
+def knn_cosine_ivf(sf_dir: str):
+    """Approximate ANN via the IVF coarse index (probe-limited scan) —
+    rows-only (approximate by construction; recall vs the brute-force
+    baseline is pinned in tests/test_dedup_similarity.py)."""
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return F_sim.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10,
+                          n_probe=4, centroid_stride=25)
+
+
+def sampled_docs(sf_dir: str):
+    """Deterministic systematic sample (SURVEY O5: the reference's random
+    ids are replaced by deterministic selection — replayable sampling):
+    every 20th doc_id, with token counts."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(ids % 20 == 0))
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "n_tokens": F_text.token_count_column(kept.column("text")),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
+SAMPLED_DOCS_SQL = """
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+QUERIES.update(
+    {
+        "knn_cosine_ivf": QueryDef(knn_cosine_ivf, None),
+        "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
+    }
+)

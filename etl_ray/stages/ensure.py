@@ -108,7 +108,7 @@ def get_or_create_actors(num_actors: int, lake_tag: str) -> list:
             actors.append(
                 EnsureActor.options(
                     name=name, namespace=ACTOR_NAMESPACE, lifetime="detached",
-                    get_if_exists=True,
+                    get_if_exists=True, max_restarts=4,
                 ).remote(i)
             )
     return actors
@@ -145,16 +145,30 @@ def make_actor_merge_fn(
             return merge_mod.STATS_SCHEMA.empty_table()
         part = int(group.column("part")[0].as_py())
         actor = actors[part % num_actors]
-        return ray.get(
-            actor.merge_window.remote(
-                part,
-                group,
-                prior_ckpts.get(part, -1),
-                prior_files.get(part),
-                staging_dir,
-                payload_types,
-                ckpt_id,
-            )
-        )
+        last_err: Exception | None = None
+        for attempt in range(4):
+            try:
+                return ray.get(
+                    actor.merge_window.remote(
+                        part,
+                        group,
+                        prior_ckpts.get(part, -1),
+                        prior_files.get(part),
+                        staging_dir,
+                        payload_types,
+                        ckpt_id,
+                    )
+                )
+            except (ray.exceptions.ActorUnavailableError,
+                    ray.exceptions.ActorDiedError) as e:
+                # transient restart (max_restarts=4): a restarted actor
+                # comes back with an empty cache and reloads from the
+                # manifest — correctness unaffected; retry with backoff
+                last_err = e
+                import time as _t
+
+                _t.sleep(0.5 * (attempt + 1))  # same handle: Ray re-binds
+                # to the restarted actor instance automatically
+        raise last_err
 
     return route

@@ -99,3 +99,29 @@ def test_multimodal_feature_plumbing(ray_session):
     # deterministic: identical payloads (docs 0 and 2) → identical features
     by_id = {r["media_id"]: r["feat_norm"] for _, r in out.iterrows()}
     assert by_id[0] == by_id[2]
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_arrow(t)
+    exact = S.knn_cosine(ds, query_ids=[0, 1, 2], k=10)
+    approx = S.ivf_topk(rd.from_arrow(t), query_ids=[0, 1, 2], k=10,
+                        n_probe=4, centroid_stride=25)
+    ex = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5  # probe-limited, random vectors
+    # approx scan is bucket-limited: every result's sim must match the
+    # exact sim for that pair (same kernel, same rounding)
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.to_pylist()}
+    for r in approx.to_pylist():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert abs(r["sim"] - exact_sims[key]) < 1e-9
