@@ -11,8 +11,17 @@ here (or in etl_ray) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# make `etl_ray` importable regardless of the caller's cwd (driver side;
+# Ray workers inherit the driver's cwd, which the harness sets to this
+# repo)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry() -> Any:
