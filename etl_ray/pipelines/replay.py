@@ -32,7 +32,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from etl_ray.sources.events import Window, list_segments, plan_windows, read_window, unified_schema
+from etl_ray.sources.events import (
+    Window,
+    chain_fingerprint,
+    list_segments,
+    plan_windows,
+    prefix_fingerprint,
+    read_window,
+    unified_schema,
+)
 from etl_ray.stages.merge import make_merge_fn
 from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
@@ -145,23 +153,59 @@ class ReplayEngine:
     ) -> dict[str, Any]:
         """Replay a recorded log, resuming from the committed manifest.
 
-        Deterministic window planning over the sorted segment list makes
-        ``manifest.windows_done`` a valid resume cursor: already-committed
-        windows are skipped without reading their data.
+        The resume cursor is the FILE prefix consumed by committed windows
+        (``manifest.log_files_done`` + chained fingerprint), not a window
+        index over a re-planned whole-log plan: windows are planned only
+        over the not-yet-consumed suffix, so segments appended after a
+        below-threshold tail window was committed form new windows instead
+        of silently merging into (and being skipped with) an
+        already-committed window. A mutated / reordered consumed prefix
+        fails loudly.
         """
         files = (
             events_path if isinstance(events_path, list) else list_segments(events_path)
         )
         schema = unified_schema(files)
-        windows = plan_windows(files, window_events)
         current = self.store.current()
-        done = current.windows_done if current else 0
+        files_done = current.log_files_done if current else 0
+        base_windows = current.windows_done if current else 0
+        if files_done > len(files):
+            raise RuntimeError(
+                f"log truncated: manifest says {files_done} segment files "
+                f"were consumed but only {len(files)} exist — the change "
+                "log must be append-only"
+            )
+        if current is not None and files_done:
+            fp = prefix_fingerprint(files[:files_done])
+            if fp != current.log_fingerprint:
+                raise RuntimeError(
+                    "consumed log prefix changed since the last commit "
+                    f"(fingerprint mismatch over the first {files_done} "
+                    "segment files) — the change log must be append-only; "
+                    "refusing to resume"
+                )
+        windows = plan_windows(files[files_done:], window_events)
+        cursor_fp = current.log_fingerprint if current else ""
+        cursor_files = files_done
         ran = 0
-        out: dict[str, Any] = {"windows_total": len(windows), "windows_skipped": done}
-        for w in windows[done:]:
+        out: dict[str, Any] = {
+            "windows_total": base_windows + len(windows),
+            "windows_skipped": base_windows,
+        }
+        for w in windows:
             if max_windows is not None and ran >= max_windows:
                 break
-            out[f"window_{w.index}"] = self.run_window(w, schema)
+            w.index += base_windows
+            for f in w.files:
+                import pyarrow.parquet as _pq
+
+                cursor_fp = chain_fingerprint(
+                    cursor_fp, f, _pq.read_metadata(f).num_rows
+                )
+            cursor_files += len(w.files)
+            out[f"window_{w.index}"] = self.run_window(
+                w, schema, log_cursor=(cursor_files, cursor_fp)
+            )
             ran += 1
         out["windows_run"] = ran
         m = self.store.current()
@@ -170,8 +214,18 @@ class ReplayEngine:
             out["metrics"] = m.metrics
         return out
 
-    def run_window(self, window: Window, schema: pa.Schema) -> dict[str, Any]:
-        """Execute one checkpoint window end-to-end and commit it."""
+    def run_window(
+        self,
+        window: Window,
+        schema: pa.Schema,
+        log_cursor: tuple[int, str] | None = None,
+    ) -> dict[str, Any]:
+        """Execute one checkpoint window end-to-end and commit it.
+
+        ``log_cursor`` = (segment files consumed after this window, chained
+        prefix fingerprint) — persisted in the manifest as the durable
+        resume cursor.
+        """
         t0 = time.perf_counter()
         prior = self.store.current() or Manifest(num_partitions=self.num_partitions)
         ckpt_id = prior.checkpoint_id + 1
@@ -234,6 +288,8 @@ class ReplayEngine:
             summaries=dict(prior.summaries),
             payload_types=payload_types,
             windows_done=window.index + 1,
+            log_files_done=log_cursor[0] if log_cursor else prior.log_files_done,
+            log_fingerprint=log_cursor[1] if log_cursor else prior.log_fingerprint,
         )
         agg = {
             k: 0

@@ -7,14 +7,22 @@ cheap driver-side step; the heavy read is a column-pruned
 
 Window planning is deterministic: given the sorted log-segment file list,
 group files greedily into windows of ~``window_events`` rows using only
-footer metadata (no data read). Re-planning on resume over the same
-(append-only) log yields an identical prefix, so the committed
-``windows_done`` count in the manifest is a valid resume cursor.
+footer metadata (no data read).
+
+Resume cursor: windows are whole-file granular, so the durable cursor is
+FILE-based, not window-index-based — the manifest records how many log
+files have been fully consumed (``log_files_done``) plus a chained
+fingerprint of their (name, row-count) sequence. On resume the engine
+verifies the consumed prefix is byte-identical (append-only discipline)
+and plans fresh windows over only the remaining files. A committed
+below-threshold tail window is therefore harmless: appended segments form
+NEW windows and are never silently folded into an already-committed one.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 from dataclasses import dataclass
 
@@ -58,6 +66,31 @@ def plan_windows(files: list[str], window_events: int) -> list[Window]:
     if cur:
         windows.append(Window(len(windows), cur, cur_rows))
     return windows
+
+
+def chain_fingerprint(fp: str, file_path: str, rows: int) -> str:
+    """Incrementally chain the log-prefix fingerprint with one segment.
+
+    ``fp_{i+1} = sha256(fp_i | basename_i | rows_i)`` — O(1) per appended
+    file during a run, and recomputable over ``files[:log_files_done]`` on
+    resume to detect a mutated / reordered prefix (segments are immutable;
+    the log is append-only).
+    """
+    h = hashlib.sha256()
+    h.update(fp.encode())
+    h.update(b"\x00")
+    h.update(os.path.basename(file_path).encode())
+    h.update(b"\x00")
+    h.update(str(rows).encode())
+    return h.hexdigest()
+
+
+def prefix_fingerprint(files: list[str]) -> str:
+    """Fingerprint of a fully-consumed log prefix (footer metadata only)."""
+    fp = ""
+    for f in files:
+        fp = chain_fingerprint(fp, f, pq.read_metadata(f).num_rows)
+    return fp
 
 
 def read_window(

@@ -188,13 +188,20 @@ def make_merge_fn(
             ),
         )
 
-        # --- LWW combine: sort + keep-last; prior wins (commit_seq, seq) ties
+        # --- LWW combine: sort + keep-last; prior wins (commit_seq, seq) ties.
+        # commit + content are deterministic final tie-breakers: if a
+        # pathological tailer emits CONFLICTING events sharing the same
+        # (commit_seq, seq), the winner no longer depends on shuffle
+        # arrival order, so a retried task stays byte-identical.
+        # Arrow's multi-key comparator only evaluates later keys on ties,
+        # so the extra keys cost nothing on well-formed streams.
         idx = pc.sort_indices(
             src,
             sort_keys=[
                 ("repo", "ascending"), ("path", "ascending"),
                 ("commit_seq", "ascending"), ("seq", "ascending"),
                 ("_src", "ascending"),
+                ("commit", "ascending"), ("content", "ascending"),
             ],
         )
         src = src.take(idx)

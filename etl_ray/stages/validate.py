@@ -42,6 +42,10 @@ def _keep_last_per_key(t: pa.Table) -> pa.Table:
             ("path", "ascending"),
             ("commit_seq", "ascending"),
             ("seq", "ascending"),
+            # deterministic tie-breakers for pathological streams where
+            # distinct events share (commit_seq, seq) — see merge.py LWW
+            ("commit", "ascending"),
+            ("content", "ascending"),
         ],
     )
     t = t.take(idx)

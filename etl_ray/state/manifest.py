@@ -47,8 +47,13 @@ class Manifest:
     payload_types: dict[str, str] = field(default_factory=dict)
     #: metrics of the window that produced this manifest
     metrics: dict[str, Any] = field(default_factory=dict)
-    #: replay-source fingerprint: window plan position (resume key)
+    #: count of committed replay windows (informational / lineage)
     windows_done: int = 0
+    #: resume cursor: log segment files fully consumed by committed windows
+    log_files_done: int = 0
+    #: chained fingerprint of the consumed (name, rows) prefix —
+    #: sources/events.py:chain_fingerprint; verified loudly on resume
+    log_fingerprint: str = ""
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -125,6 +130,23 @@ class ManifestStore:
             raise ValueError(f"no committed manifest for checkpoint {to_checkpoint}")
         with open(p) as f:
             m = Manifest.from_json(f.read())
+        # gc() may have reclaimed files referenced only by checkpoints
+        # outside the retention window; refuse to swap the pointer to a
+        # snapshot whose files are gone (would leave the lake unreadable)
+        missing = [
+            rel
+            for rel in (
+                [info["file"] for info in m.partitions.values()]
+                + list(m.summaries.values())
+            )
+            if not os.path.exists(self.abs_path(rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"checkpoint {to_checkpoint} is outside the gc retention "
+                f"window: {len(missing)} referenced file(s) no longer exist "
+                f"(first: {missing[0]}); rollback refused"
+            )
         _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
         return m
 

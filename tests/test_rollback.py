@@ -80,3 +80,19 @@ def test_gc_keeps_referenced_files_and_lake_stays_readable(ray_session, tmp_path
     # rollback within the retention window still works
     hist = eng.store.history()
     eng.store.rollback(hist[-1].checkpoint_id)
+
+
+def test_rollback_past_gc_retention_refused(ray_session, tmp_path):
+    """gc() reclaims files referenced only by old checkpoints; rollback to
+    such a checkpoint must refuse instead of leaving an unreadable lake."""
+    import pytest
+
+    log = generate_events(n_keys=150, seed=55, scenario="mixed")
+    write_event_log(log, str(tmp_path / "log"), n_files=4)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(lake, num_partitions=4)
+    out = eng.replay(str(tmp_path / "log"), window_events=10)
+    assert out["windows_run"] >= 3
+    eng.store.gc(keep_checkpoints=1)
+    with pytest.raises(ValueError, match="retention"):
+        eng.store.rollback(0)
