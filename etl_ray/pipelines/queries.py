@@ -34,6 +34,15 @@ from etl_ray.functions import similarity as F_sim
 from etl_ray.functions import text as F_text
 from etl_ray.functions.rounding import round_half_away
 from etl_ray.functions.scalar import smart_date_id
+from etl_ray.stages.keyed import bucketed_groups, sorted_pandas
+
+
+def _prev_same_key(keys: np.ndarray) -> np.ndarray:
+    """Mask: row i has the same key as row i-1 (keys pre-sorted)."""
+    same = np.zeros(len(keys), dtype=bool)
+    if len(keys) > 1:
+        same[1:] = keys[1:] == keys[:-1]
+    return same
 
 
 @dataclass
@@ -96,16 +105,25 @@ def revenue_by_nation(sf_dir: str):
     small side shipped once with ray.put, looked up per batch — never a
     shuffle join; mirrors mid_map flag enrichment,
     ship_dimension.py:41-50)."""
+    # broadcast side pre-composed driver-side (cust→nation name), shipped
+    # ONCE via ray.put as a pandas Series; per-batch lookup is a single
+    # vectorized Series.map — no Python per-row loop
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    cust_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
-    nat_map = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
-    ref = ray.put((cust_map, nat_map))
+    nat_s = pd.Series(
+        nat.column("n_name").to_pandas().to_numpy(),
+        index=nat.column("n_nationkey").to_pandas().to_numpy(),
+    )
+    cust_s = pd.Series(
+        nat_s.reindex(cust.column("c_nationkey").to_pandas().to_numpy()).to_numpy(),
+        index=cust.column("c_custkey").to_pandas().to_numpy(),
+    )
+    ref = ray.put(cust_s)
 
     def enrich(batch: pa.Table) -> pa.Table:
-        cmap, nmap = ray.get(ref)
+        lookup: pd.Series = ray.get(ref)
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        names = [nmap.get(cmap.get(k)) for k in keys]
+        names = lookup.reindex(keys).to_numpy()
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
@@ -210,15 +228,25 @@ FROM lineitem GROUP BY 1, 2
 def cdc_lww_latest(sf_dir: str):
     """Last event per user by (ts, event_id) — the LWW fold over a
     generic event stream (SURVEY K1-K7 discipline: group, order, take
-    winner)."""
+    winner). Bucketed: hash(user) % B co-locates whole users, then ONE
+    Arrow lexsort + run-boundary pass per partition — B tasks total, not
+    one per key (stages/keyed.py; the merge.py:191 pattern)."""
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["user_id", "ts", "event_id", "event_type", "value"])
 
-    def last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).tail(1)
-        return g[["user_id", "ts", "event_type", "value"]]
+    def last_per_user(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        t = t.take(idx)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        last = np.ones(n, dtype=bool)
+        last[: n - 1] = u[1:] != u[: n - 1]
+        return t.filter(pa.array(last)).select(
+            ["user_id", "ts", "event_type", "value"])
 
-    return ds.groupby("user_id").map_groups(last, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", last_per_user).to_pandas()
 
 
 CDC_LWW_LATEST_SQL = """
@@ -252,18 +280,21 @@ def cdc_sessionize(sf_dir: str):
     builder.py:102-115) as a per-user fold. Gap: strict > 30 min."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
+    def sess_partition(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        same = _prev_same_key(u)
+        gap = (df["ts"].diff() > pd.Timedelta(minutes=30)).to_numpy() & same
+        out = (
+            pd.DataFrame({"user_id": u, "gap": gap})
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(n_sessions=("gap", "sum"), n_events=("gap", "size"))
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64") + 1
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", sess_partition).to_pandas()
 
 
 CDC_SESSIONIZE_SQL = """
@@ -286,12 +317,23 @@ def cdc_value_delta(sf_dir: str):
     per-key vectorized fold."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
 
-    def delta(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        d = float(np.abs(np.diff(g["value"].to_numpy())).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "total_delta": [float(round_half_away(d, 3))]})
+    def delta_partition(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        d = np.zeros(len(v))
+        if len(v) > 1:
+            d[1:] = np.abs(v[1:] - v[:-1])
+        d[~_prev_same_key(u)] = 0.0
+        out = (
+            pd.DataFrame({"user_id": u, "d": d})
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(total_delta=("d", "sum"))
+        )
+        out["total_delta"] = round_half_away(out["total_delta"], 3)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(delta, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", delta_partition).to_pandas()
 
 
 CDC_VALUE_DELTA_SQL = """
@@ -309,12 +351,26 @@ def cdc_mode_event_type(sf_dir: str):
     builder.py:204-273)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
 
-    def mode(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g["event_type"].value_counts()
-        top = counts[counts == counts.max()].index.min()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "mode_event_type": [top]})
+    def mode_partition(t: pa.Table) -> pa.Table:
+        # count per (user, value), then one lexsort (count desc, value asc)
+        # + keep-first-per-user — two C passes, no per-key dispatch
+        c = (
+            t.to_pandas()
+            .groupby(["user_id", "event_type"], sort=False, as_index=False)
+            .size()
+        )
+        c = c.sort_values(
+            ["user_id", "size", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+            ignore_index=True,
+        )
+        out = c.drop_duplicates("user_id")[["user_id", "event_type"]].rename(
+            columns={"event_type": "mode_event_type"}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(mode, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", mode_partition).to_pandas()
 
 
 CDC_MODE_SQL = """
@@ -349,13 +405,23 @@ def cdc_changes_compressed(sf_dir: str):
     tfloat compression, builder.py:346-375)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
 
-    def changes(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        v = g["value"].to_numpy()
-        n = 0 if len(v) == 0 else int(1 + (v[1:] != v[:-1]).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_changes": [n]})
+    def changes_partition(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        chg = np.ones(len(v), dtype=bool)  # first-of-user counts as a change
+        if len(v) > 1:
+            chg[1:] = v[1:] != v[:-1]
+        chg[~_prev_same_key(u)] = True
+        out = (
+            pd.DataFrame({"user_id": u, "chg": chg})
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(n_changes=("chg", "sum"))
+        )
+        out["n_changes"] = out["n_changes"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(changes, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", changes_partition).to_pandas()
 
 
 CDC_CHANGES_SQL = """
@@ -451,17 +517,17 @@ def dedup_exact_docs(sf_dir: str):
     ds = ds.map_batches(lambda b: F_dedup.add_sha256(b, "text"),
                         batch_format="pyarrow", zero_copy_batch=True)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        return pd.DataFrame(
-            {
-                "content_sha256": [g["content_sha256"].iloc[0]],
-                "doc_id": [g["doc_id"].iloc[0]],
-                "n_copies": [len(g)],
-            }
+    def first_partition(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["content_sha256", "doc_id"])
+            .to_pandas()
+            .groupby("content_sha256", sort=False, as_index=False)
+            .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
         )
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("content_sha256").map_groups(first, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "content_sha256", first_partition).to_pandas()
 
 
 DEDUP_EXACT_SQL = """
@@ -826,11 +892,11 @@ def semi_join_orders(sf_dir: str):
     columns added): orders of customers with acctbal > 5000."""
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"])
     keys = cust.filter(pc.greater(cust.column("c_acctbal"), 5000.0)).column("c_custkey")
-    key_ref = ray.put(set(keys.to_pylist()))
+    key_ref = ray.put(keys.combine_chunks())  # broadcast an Arrow array, not a set
 
     def keep(batch: pa.Table) -> pa.Table:
         keyset = ray.get(key_ref)
-        mask = pa.array([k in keyset for k in batch.column("o_custkey").to_pylist()])
+        mask = pc.is_in(batch.column("o_custkey"), value_set=keyset)
         return batch.filter(mask)
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
@@ -876,20 +942,29 @@ def angular_delta(sf_dir: str):
     """Upper-bounded angular total variation per key (SURVEY F2,
     calculate_delta_upperbounded.sql — the delta_heading kernel):
     events.value taken mod 360, folded per user in time order."""
-    from etl_ray.functions.scalar import calculate_delta_upperbounded
-
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        v = np.mod(g["value"].to_numpy(), 360.0)
-        d = calculate_delta_upperbounded(v, upper=360.0)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]],
-             "angular_delta": [float(round_half_away(d, 3))]}
+    def fold_partition(t: pa.Table) -> pa.Table:
+        # elementwise form of scalar.calculate_delta_upperbounded, with
+        # user boundaries masked — one pass over the whole partition
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        a = np.mod(df["value"].to_numpy(), 360.0)
+        d = np.zeros(len(a))
+        if len(a) > 1:
+            fwd = np.mod(a[:-1] - a[1:] + 360.0, 360.0)
+            bwd = np.mod(a[1:] - a[:-1] + 360.0, 360.0)
+            d[1:] = np.minimum(fwd, bwd)
+        d[~_prev_same_key(u)] = 0.0
+        out = (
+            pd.DataFrame({"user_id": u, "d": d})
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(angular_delta=("d", "sum"))
         )
+        out["angular_delta"] = round_half_away(out["angular_delta"], 3)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(fold, batch_format="pandas").to_pandas()
+    return bucketed_groups(ds, "user_id", fold_partition).to_pandas()
 
 
 ANGULAR_DELTA_SQL = """
@@ -916,25 +991,31 @@ def date_dimension(sf_dir: str):
     date_dimension.py:34-78): distinct order dates → smart key + parts."""
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
 
-    def enrich(t: pa.Table) -> pa.Table:
-        d = t.column("o_orderdate")
-        return pa.table(
-            {
-                "date_id": smart_date_id(d),
-                "year": pc.cast(pc.year(d), pa.int64()),
-                "month": pc.cast(pc.month(d), pa.int64()),
-                "day": pc.cast(pc.day(d), pa.int64()),
-                "iso_dow": pc.cast(pc.day_of_week(d, count_from_zero=False, week_start=1), pa.int64()),
-                "quarter": pc.cast(pc.quarter(d), pa.int64()),
-            }
+    # distributed distinct over the (bounded-domain) smart key — a
+    # calendar has O(10^4) days regardless of fact volume, so the
+    # driver-side enrichment of the distinct ids is scale-safe
+    ids = sorted(
+        ds.map_batches(
+            lambda t: pa.table({"date_id": pc.unique(smart_date_id(t.column("o_orderdate")))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).unique("date_id")
+    )
+    iv = np.asarray(ids, dtype=np.int64)
+    d = pa.array(
+        pd.to_datetime(
+            {"year": iv // 10000, "month": (iv // 100) % 100, "day": iv % 100}
         )
-
-    out = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
-
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return out.groupby("date_id").map_groups(dedup, batch_format="pandas").to_pandas()
+    )
+    return pa.table(
+        {
+            "date_id": pa.array(iv),
+            "year": pc.cast(pc.year(d), pa.int64()),
+            "month": pc.cast(pc.month(d), pa.int64()),
+            "day": pc.cast(pc.day(d), pa.int64()),
+            "iso_dow": pc.cast(pc.day_of_week(d, count_from_zero=False, week_start=1), pa.int64()),
+            "quarter": pc.cast(pc.quarter(d), pa.int64()),
+        }
+    ).to_pandas()
 
 
 DATE_DIMENSION_SQL = """
@@ -977,21 +1058,30 @@ def cdc_attribution(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "events"),
                          columns=["user_id", "ts", "event_id", "event_type"])
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        click_id = g["event_id"].where(g["event_type"] == "click")
-        # strictly-preceding click: shift before the forward fill
-        g["click_event_id"] = click_id.shift(1).ffill() if len(g) else click_id
-        # rows where the previous row itself was the click: shift(1) above
-        # already excludes the current row, so ties at equal ts keep the
-        # deterministic (ts, event_id) order
-        p = g[g["event_type"] == "purchase"][["user_id", "event_id", "click_event_id"]]
-        p = p.dropna(subset=["click_event_id"])
-        p["click_event_id"] = p["click_event_id"].astype("int64")
-        return p
+    def asof_partition(t: pa.Table) -> pa.Table:
+        # whole-partition as-of: sorted (user, ts, event_id); for each row
+        # the latest STRICTLY PRECEDING click of the same user = grouped
+        # cummax of click row-positions, shifted by one (both cython ops)
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        n = len(df)
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        pos = np.where(et == "click", np.arange(n, dtype=float), np.nan)
+        s = pd.Series(pos).groupby(u, sort=False).shift(1)
+        prev_pos = s.groupby(u, sort=False).ffill().to_numpy()
+        is_purchase = et == "purchase"
+        sel = is_purchase & ~np.isnan(prev_pos)
+        eid = df["event_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": u[sel],
+                "event_id": eid[sel],
+                "click_event_id": eid[prev_pos[sel].astype(np.int64)],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    out = ds.groupby("user_id").map_groups(asof, batch_format="pandas")
-    return out.to_pandas()
+    return bucketed_groups(ds, "user_id", asof_partition).to_pandas()
 
 
 CDC_ATTRIBUTION_SQL = """
