@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from etl_ray.stages.keyed import bucket_ids, default_buckets, pool_size
+
 
 # --- exact dedup -------------------------------------------------------------
 
@@ -199,13 +201,13 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline:
 
     shingle→minhash (actor pool) → band explode → groupby(band) →
-    candidate pairs → distinct → exact-Jaccard verify (broadcast text
-    lookup) → pairs with jaccard ≥ threshold.
+    candidate pairs → distinct → exact-Jaccard verify via a BUCKETED
+    pair⋈text join (two shuffles on hashed id) → pairs ≥ threshold.
 
-    The text side-table for verification is broadcast via ``ray.put`` —
-    appropriate while candidates ≪ corpus; for 100 TB corpora swap the
-    verify stage for a bucketed join on ``a``'s partition (documented
-    partitioning assumption).
+    The corpus text is never materialized on the driver and never
+    broadcast: only the candidate-pair ID SET (8 bytes/id, ≪ corpus)
+    flows back to prune the text side before the join shuffles.
+    ``n_buckets`` scales with cluster CPUs (stages/keyed.py).
     """
     import ray
 
@@ -213,10 +215,10 @@ def minhash_dedup_pairs(
         MinHashStage,
         fn_constructor_kwargs={"n_perm": n_perm, "k": k},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=pool_size(),
         batch_size=1024,
     )
-    n_buckets = 32
+    n_buckets = default_buckets()
 
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         rows = lsh_band_rows(b, n_bands=n_bands, id_col=id_col)
@@ -233,28 +235,167 @@ def minhash_dedup_pairs(
     pairs = bands.groupby("bucket").map_groups(
         lambda t: candidate_pairs_partition(t, id_col), batch_format="pyarrow"
     )
-    pairs_t = pairs.to_pandas().drop_duplicates().reset_index(drop=True)
-    if pairs_t.empty:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
 
-    texts = {r[id_col]: r["text"] for r in ds.select_columns([id_col, "text"]).take_all()}
-    texts_ref = ray.put(texts)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(texts_ref)
-        js = [jaccard(lookup[a], lookup[b], k) for a, b in zip(batch["a"], batch["b"])]
-        batch = batch.copy()
-        from etl_ray.functions.rounding import round_half_away
-        batch["jaccard"] = round_half_away(np.asarray(js), 6)
-        return batch[batch["jaccard"] >= threshold]
-
-    out = rd.from_pandas(pairs_t).map_batches(verify, batch_format="pandas")
-    res = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # Materialized: the candidate set is the SMALL intermediate
+    # (≪ corpus) and is consumed twice downstream (id-prune + join
+    # shuffle) — without pinning it, each consumer would re-run the whole
+    # MinHash lineage. Cross-band duplicate pairs are NOT deduped here:
+    # the verify join buckets by hash(a), so duplicates co-locate and are
+    # dropped in-partition there, saving a dedicated shuffle.
+    pairs = pairs.materialize()
+    verified = _verify_pairs_bucketed(ds, pairs, k, threshold, id_col, n_buckets)
+    res = verified.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
+def _bucketed_by(ds_in: rd.Dataset, col: str, n_buckets: int) -> rd.Dataset:
+    def add(t: pa.Table) -> pa.Table:
+        if "_jbucket" in t.column_names:
+            t = t.drop_columns(["_jbucket"])
+        return t.append_column("_jbucket", bucket_ids(t.column(col), n_buckets))
+
+    return ds_in.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_pairs_bucketed(
+    corpus: rd.Dataset,
+    pairs: rd.Dataset,
+    k: int,
+    threshold: float,
+    id_col: str,
+    n_buckets: int,
+) -> rd.Dataset:
+    """Exact-Jaccard verify of candidate (a, b) pairs WITHOUT broadcasting
+    corpus text: texts are pruned to candidate ids (ids-only broadcast),
+    then attached via two bucketed union-shuffle joins (on a, then on b).
+    Partitioning assumption: all rows sharing hash(join-id) land in one
+    group — guaranteed by the groupby.
+    """
+    import ray
+
+    # prune the text side: candidate-id set (ints only) ≪ corpus
+    id_tables = [
+        t
+        for t in ray.get(
+            pairs.map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": pc.unique(
+                            pa.concat_arrays(
+                                [
+                                    t.column("a").combine_chunks().cast(pa.int64()),
+                                    t.column("b").combine_chunks().cast(pa.int64()),
+                                ]
+                            )
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+    ]
+    if not id_tables or sum(t.num_rows for t in id_tables) == 0:
+        return rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    wanted = pc.unique(pa.concat_tables(id_tables).column("id").combine_chunks())
+    wanted_ref = ray.put(wanted)
+
+    def prune(t: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        keep = pc.is_in(t.column(id_col), value_set=w)
+        kept = t.filter(keep)
+        return pa.table(
+            {"id": kept.column(id_col).cast(pa.int64()), "text": kept.column("text")}
+        )
+
+    # pruned text side = candidate texts only (small by the same ≪-corpus
+    # assumption as the id set); materialized because BOTH join passes
+    # consume it — one corpus scan instead of two
+    texts = corpus.select_columns([id_col, "text"]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def join_side(
+        side: str, pairs_ds: rd.Dataset, text_out: str, cols_keep: list[str]
+    ) -> rd.Dataset:
+        """One bucketed union-join: attach text of ``side``'s id.
+        ``cols_keep`` passed explicitly — calling .schema() here would
+        force an extra execution of the upstream pipeline."""
+
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out = {c: t.column(c) for c in cols_keep}
+            out["id"] = t.column(side).cast(pa.int64())
+            out["text"] = pa.nulls(n, pa.string())
+            out["_is_text"] = pa.nulls(n, pa.bool_()).fill_null(False)
+            return pa.table(out)
+
+        def tag_texts(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            out = {}
+            for c in cols_keep:
+                out[c] = pa.nulls(n, pa.int64() if c in ("a", "b") else pa.string())
+            out["id"] = t.column("id")
+            out["text"] = t.column("text")
+            out["_is_text"] = pa.nulls(n, pa.bool_()).fill_null(True)
+            return pa.table(out)
+
+        tagged = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            texts.map_batches(tag_texts, batch_format="pyarrow")
+        )
+
+        def merge_partition(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            is_text = df["_is_text"].to_numpy()
+            tdf = df[is_text][["id", "text"]].rename(columns={"text": text_out})
+            pdf = df[~is_text].drop(columns=["text", "_is_text"])
+            # cross-band duplicate candidates co-locate here (bucketed by
+            # the join id) — dedup in-partition, no dedicated shuffle
+            pdf = pdf.drop_duplicates(subset=["a", "b"])
+            out = pdf.merge(tdf.drop_duplicates("id"), on="id", how="left").drop(
+                columns=["id"]
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return (
+            _bucketed_by(tagged, "id", n_buckets)
+            .groupby("_jbucket")
+            .map_groups(merge_partition, batch_format="pyarrow")
+        )
+
+    with_a = join_side("a", pairs, "text_a", ["a", "b"])
+    with_ab = join_side("b", with_a, "text_b", ["a", "b", "text_a"])
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from etl_ray.functions.rounding import round_half_away
+
+        js = [
+            jaccard(ta, tb, k)
+            for ta, tb in zip(batch["text_a"], batch["text_b"])
+        ]
+        batch = batch.copy()
+        batch["jaccard"] = round_half_away(np.asarray(js, dtype=np.float64), 6)
+        batch = batch[batch["jaccard"] >= threshold]
+        return batch[["a", "b", "jaccard"]]
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
 # --- SimHash -----------------------------------------------------------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-element Python."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        x *= np.uint64(0x0101010101010101)
+    return (x >> np.uint64(56)).astype(np.int64)
 
 class SimHashStage:
     """64-bit SimHash over token hashes (stateless math, stateful regex)."""
@@ -289,7 +430,9 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
     within Hamming 3 shares at least one of 4 bands) → groupby band →
     verify exact Hamming inside the group.
     """
-    sig = ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=2, batch_size=2048)
+    sig = ds.map_batches(SimHashStage, batch_format="pyarrow",
+                         concurrency=pool_size(), batch_size=2048)
+    n_buckets = default_buckets()
 
     def explode(batch: pa.Table) -> pa.Table:
         s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -300,7 +443,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
             with np.errstate(over="ignore"):
                 bucket = (
                     (np.uint64(band) * np.uint64(0x9E3779B97F4A7C15)) ^ piece
-                ) % np.uint64(32)
+                ) % np.uint64(n_buckets)
             outs.append(
                 pa.table(
                     {
@@ -346,7 +489,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
                 continue
             ai, bi = np.triu_indices(len(gi), k=1)
             x = gh[ai] ^ gh[bi]
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             keep = ham <= max_hamming
             out_a.append(gi[ai][keep])
             out_b.append(gi[bi][keep])

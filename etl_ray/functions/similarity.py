@@ -17,6 +17,35 @@ import ray
 import ray.data as rd
 
 from etl_ray.functions.rounding import round_half_away
+from etl_ray.stages.keyed import bucketed_groups, pool_size as _pool_size
+
+
+def _topk_merge(cand: rd.Dataset, k: int, exclude_self: bool) -> pa.Table:
+    """Distributed top-k merge of (query_id, neighbor_id, sim) candidates.
+
+    Bucketed by query hash — ONE vectorized sort + cython
+    ``groupby.head`` per partition, never a per-query Python dispatch
+    (stages/keyed.py pattern).
+    """
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if exclude_self:
+            df = df[df["neighbor_id"] != df["query_id"]]
+        df = df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True], kind="stable",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    res = (
+        bucketed_groups(cand, "query_id", topk_partition)
+        .to_pandas()
+        .sort_values(["query_id", "sim", "neighbor_id"],
+                     ascending=[True, False, True])
+    )
+    return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
 
 def _matrix(batch_embeddings) -> np.ndarray:
@@ -29,33 +58,61 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _partial_topk(
+    q_ids: np.ndarray, sims: np.ndarray, ids: np.ndarray, k: int
+) -> pa.Table:
+    """Per-batch partial top-k: emit ≤ n_queries × k candidate rows.
+
+    ``sims`` is the rounded (n_queries × n_rows) matrix. Selection order
+    matches the final merge (sim desc, id asc) so candidates that could
+    appear in the global top-k are never pruned locally — the candidate
+    stream through the shuffle is O(queries × k × blocks), not
+    O(queries × corpus)."""
+    nq, nb = sims.shape
+    kk = min(k, nb)
+    out_q, out_n, out_s = [], [], []
+    if kk < nb:
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(nb), (nq, nb))
+    for i in range(nq):
+        sel = part[i]
+        s, n_ids = sims[i, sel], ids[sel]
+        order = np.lexsort((n_ids, -s))
+        out_q.append(np.full(kk, q_ids[i]))
+        out_n.append(n_ids[order])
+        out_s.append(s[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+            "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+            "sim": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 class BruteForceTopK:
     """Actor-pool stage: per-batch cosine top-k against broadcast queries.
 
     ``__init__`` fetches the query matrix once per actor (``ray.get`` of a
     ``ray.put`` handle) and pre-normalizes it; ``__call__`` is one matmul
-    per batch. Emits (query_id, neighbor_id, sim) candidate rows — a
-    global ``groupby(query_id)`` top-k merge finalizes.
-    """
+    per batch followed by a PARTIAL top-(k+1) (argpartition) — the stage
+    emits ≤ n_queries × (k+1) rows per batch, never the full sim matrix
+    (k+1 so the final merge can still drop a self-match without
+    starving)."""
 
-    def __init__(self, queries_ref, id_col: str = "vec_id"):
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id"):
         q = ray.get(queries_ref)
         self.q_ids = q["ids"]
         self.q_mat = _normalize(q["matrix"])
+        self.k = k
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch.column("embedding")))
-        sims = self.q_mat @ m.T  # (n_queries, batch)
-        nq, nb = sims.shape
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(self.q_ids, nb)),
-                "neighbor_id": pa.array(np.tile(ids, nq)),
-                "sim": pa.array(round_half_away(sims.ravel(), 6)),
-            }
-        )
+        sims = round_half_away(self.q_mat @ m.T, 6)  # (n_queries, batch)
+        return _partial_topk(self.q_ids, sims, ids, self.k + 1)
 
 
 def knn_cosine(
@@ -84,23 +141,12 @@ def knn_cosine(
     )
     cand = ds.map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "id_col": id_col},
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool_size(),
         batch_size=4096,
     )
-
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group
-        if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"]]
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return g
-
-    out = cand.groupby("query_id").map_groups(topk, batch_format="pandas")
-    res = out.to_pandas().sort_values(["query_id", "sim", "neighbor_id"],
-                                      ascending=[True, False, True])
-    return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
+    return _topk_merge(cand, k, exclude_self)
 
 
 class LshBucketStage:
@@ -212,6 +258,30 @@ class IvfIndexStage:
         return batch.append_column("centroid_id", pa.array(assign))
 
 
+class IvfScanStage:
+    """Actor-pool probe-limited scan: one matmul per batch vs the
+    broadcast query matrix, probe-masked by each row's centroid, then a
+    partial top-(k+1) — emits ≤ n_queries × (k+1) rows per batch."""
+
+    def __init__(self, scan_ref, k: int, id_col: str = "vec_id"):
+        s = ray.get(scan_ref)
+        self.q_ids = s["ids"]
+        self.q_mat = s["matrix"]  # already normalized
+        self.probe = s["probe"]  # (n_queries, n_centroids) bool
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        cent_ids = batch.column("centroid_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(batch.column("embedding")))
+        sims = round_half_away(self.q_mat @ m.T, 6)
+        allowed = self.probe[:, cent_ids]  # (n_queries, batch)
+        sims = np.where(allowed, sims, -np.inf)
+        t = _partial_topk(self.q_ids, sims, ids, self.k + 1)
+        return t.filter(pc.greater(t.column("sim"), float("-inf")))
+
+
 def ivf_topk(
     ds: rd.Dataset,
     query_ids: list[int],
@@ -258,38 +328,28 @@ def ivf_topk(
     qrows.sort(key=lambda r: r[id_col])
     q_mat = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in qrows]))
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    # probe membership as a dense (n_queries × n_centroids) bool matrix —
+    # tiny, broadcast once with the query matrix
     probe = np.argsort(-(q_mat @ _normalize(cent).T), axis=1)[:, :n_probe]
-    probe_sets = {int(q_ids[i]): set(map(int, probe[i])) for i in range(len(q_ids))}
-    wanted = sorted({c for s in probe_sets.values() for c in s})
+    probe_mat = np.zeros((len(q_ids), len(cent)), dtype=bool)
+    probe_mat[np.arange(len(q_ids))[:, None], probe] = True
+    wanted = pa.array(sorted({int(c) for row in probe for c in row}), pa.int32())
+    scan_ref = ray.put({"ids": q_ids, "matrix": q_mat, "probe": probe_mat})
 
-    # scan only the probed buckets (the IVF payoff)
-    bucket_rows = assigned.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t.column("centroid_id"), value_set=pa.array(wanted, pa.int32()))
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-
-    out_q, out_n, out_s = [], [], []
-    by_bucket: dict[int, list] = {}
-    for r in bucket_rows:
-        by_bucket.setdefault(int(r["centroid_id"]), []).append(r)
-    for qi, qvec in zip(q_ids, q_mat):
-        cand = [r for c in probe_sets[int(qi)] for r in by_bucket.get(c, [])]
-        cand = [r for r in cand if r[id_col] != qi]
-        if not cand:
-            continue
-        m = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in cand]))
-        sims = round_half_away(m @ qvec, 6)
-        ids = np.array([r[id_col] for r in cand], dtype=np.int64)
-        order = np.lexsort((ids, -sims))[:k]
-        out_q.extend([int(qi)] * len(order))
-        out_n.extend(ids[order].tolist())
-        out_s.extend(sims[order].tolist())
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        }
+    # scan only the probed buckets, IN the cluster: each batch computes
+    # sims vs all queries, masks rows whose centroid a query does not
+    # probe, and emits a partial top-k — no driver materialization
+    cand = (
+        assigned.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("centroid_id"), value_set=wanted)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            IvfScanStage,
+            fn_constructor_kwargs={"scan_ref": scan_ref, "k": k, "id_col": id_col},
+            batch_format="pyarrow",
+            concurrency=_pool_size(),
+            batch_size=4096,
+        )
     )
+    return _topk_merge(cand, k, exclude_self=True)

@@ -42,6 +42,16 @@ def default_buckets(factor: int = 4, floor: int = 16) -> int:
     return max(floor, factor * cpus)
 
 
+def pool_size() -> int:
+    """Actor-pool concurrency for stateful map_batches stages: half the
+    cluster CPUs (leaves headroom for the read/shuffle stages feeding the
+    pool — an actor pool sized to ALL cores starves its producers)."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
 def bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     """Deterministic vectorized key → bucket hash (ints and strings)."""
     if pa.types.is_integer(col.type):
