@@ -51,27 +51,76 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
 
 _TOKEN_RE = re.compile(r"\S+")
 
+#: whitespace codepoints — MUST match the SQL token regex
+#: ``[^ \t\n\r\f\v]+`` (RE2 ASCII \s) so both engines tokenize identically
+_WS_CODES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint32)
+_MOD32 = np.uint64(4294967296)
+_EMPTY_SIG = np.uint64(4294967295)
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """uint64 hashes of the k-token shingles of a document."""
-    toks = _TOKEN_RE.findall((text or "").lower())
-    if not toks:
+
+def token_hashes(text: str) -> np.ndarray:
+    """Per-token Horner hash ``h = (h*31 + codepoint) mod 2^32`` over the
+    lowercased document — fully vectorized (ONE utf-32 decode, boundary
+    masks, weighted segment sums via ``np.add.reduceat``; no per-token
+    Python loop). The DuckDB oracle reproduces it exactly with
+    ``list_reduce`` over ``unicode(x)`` codepoints, which is why the hash
+    is an explicit Horner instead of SipHash."""
+    codes = np.frombuffer((text or "").lower().encode("utf-32-le"), dtype=np.uint32)
+    if len(codes) == 0:
         return np.empty(0, dtype=np.uint64)
-    # vectorized: hash tokens once (SipHash, C loop), then combine each
-    # k-window with a polynomial rolling hash — k vectorized passes, no
-    # Python-level shingle-string building (10x+ on long docs)
-    th = pd.util.hash_array(
-        np.asarray(toks, dtype=object), hash_key="etl_ray_shingle1", categorize=False
-    )
+    is_tok = ~np.isin(codes, _WS_CODES)
+    if not is_tok.any():
+        return np.empty(0, dtype=np.uint64)
+    n = len(codes)
+    start = is_tok.copy()
+    start[1:] &= ~is_tok[:-1]
+    starts = np.flatnonzero(start)
+    # token id per char; -1 padding chars excluded via is_tok mask
+    tok_id = np.cumsum(start) - 1
+    # per-char position FROM THE END of its token → weight 31^pos
+    idx = np.arange(n)
+    tok_char = is_tok
+    # end index (exclusive) of each token
+    end_mask = is_tok.copy()
+    end_mask[:-1] &= ~is_tok[1:]
+    ends = np.flatnonzero(end_mask)
+    pos_from_end = ends[tok_id[tok_char]] - idx[tok_char]
+    max_len = int(pos_from_end.max()) + 1
+    powers = np.empty(max_len, dtype=np.uint64)
+    powers[0] = 1
+    for j in range(1, max_len):
+        powers[j] = (powers[j - 1] * np.uint64(31)) % _MOD32
+    terms = codes[tok_char].astype(np.uint64) * powers[pos_from_end]
+    # segment boundaries within the compacted char stream
+    seg_starts = np.searchsorted(np.flatnonzero(tok_char), starts)
+    with np.errstate(over="ignore"):
+        sums = np.add.reduceat(terms, seg_starts)
+    return sums % _MOD32
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Hashes of the k-token shingles: Horner(31) over the k token hashes
+    mod 2^32 — SQL-replicable (see token_hashes)."""
+    th = token_hashes(text)
+    if len(th) == 0:
+        return np.empty(0, dtype=np.uint64)
     if len(th) < k:
         k = len(th)
     n = len(th) - k + 1
-    B = np.uint64(0x100000001B3)
     acc = np.zeros(n, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(k):
-            acc = acc * B + th[j : j + n]
+            acc = (acc * np.uint64(31) + th[j : j + n]) % _MOD32
     return acc
+
+
+def minhash_params(n_perm: int = 24, seed: int = 1337):
+    """The (a, b) permutation constants — shared by the Ray stage and the
+    SQL-oracle generator so both engines compute identical signatures."""
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, 1 << 32, size=n_perm, dtype=np.uint64) | np.uint64(1)) % _MOD32
+    b = rng.integers(0, 1 << 32, size=n_perm, dtype=np.uint64)
+    return a, b
 
 
 class MinHashStage:
@@ -79,24 +128,23 @@ class MinHashStage:
 
     Permutation parameters are derived ONCE per actor in ``__init__`` from
     a fixed seed (stateful-stage discipline); per batch the signature is a
-    vectorized min over (a*x + b) universal hashes of the shingle set.
+    vectorized min over ``(a*x + b) mod 2^32`` universal hashes of the
+    shingle set. The 32-bit modular domain is deliberate: the DuckDB
+    oracle evaluates the same permutations with HUGEINT arithmetic.
     """
 
-    PRIME = np.uint64(0xFFFFFFFFFFFFFFC5)
-
-    def __init__(self, n_perm: int = 128, k: int = 5, seed: int = 1337):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
-        self.b = rng.integers(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    def __init__(self, n_perm: int = 24, k: int = 3, seed: int = 1337):
+        self.a, self.b = minhash_params(n_perm, seed)
         self.n_perm = n_perm
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingle_hashes(text, self.k)
         if len(sh) == 0:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (n_perm, n_shingles) universal hash, min over shingles
-        vals = (np.outer(self.a, sh) + self.b[:, None]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            return np.full(self.n_perm, _EMPTY_SIG, dtype=np.uint64)
+        # (n_perm, n_shingles) universal hash mod 2^32, min over shingles
+        with np.errstate(over="ignore"):
+            vals = (np.outer(self.a, sh) + self.b[:, None]) % _MOD32
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -107,9 +155,11 @@ class MinHashStage:
         )
 
 
-def lsh_band_rows(batch: pa.Table, n_bands: int = 16, id_col: str = "doc_id") -> pa.Table:
+def lsh_band_rows(batch: pa.Table, n_bands: int = 6, id_col: str = "doc_id") -> pa.Table:
     """Explode signatures into (band_id, band_hash, id) rows — the LSH
-    bucketing key for the candidate ``groupby``."""
+    bucketing key for the candidate ``groupby``. Band hash = Horner
+    (B=1000003) over the band's signature values mod 2^32 — the same fold
+    the SQL oracle evaluates."""
     sigs = np.stack(batch.column("minhash").to_pandas().to_numpy())
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
     n, n_perm = sigs.shape
@@ -117,9 +167,10 @@ def lsh_band_rows(batch: pa.Table, n_bands: int = 16, id_col: str = "doc_id") ->
     band_ids, band_hashes, out_ids = [], [], []
     for bnd in range(n_bands):
         seg = np.ascontiguousarray(sigs[:, bnd * r : (bnd + 1) * r]).astype(np.uint64)
-        h = seg[:, 0].copy()
-        for j in range(1, r):
-            h = (h * np.uint64(1000003)) ^ seg[:, j]
+        h = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                h = (h * np.uint64(1000003) + seg[:, j]) % _MOD32
         band_ids.append(np.full(n, bnd, dtype=np.int32))
         band_hashes.append(h.astype(np.int64))
         out_ids.append(ids)
@@ -193,9 +244,9 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 def minhash_dedup_pairs(
     ds: rd.Dataset,
     threshold: float = 0.5,
-    n_perm: int = 128,
-    n_bands: int = 16,
-    k: int = 5,
+    n_perm: int = 24,
+    n_bands: int = 6,
+    k: int = 3,
     id_col: str = "doc_id",
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline:
@@ -378,7 +429,11 @@ def _verify_pairs_bucketed(
         batch = batch.copy()
         batch["jaccard"] = round_half_away(np.asarray(js, dtype=np.float64), 6)
         batch = batch[batch["jaccard"] >= threshold]
-        return batch[["a", "b", "jaccard"]]
+        out = batch[["a", "b", "jaccard"]].copy()
+        # the union-join null-fills turned the id columns float — restore
+        out["a"] = out["a"].astype("int64")
+        out["b"] = out["b"].astype("int64")
+        return out
 
     return with_ab.map_batches(verify, batch_format="pandas")
 
@@ -398,24 +453,23 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x >> np.uint64(56)).astype(np.int64)
 
 class SimHashStage:
-    """64-bit SimHash over token hashes (stateless math, stateful regex)."""
+    """32-bit SimHash over the k=3 SHINGLE hashes (SQL-replicable: the
+    DuckDB oracle recomputes the same bit-majority vote with 32 grouped
+    SUM aggregates over the unnested shingle-hash list).
 
-    def __init__(self):
-        self.token = _TOKEN_RE
+    Shingles, not bare tokens: this corpus shares a small vocabulary, so
+    token-level bit majorities converge and every doc pair looks near-dup
+    (measured 26k false pairs at sf0.001); position-sensitive shingles
+    decorrelate unrelated docs while planted near-verbatim copies stay
+    within the Hamming budget."""
 
     def simhash(self, text: str) -> int:
-        toks = self.token.findall((text or "").lower())
-        if not toks:
+        hs = _shingle_hashes(text, 3)
+        if len(hs) == 0:
             return 0
-        hs = pd.util.hash_array(
-            np.asarray(toks, dtype=object), hash_key="etl_ray_simhash1", categorize=False
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        bits = ((hs[:, None] >> np.arange(32, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         score = bits.sum(axis=0) * 2 - len(hs)
-        out = np.uint64(0)
-        for i in np.nonzero(score > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
-        return int(out)
+        return int(((score > 0).astype(np.uint64) << np.arange(32, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pandas()
@@ -426,9 +480,10 @@ class SimHashStage:
 def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id") -> pa.Table:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
-    Bucket by the 4×16-bit bands of the signature (pigeonhole: any pair
-    within Hamming 3 shares at least one of 4 bands) → groupby band →
-    verify exact Hamming inside the group.
+    Bucket by the 4×8-bit bands of the 32-bit signature (pigeonhole: any
+    pair within Hamming 3 shares at least one of 4 bands — the banding is
+    EXACT, not probabilistic) → groupby band → verify exact Hamming
+    inside the group.
     """
     sig = ds.map_batches(SimHashStage, batch_format="pyarrow",
                          concurrency=pool_size(), batch_size=2048)
@@ -439,7 +494,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         outs = []
         for band in range(4):
-            piece = (s >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            piece = (s >> np.uint64(band * 8)) & np.uint64(0xFF)
             with np.errstate(over="ignore"):
                 bucket = (
                     (np.uint64(band) * np.uint64(0x9E3779B97F4A7C15)) ^ piece

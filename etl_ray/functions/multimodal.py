@@ -66,9 +66,23 @@ class DecodeFeatureStage:
             padded[: len(dec)] = dec
             feats[i] = padded @ self.proj
         norms = np.linalg.norm(feats, axis=1)
+        # decode invariant the SQL oracle can reproduce: integer sum of the
+        # decoded byte window / 255 (exact in float64 — the int sum happens
+        # BEFORE the division on both sides, so no float-summation-order
+        # discrepancy vs DuckDB)
+        checksums = np.array(
+            [
+                int(np.frombuffer(p, dtype=np.uint8)[: 64 * 64].sum(dtype=np.int64))
+                for p in batch.column("payload").to_pandas()
+            ],
+            dtype=np.float64,
+        ) / 255.0
+        from etl_ray.functions.rounding import round_half_away
+
         out = batch.drop_columns(["payload"])  # features replace heavy bytes
         out = out.append_column("feat", pa.array(list(feats), pa.list_(pa.float32(), self.FEAT_DIM)))
         out = out.append_column("feat_norm", pa.array(np.round(norms, 4).astype(np.float64)))
+        out = out.append_column("decode_checksum", pa.array(round_half_away(checksums, 6)))
         return out
 
 

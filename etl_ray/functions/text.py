@@ -75,7 +75,7 @@ class LangIdStage:
     """
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Z']+")
+        self.word = re.compile(r"[a-z']+")
         self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def predict_one(self, text: str) -> str:
@@ -90,8 +90,24 @@ class LangIdStage:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized scoring: one tokenize pass, then per-lang isin +
+        # grouped sum (C kernels) — no per-row Python scoring loop.
+        # idxmax over the insertion-ordered columns reproduces
+        # predict_one's 'first strictly-greater lang wins' tie-break.
         batch = batch.copy()
-        batch["pred_lang"] = [self.predict_one(t) for t in batch["text"]]
+        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
+        ex = toks.explode().dropna()
+        scores = pd.DataFrame(
+            {
+                lang: ex.isin(stops).groupby(level=0).sum()
+                for lang, stops in self.profiles.items()
+            }
+        ).reindex(batch.index, fill_value=0)
+        if scores.empty:
+            batch["pred_lang"] = np.array([], dtype=object)
+            return batch
+        best = scores.idxmax(axis=1).to_numpy(dtype=object)
+        batch["pred_lang"] = np.where(scores.max(axis=1).to_numpy() > 0, best, "und")
         return batch
 
 
@@ -103,9 +119,10 @@ _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 def rolling_fingerprint(text: str) -> int:
     """64-bit polynomial rolling hash of the whole document (deterministic
-    content fingerprint; cheap near-exact dedup key)."""
+    content fingerprint; cheap near-exact dedup key). Codepoint-based —
+    see fingerprint_batch."""
     h = np.uint64(1469598103934665603)
-    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
     # Horner evaluation, vectorized in log(n) squaring-free chunks would be
     # overkill; per-doc this reduces to a tight numpy loop over chunks.
     with np.errstate(over="ignore"):  # uint64 wraparound is the point
@@ -117,11 +134,15 @@ def rolling_fingerprint(text: str) -> int:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Vectorized variant: one polynomial hash per row computed with numpy
-    over the concatenated byte buffer (no per-character Python loop)."""
+    over the codepoint buffer (no per-character Python loop).
+
+    Defined over unicode CODEPOINTS (utf-32 decode), not utf-8 bytes, so
+    the DuckDB oracle can reproduce it exactly with
+    ``unicode(x) FOR x IN split(text, '')`` + a UHUGEINT Horner fold."""
     texts = batch.column(text_col).to_pandas()
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
-        data = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        data = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         # Horner via cumulative powers: h = sum(b_i * B^(n-1-i)) + B^n
         n = len(data)
         if n == 0:

@@ -552,34 +552,217 @@ LANG_DISTRIBUTION_SQL = "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM do
 
 
 def langid_heuristic(sf_dir: str):
-    """Language-ID actor-pool stage (stopword n-gram heuristic) — no SQL
-    oracle (heuristic), driver records rows-only check."""
+    """Language-ID actor-pool stage (stopword heuristic, vectorized
+    isin+grouped-sum scoring) — the SQL oracle replays the same stopword
+    counts and first-max tie-break."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(F_text.LangIdStage, batch_format="pandas",
                          concurrency=2, batch_size=1024)
     return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
 
 
+def _stop_list_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(F_text._STOPWORDS[lang]))
+
+
+LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ({_stop_list_sql("en")}))) AS s_en,
+    len(list_filter(toks, x -> x IN ({_stop_list_sql("de")}))) AS s_de,
+    len(list_filter(toks, x -> x IN ({_stop_list_sql("fr")}))) AS s_fr,
+    len(list_filter(toks, x -> x IN ({_stop_list_sql("es")}))) AS s_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM s
+"""
+
+
 def fingerprint_docs(sf_dir: str):
-    """Rolling-hash document fingerprints (deterministic; rows-only)."""
+    """Rolling-hash document fingerprints (codepoint FNV-Horner mod 2^64;
+    the SQL oracle folds the identical Horner with UHUGEINT arithmetic)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: F_text.fingerprint_batch(t).drop_columns(["text"]),
                          batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas()
 
 
+FINGERPRINT_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN h >= CAST(9223372036854775808 AS UHUGEINT)
+            THEN CAST(h AS HUGEINT) - 18446744073709551616
+            ELSE CAST(h AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS UHUGEINT),
+                   [CAST(unicode(x) AS UHUGEINT) FOR x IN split(coalesce(text, ''), '')]),
+      (h, c) -> (h * 1000003 + c) % CAST(18446744073709551616 AS UHUGEINT)
+    ) AS h
+  FROM documents
+)
+"""
+
+
 def dedup_minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup candidate discovery + exact-Jaccard verify
-    (rows-only: LSH recall is probabilistic)."""
+    """MinHash+LSH near-dup candidate discovery + exact-Jaccard verify.
+
+    Fully SQL-gated: signatures use explicit Horner/modular hashing
+    (functions/dedup.py) that the DuckDB oracle re-evaluates constant-for-
+    constant, so candidate generation AND verification hash-compare
+    exactly — the LSH pipeline itself is the thing under test, not just
+    its row count."""
     ds = _docs_with_dups(sf_dir)
     return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def _minhash_sql() -> str:
+    a, b = F_dedup.minhash_params()
+    n_perm, n_bands = len(a), 6
+    r = n_perm // n_bands
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(sh, s -> "
+        f"(CAST({int(a[i])} AS HUGEINT) * s + {int(b[i])}) % 4294967296)), "
+        f"4294967295) AS s{i}"
+        for i in range(n_perm)
+    )
+    band_selects = []
+    for bnd in range(n_bands):
+        expr = f"s{r * bnd}"
+        for j in range(1, r):
+            expr = f"(({expr}) * 1000003 + s{r * bnd + j}) % 4294967296"
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band_id, CAST({expr} AS BIGINT) AS bh FROM sig"
+        )
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM all_docs
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), sig AS (
+  SELECT doc_id, sh,
+    {sig_exprs}
+  FROM sgl
+), band AS (
+  {bands_sql}
+), p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y ON x.band_id = y.band_id AND x.bh = y.bh
+                          AND x.doc_id < y.doc_id
+), v AS (
+  SELECT p.a, p.b,
+    list_distinct(xa.sh) AS da, list_distinct(xb.sh) AS db
+  FROM p JOIN sgl xa ON xa.doc_id = p.a JOIN sgl xb ON xb.doc_id = p.b
+)
+SELECT a, b,
+  round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
+             WHEN len(da) = 0 OR len(db) = 0 THEN 0.0
+             ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
+                  / (len(da) + len(db)
+                     - len(list_filter(da, x -> list_contains(db, x))))
+        END, 6) AS jaccard
+FROM v
+WHERE round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
+                 WHEN len(da) = 0 OR len(db) = 0 THEN 0.0
+                 ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
+                      / (len(da) + len(db)
+                         - len(list_filter(da, x -> list_contains(db, x))))
+            END, 6) >= 0.5
+ORDER BY a, b
+"""
+
+
 def dedup_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs, Hamming ≤ 3 via banded pigeonhole
-    (rows-only)."""
+    """SimHash near-dup pairs, Hamming ≤ 3 via banded pigeonhole — the
+    banding is EXACT (any pair within Hamming 3 shares one of the 4
+    8-bit bands), so the full pipeline is SQL-gated: the oracle
+    recomputes the 32-bit bit-majority signature and the band join."""
     ds = _docs_with_dups(sf_dir)
     return F_dedup.simhash_near_pairs(ds, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM all_docs
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), tok AS (
+  SELECT doc_id, unnest(sh) AS h FROM sgl
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tok GROUP BY doc_id
+), sim AS (
+  SELECT a.doc_id, coalesce({sim_expr}, 0) AS s
+  FROM all_docs a LEFT JOIN bits USING (doc_id)
+), band AS (
+  SELECT doc_id, 0 AS band_id, s % 256 AS piece, s FROM sim
+  UNION ALL SELECT doc_id, 1, (s // 256) % 256, s FROM sim
+  UNION ALL SELECT doc_id, 2, (s // 65536) % 256, s FROM sim
+  UNION ALL SELECT doc_id, 3, (s // 16777216) % 256, s FROM sim
+), p AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.s AS sa, y.s AS sb
+  FROM band x JOIN band y ON x.band_id = y.band_id AND x.piece = y.piece
+                          AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM p WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY a, b
+"""
 
 
 # ================================================================ embeddings
@@ -703,11 +886,23 @@ FROM documents
 
 def multimodal_features(sf_dir: str):
     """Actor-pool decode/feature stage over opaque payloads (decode is a
-    deterministic stub — see functions/multimodal.py; rows-only)."""
+    deterministic stub — see functions/multimodal.py). Gated on the
+    decode CHECKSUM invariant (sum of the decoded byte window / 255),
+    which the SQL oracle reproduces; the random-projection feature vector
+    itself stays engine-side (model output, not SQL-expressible)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
     out = F_mm.extract_features(ds, concurrency=2, batch_size=256)
-    return out.select_columns(["media_id", "feat_norm"]).to_pandas()
+    return out.select_columns(["media_id", "decode_checksum"]).to_pandas()
+
+
+MULTIMODAL_FEATURES_SQL = """
+-- payload = utf-8 text bytes; documents are ASCII so codepoint == byte
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       round(coalesce(list_sum([unicode(x) FOR x IN split(substr(text, 1, 4096), '')]), 0)
+             / 255.0, 6) AS decode_checksum
+FROM documents
+"""
 
 
 # ===================================================== CDC engine (flagship)
@@ -761,16 +956,28 @@ def _run_doc_replay(sf_dir: str):
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/log", exist_ok=True)
     docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
-    # repartition → ≥4 log segment files so the replay spans ≥2 checkpoint
-    # windows (the incremental summary path is actually exercised;
-    # window planning is segment-file-granular)
-    docs.map_batches(_derive_doc_events, batch_format="pyarrow",
-                     zero_copy_batch=True).repartition(4).write_parquet(f"{root}/log")
+    # 4 log segment files split DETERMINISTICALLY by commit_seq % 4 so the
+    # window plan (files {0,1} → checkpoint 0, files {2,3} → checkpoint 1)
+    # is reproducible by the SQL audit oracle. The derived-log fixture is
+    # small; the event tables are gathered as Arrow blocks for the split
+    # (the replay itself stays fully distributed).
+    ev = pa.concat_tables(
+        ray.get(
+            docs.map_batches(
+                _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    cs4 = ev.column("commit_seq").to_numpy(zero_copy_only=False) % 4
+    sizes = []
+    for i in range(4):
+        part = ev.filter(pa.array(cs4 == i))
+        pq.write_table(part, f"{root}/log/events-{i:05d}.parquet")
+        sizes.append(part.num_rows)
     eng = ReplayEngine(f"{root}/lake", num_partitions=16)
-    # window size ~ half the log so the summaries are maintained across
-    # at least two checkpoint windows (incremental path exercised)
-    n_events = pq.ParquetDataset(f"{root}/log").read(columns=["seq"]).num_rows
-    eng.replay(f"{root}/log", window_events=max(50, n_events // 2))
+    # window_events = |f0| + |f1| → greedy planning closes checkpoint 0
+    # exactly after the first two files; files 2-3 form the tail window
+    eng.replay(f"{root}/log", window_events=max(1, sizes[0] + sizes[1]))
     return eng
 
 
@@ -870,17 +1077,17 @@ QUERIES: dict[str, QueryDef] = {
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL),
     "lang_distribution": QueryDef(lang_distribution, LANG_DISTRIBUTION_SQL),
     "dedup_exact_docs": QueryDef(dedup_exact_docs, DEDUP_EXACT_SQL),
-    "langid_heuristic": QueryDef(langid_heuristic, None),
-    "fingerprint_docs": QueryDef(fingerprint_docs, None),
-    "dedup_minhash_pairs": QueryDef(dedup_minhash_pairs, None),
-    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, None),
+    "langid_heuristic": QueryDef(langid_heuristic, LANGID_SQL),
+    "fingerprint_docs": QueryDef(fingerprint_docs, FINGERPRINT_SQL),
+    "dedup_minhash_pairs": QueryDef(dedup_minhash_pairs, _minhash_sql()),
+    "dedup_simhash_pairs": QueryDef(dedup_simhash_pairs, _simhash_sql()),
     # embeddings
     "knn_cosine_topk": QueryDef(knn_cosine_topk, KNN_SQL),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_neardup": QueryDef(embedding_neardup, NEARDUP_SQL),
     # multimodal
     "media_metadata": QueryDef(media_metadata, MEDIA_METADATA_SQL),
-    "multimodal_features": QueryDef(multimodal_features, None),
+    "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_FEATURES_SQL),
 }
 
 
@@ -1032,10 +1239,48 @@ FROM orders
 
 def cdc_audit_metrics(sf_dir: str):
     """Per-checkpoint audit rows of the doc-replay lake (SURVEY A9/S11:
-    audit_log statistics jsonb; rows-only — engine-internal metrics)."""
+    audit_log statistics jsonb). Gated on the windowing-derivable audit
+    columns — the SQL oracle replays the deterministic window plan
+    (commit_seq % 4 file split, files {0,1} / {2,3}) and recomputes
+    events_in / applied / stale / deletes / invalid per checkpoint."""
     eng = _run_doc_replay(sf_dir)
     rows = eng.metrics_history()
-    return pd.DataFrame(rows)
+    t = pd.DataFrame(rows)[
+        ["checkpoint_id", "events_in", "applied", "stale", "deletes", "invalid"]
+    ]
+    return t.astype("int64")
+
+
+CDC_AUDIT_SQL = """
+WITH ev AS (
+  SELECT doc_id,
+         unnest(range(0, (doc_id % 3) + 1
+                         + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)) AS v
+  FROM documents
+), w AS (
+  SELECT doc_id, v, doc_id * 10 + v AS cs,
+         CASE WHEN (doc_id * 10 + v) % 4 <= 1 THEN 0 ELSE 1 END AS ck
+  FROM ev
+), k AS (  -- per-key winner and event count per checkpoint window
+  SELECT doc_id, ck, max(cs) AS wcs, count(*) AS n_ev
+  FROM w GROUP BY doc_id, ck
+), j AS (  -- attach the prior-state watermark (checkpoint 0's winner)
+  SELECT k.doc_id, k.ck, k.wcs, k.n_ev,
+         CASE WHEN k.ck = 1 THEN p.wcs END AS prior_wcs,
+         -- winner op is a delete iff it is the doc's trailing D event
+         (k.doc_id % 11 = 0 AND k.wcs = k.doc_id * 10 + (k.doc_id % 3) + 1)
+           AS win_is_delete
+  FROM k LEFT JOIN k p ON p.doc_id = k.doc_id AND p.ck = 0 AND k.ck = 1
+)
+SELECT CAST(ck AS BIGINT) AS checkpoint_id,
+       CAST(sum(n_ev) AS BIGINT) AS events_in,
+       CAST(count(*) FILTER (wcs > coalesce(prior_wcs, -1)) AS BIGINT) AS applied,
+       CAST(count(*) FILTER (wcs <= coalesce(prior_wcs, -1)) AS BIGINT) AS stale,
+       CAST(count(*) FILTER (wcs > coalesce(prior_wcs, -1) AND win_is_delete)
+            AS BIGINT) AS deletes,
+       CAST(0 AS BIGINT) AS invalid
+FROM j GROUP BY ck ORDER BY ck
+"""
 
 
 QUERIES.update(
@@ -1044,7 +1289,7 @@ QUERIES.update(
         "distinct_dates_union": QueryDef(distinct_dates_union, DISTINCT_DATES_UNION_SQL),
         "angular_delta": QueryDef(angular_delta, ANGULAR_DELTA_SQL),
         "date_dimension": QueryDef(date_dimension, DATE_DIMENSION_SQL),
-        "cdc_audit_metrics": QueryDef(cdc_audit_metrics, None),
+        "cdc_audit_metrics": QueryDef(cdc_audit_metrics, CDC_AUDIT_SQL),
     }
 )
 
