@@ -1,0 +1,56 @@
+"""Geometry kernels: Douglas-Peucker polyline simplification.
+
+Reference analog: the 10 m trajectory simplification of
+``etl/rollup/sql/simplify_trajectories.sql:2`` (F9). Implemented as an
+iterative stack-based numpy kernel (no recursion limit, no Python
+per-point math in the inner distance computation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Boolean keep-mask of the Douglas-Peucker simplification of the
+    polyline (x, y) with tolerance ``eps`` (perpendicular distance).
+
+    Endpoints are always kept. Ties on the max-deviation point resolve to
+    the FIRST index (deterministic). O(n log n) typical; the per-segment
+    distance computation is vectorized.
+    """
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        xs = x[i0 + 1:i1]
+        ys = y[i0 + 1:i1]
+        dx = x[i1] - x[i0]
+        dy = y[i1] - y[i0]
+        seg_len = np.hypot(dx, dy)
+        if seg_len == 0.0:
+            d = np.hypot(xs - x[i0], ys - y[i0])
+        else:
+            # perpendicular distance to the chord
+            d = np.abs(dy * (xs - x[i0]) - dx * (ys - y[i0])) / seg_len
+        j = int(np.argmax(d))
+        if d[j] > eps:
+            split = i0 + 1 + j
+            keep[split] = True
+            stack.append((i0, split))
+            stack.append((split, i1))
+    return keep
+
+
+def simplify_polyline(x: np.ndarray, y: np.ndarray, eps: float):
+    """(x, y) arrays of the simplified polyline."""
+    m = douglas_peucker_mask(np.asarray(x, float), np.asarray(y, float), eps)
+    return np.asarray(x)[m], np.asarray(y)[m]

@@ -1384,6 +1384,257 @@ QUERIES.update(
 )
 
 
+def heatmap_tiles(sf_dir: str):
+    """Dense-grid parent rollup (SURVEY A5 — the reference's child-cell →
+    parent-tile raster regroup, heatmaps/01_count.sql:18-52): child grid
+    cells regrouped into 4×4 parent tiles, each tile emitting its DENSE
+    16-cell count grid (zeros for empty cells), serialized row-major for
+    engine-agnostic hashing. Child counts pre-aggregate BEFORE the tile
+    shuffle (the combiner discipline)."""
+    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        cx = pc.cast(pc.floor(t.column("l_quantity")), pa.int64())
+        cy = pc.cast(pc.floor(pc.divide(t.column("l_extendedprice"), 1000.0)), pa.int64())
+        return pa.table({"cell_x": cx, "cell_y": cy})
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        # per-batch combiner: cell counts + tile/offset + composite tile
+        # key, so ONE shuffle (on the tile bucket) carries only partials
+        c = cells(t).to_pandas().groupby(["cell_x", "cell_y"], sort=False,
+                                         as_index=False).size()
+        cx = c["cell_x"].to_numpy()
+        cy = c["cell_y"].to_numpy()
+        return pa.table(
+            {
+                "tile_x": pa.array(cx // 4),
+                "tile_y": pa.array(cy // 4),
+                "off": pa.array((cx % 4) * 4 + (cy % 4)),
+                "n": pa.array(c["size"].to_numpy().astype(np.int64)),
+                "tkey": pa.array((cx // 4) * 1_000_003 + (cy // 4)),
+            }
+        )
+
+    tiles = ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dense_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # merge partial counts, then vectorized scatter into dense rows
+        df = df.groupby(["tile_x", "tile_y", "off"], sort=False, as_index=False)["n"].sum()
+        key = df.groupby(["tile_x", "tile_y"], sort=False).ngroup().to_numpy()
+        n_tiles = int(key.max()) + 1 if len(key) else 0
+        dense = np.zeros((n_tiles, 16), dtype=np.int64)
+        dense[key, df["off"].to_numpy()] = df["n"].to_numpy()
+        first = pd.DataFrame({"k": key, "tx": df["tile_x"], "ty": df["tile_y"]}) \
+            .drop_duplicates("k").sort_values("k")
+        grids = [",".join(map(str, row)) for row in dense]
+        return pa.table(
+            {
+                "tile_x": pa.array(first["tx"].to_numpy()),
+                "tile_y": pa.array(first["ty"].to_numpy()),
+                "grid": pa.array(grids, pa.string()),
+            }
+        )
+
+    from etl_ray.stages.keyed import bucketed_groups
+
+    out = bucketed_groups(tiles, "tkey",
+                          lambda t: dense_partition(t.drop_columns(["tkey"])))
+    return out.to_pandas()
+
+
+HEATMAP_TILES_SQL = """
+WITH child AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS cx,
+         CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT cx // 4 AS tile_x, cy // 4 AS tile_y,
+         (cx % 4) * 4 + (cy % 4) AS off, n
+  FROM child
+), tiles AS (
+  SELECT DISTINCT tile_x, tile_y FROM t
+), dense AS (
+  SELECT ti.tile_x, ti.tile_y, o.i AS off, coalesce(x.n, 0) AS n
+  FROM tiles ti
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) o
+  LEFT JOIN t x ON x.tile_x = ti.tile_x AND x.tile_y = ti.tile_y AND x.off = o.i
+)
+SELECT tile_x, tile_y,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY off) AS grid
+FROM dense GROUP BY tile_x, tile_y
+"""
+
+
+def simplify_events_path(sf_dir: str):
+    """Douglas-Peucker polyline simplification per user (SURVEY F9,
+    simplify_trajectories.sql:2): each user's (minutes-since-epoch,
+    value) path simplified at eps=0.5; emits per-user point counts and
+    the simplified-value checksum. Deterministic (golden-fixture-gated in
+    tests/test_geometry.py; DP recursion is not SQL-expressible, so no
+    DuckDB oracle — the driver records the rows-only check)."""
+    from etl_ray.functions.geometry import douglas_peucker_mask
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def simplify_partition(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        x = df["ts"].to_numpy().astype("datetime64[m]").astype(np.float64)
+        y = df["value"].to_numpy()
+        starts = np.flatnonzero(~_prev_same_key(u))
+        ends = np.append(starts[1:], len(u))
+        rows = []
+        for s, e in zip(starts, ends):
+            m = douglas_peucker_mask(x[s:e], y[s:e], eps=0.5)
+            rows.append((int(u[s]), int(e - s), int(m.sum()),
+                         float(round_half_away(y[s:e][m].sum(), 3))))
+        out = pd.DataFrame(rows, columns=["user_id", "n_points", "n_kept", "kept_value_sum"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", simplify_partition).to_pandas()
+
+
+def join_order_lineitem(sf_dir: str):
+    """Large-large shuffle join (SURVEY J-class gap; Citus co-located
+    fact⋈dim join, staging_split_trajectories.sql:28): lineitem ⋈ orders
+    on orderkey with BOTH sides hash-partitioned — no broadcast side —
+    then a grouped rollup per order priority."""
+    from etl_ray.stages.joins import shuffle_join
+
+    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(lambda t: t.rename_columns(["okey", "l_extendedprice"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(_p(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["okey", "o_orderpriority"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(li, orders, on="okey", how="inner")
+    t = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_extendedprice", alias_name="total_price"),
+    ).to_pandas()
+    t["total_price"] = round_half_away(t["total_price"], 2)
+    return t
+
+
+JOIN_ORDER_LINEITEM_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def cdc_segments(sf_dir: str):
+    """Segment materialization (SURVEY K5/K7 — the reference's trajectory
+    builder finalize, builder.py:139-306): gap-split per user (>30 min),
+    ONE ROW PER SEGMENT with start/end, n_events, multi-column mode with
+    per-column NA policy (event_type exclude-NA; a derived value bin in
+    both exclude-NA and sentinel include-NA variants), and the
+    consecutive-dup-compressed (value, ts) sequence serialized as
+    v_milli@epoch_us pieces. Fully SQL-gated."""
+    from etl_ray.stages.segments import ModeSpec, materialize_segments
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        # value bin with deterministic planted nulls (event_id % 7 == 0)
+        # to exercise the NA policies
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        vb = (np.floor(np.abs(v)).astype(np.int64) % 5).astype(np.float64)
+        vb[eid % 7 == 0] = np.nan
+        return t.append_column("vbin", pa.array(vb, pa.float64()))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = materialize_segments(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        gap=pd.Timedelta(minutes=30),
+        value_col="value",
+        mode_specs=[
+            ModeSpec("event_type", "mode_event_type", "exclude"),
+            ModeSpec("vbin", "mode_vbin_excl", "exclude"),
+            ModeSpec("vbin", "mode_vbin_incl", "sentinel", sentinel=-1.0),
+        ],
+    ).to_pandas()
+    for c in ("mode_vbin_excl", "mode_vbin_incl"):
+        out[c] = out[c].astype("float64")
+    return out
+
+
+CDC_SEGMENTS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(abs(value)) AS BIGINT) % 5 END AS vbin,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS seg
+  FROM o
+), base AS (
+  SELECT user_id, seg,
+         min(ts) AS start_ts, max(ts) AS end_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, seg
+), met AS (  -- mode of event_type (exclude-NA), ties -> smallest
+  SELECT user_id, seg, event_type AS mode_event_type FROM (
+    SELECT user_id, seg, event_type,
+           row_number() OVER (PARTITION BY user_id, seg
+                              ORDER BY count(*) DESC, event_type ASC) AS rn
+    FROM s WHERE event_type IS NOT NULL GROUP BY user_id, seg, event_type
+  ) WHERE rn = 1
+), mve AS (  -- mode of vbin excluding NULLs
+  SELECT user_id, seg, CAST(vbin AS DOUBLE) AS mode_vbin_excl FROM (
+    SELECT user_id, seg, vbin,
+           row_number() OVER (PARTITION BY user_id, seg
+                              ORDER BY count(*) DESC, vbin ASC) AS rn
+    FROM s WHERE vbin IS NOT NULL GROUP BY user_id, seg, vbin
+  ) WHERE rn = 1
+), mvi AS (  -- mode of vbin with NULL -> sentinel -1 (include-NA)
+  SELECT user_id, seg, CAST(v2 AS DOUBLE) AS mode_vbin_incl FROM (
+    SELECT user_id, seg, coalesce(vbin, -1) AS v2,
+           row_number() OVER (PARTITION BY user_id, seg
+                              ORDER BY count(*) DESC, coalesce(vbin, -1) ASC) AS rn
+    FROM s GROUP BY user_id, seg, coalesce(vbin, -1)
+  ) WHERE rn = 1
+), seq AS (  -- consecutive-dup-compressed (value, ts) sequence
+  SELECT user_id, seg,
+         string_agg(CAST(CAST(round(value * 1000, 0) AS BIGINT) AS VARCHAR)
+                    || '@' || CAST(epoch_us(ts) AS VARCHAR), '|'
+                    ORDER BY ts, event_id) AS value_seq
+  FROM (
+    SELECT *, CASE WHEN lag(value) OVER w2 IS NULL
+                        OR lag(seg) OVER w2 IS DISTINCT FROM seg
+                        OR value <> lag(value) OVER w2
+                   THEN 1 ELSE 0 END AS keep
+    FROM s WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE keep = 1
+  GROUP BY user_id, seg
+)
+SELECT b.user_id, b.seg, b.start_ts, b.end_ts, b.n_events,
+       m.mode_event_type, e.mode_vbin_excl, i.mode_vbin_incl, q.value_seq
+FROM base b
+LEFT JOIN met m USING (user_id, seg)
+LEFT JOIN mve e USING (user_id, seg)
+LEFT JOIN mvi i USING (user_id, seg)
+LEFT JOIN seq q USING (user_id, seg)
+"""
+
+
 def knn_cosine_ivf(sf_dir: str):
     """Approximate ANN via the IVF coarse index (probe-limited scan) —
     rows-only (approximate by construction; recall vs the brute-force
@@ -1420,6 +1671,10 @@ FROM documents WHERE doc_id % 20 = 0
 
 QUERIES.update(
     {
+        "cdc_segments": QueryDef(cdc_segments, CDC_SEGMENTS_SQL),
+        "join_order_lineitem": QueryDef(join_order_lineitem, JOIN_ORDER_LINEITEM_SQL),
+        "heatmap_tiles": QueryDef(heatmap_tiles, HEATMAP_TILES_SQL),
+        "simplify_events_path": QueryDef(simplify_events_path, None),
         "knn_cosine_ivf": QueryDef(knn_cosine_ivf, None),
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
     }
