@@ -1208,10 +1208,29 @@ def date_dimension(sf_dir: str):
         ).unique("date_id")
     )
     iv = np.asarray(ids, dtype=np.int64)
-    d = pa.array(
-        pd.to_datetime(
-            {"year": iv // 10000, "month": (iv // 100) % 100, "day": iv % 100}
-        )
+    dt = pd.to_datetime(
+        {"year": iv // 10000, "month": (iv // 100) % 100, "day": iv % 100}
+    )
+    d = pa.array(dt)
+    years = (iv // 10000).astype(np.int64)
+    em, ed = easter_month_day(years)
+    easter = pd.to_datetime({"year": years, "month": em, "day": ed})
+    month = (iv // 100) % 100
+    day = iv % 100
+    # holiday set: Good Friday / Easter Sunday / Easter Monday (computus,
+    # the reference's calculate_easter.sql F6) + fixed-date holidays
+    is_holiday = (
+        (dt == easter)
+        | (dt == easter - pd.Timedelta(days=2))
+        | (dt == easter + pd.Timedelta(days=1))
+        | ((month == 12) & ((day == 25) | (day == 26)))
+        | ((month == 1) & (day == 1))
+    )
+    # meteorological season: 1 spring (Mar-May) ... 4 winter (Dec-Feb)
+    season = np.select(
+        [np.isin(month, [3, 4, 5]), np.isin(month, [6, 7, 8]),
+         np.isin(month, [9, 10, 11])],
+        [1, 2, 3], default=4,
     )
     return pa.table(
         {
@@ -1221,19 +1240,73 @@ def date_dimension(sf_dir: str):
             "day": pc.cast(pc.day(d), pa.int64()),
             "iso_dow": pc.cast(pc.day_of_week(d, count_from_zero=False, week_start=1), pa.int64()),
             "quarter": pc.cast(pc.quarter(d), pa.int64()),
+            "season": pa.array(season.astype(np.int64)),
+            "is_holiday": pa.array(is_holiday.to_numpy().astype(np.int64)),
         }
     ).to_pandas()
 
 
+def easter_month_day(years: np.ndarray):
+    """Gregorian Easter Sunday (anonymous Gauss computus) — vectorized.
+
+    Reference analog: ``etl/init/.../calculate_easter.sql:1-56`` (F6).
+    Pure integer arithmetic, mirrored verbatim by the SQL oracle.
+    """
+    y = years.astype(np.int64)
+    a = y % 19
+    b = y // 100
+    c = y % 100
+    d_ = b // 4
+    e = b % 4
+    f = (b + 8) // 25
+    g = (b - f + 1) // 3
+    h = (19 * a + b - d_ - g + 15) % 30
+    i = c // 4
+    k = c % 4
+    l = (32 + 2 * e + 2 * i - h - k) % 7
+    m = (a + 11 * h + 22 * l) // 451
+    month = (h + l - 7 * m + 114) // 31
+    day = ((h + l - 7 * m + 114) % 31) + 1
+    return month, day
+
+
 DATE_DIMENSION_SQL = """
-SELECT DISTINCT
-  CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 + day(o_orderdate) AS BIGINT) AS date_id,
-  CAST(year(o_orderdate) AS BIGINT) AS year,
-  CAST(month(o_orderdate) AS BIGINT) AS month,
-  CAST(day(o_orderdate) AS BIGINT) AS day,
-  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
-  CAST(quarter(o_orderdate) AS BIGINT) AS quarter
-FROM orders
+WITH dd AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+), e AS (  -- Gauss computus (calculate_easter.sql analog), per year
+  SELECT yr,
+         make_date(CAST(yr AS INTEGER),
+                   CAST((h + l - 7 * m + 114) // 31 AS INTEGER),
+                   CAST((h + l - 7 * m + 114) % 31 + 1 AS INTEGER)) AS easter
+  FROM (
+    SELECT yr, h, l, (a + 11 * h + 22 * l) // 451 AS m
+    FROM (
+      SELECT yr, a, (19 * a + b - b // 4 - (b - (b + 8) // 25 + 1) // 3 + 15) % 30 AS h,
+             (32 + 2 * (b % 4) + 2 * (c // 4)
+              - (19 * a + b - b // 4 - (b - (b + 8) // 25 + 1) // 3 + 15) % 30
+              - (c % 4)) % 7 AS l
+      FROM (SELECT yr, yr % 19 AS a, yr // 100 AS b, yr % 100 AS c
+            FROM (SELECT DISTINCT year(d) AS yr FROM dd))
+    )
+  )
+)
+SELECT
+  CAST(year(d) * 10000 + month(d) * 100 + day(d) AS BIGINT) AS date_id,
+  CAST(year(d) AS BIGINT) AS year,
+  CAST(month(d) AS BIGINT) AS month,
+  CAST(day(d) AS BIGINT) AS day,
+  CAST(isodow(d) AS BIGINT) AS iso_dow,
+  CAST(quarter(d) AS BIGINT) AS quarter,
+  CAST(CASE WHEN month(d) IN (3, 4, 5) THEN 1
+            WHEN month(d) IN (6, 7, 8) THEN 2
+            WHEN month(d) IN (9, 10, 11) THEN 3
+            ELSE 4 END AS BIGINT) AS season,
+  CAST(CASE WHEN d = easter OR d = easter - INTERVAL 2 DAY
+                 OR d = easter + INTERVAL 1 DAY
+                 OR (month(d) = 12 AND day(d) IN (25, 26))
+                 OR (month(d) = 1 AND day(d) = 1)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_holiday
+FROM dd JOIN e ON year(d) = e.yr
 """
 
 
@@ -1382,6 +1455,67 @@ QUERIES.update(
         "tumbling_window": QueryDef(tumbling_window, TUMBLING_WINDOW_SQL),
     }
 )
+
+
+def cdc_repair_fold(sf_dir: str):
+    """Order-dependent repair fold (SURVEY K3 — the reference's
+    mutation-during-scan SOG repair, builder.py:460-524): per user in
+    time order, a value jumping > 100 from the last GOOD value is
+    replaced by it; later comparisons see the REPAIRED value. SQL oracle
+    replays the fold with a recursive CTE stepping row-by-row."""
+    from etl_ray.stages.repair import repair_hold_last
+
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def run(t: pa.Table) -> pa.Table:
+        # repair + per-user summary in ONE partition pass (a map_batches
+        # summarize after the fold could split a user across batches)
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        keys = df["user_id"].to_numpy()
+        first = ~_prev_same_key(keys)
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(df))
+        v = df["value"].to_numpy()
+        rep = repair_hold_last(v, starts, ends, max_jump=100.0)
+        g = pd.DataFrame(
+            {"user_id": keys, "rep": rep, "was": rep != v}
+        ).groupby("user_id", sort=False, as_index=False).agg(
+            n_events=("rep", "size"),
+            n_repaired=("was", "sum"),
+            sum_repaired=("rep", "sum"),
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        g["n_repaired"] = g["n_repaired"].astype("int64")
+        g["sum_repaired"] = round_half_away(g["sum_repaired"], 3)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", run).to_pandas()
+
+
+CDC_REPAIR_FOLD_SQL = """
+WITH RECURSIVE o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, value, value AS rep, value AS last_good,
+         FALSE AS was_rep
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.value,
+         CASE WHEN abs(o.value - r.last_good) <= 100 THEN o.value
+              ELSE r.last_good END AS rep,
+         CASE WHEN abs(o.value - r.last_good) <= 100 THEN o.value
+              ELSE r.last_good END AS last_good,
+         abs(o.value - r.last_good) > 100 AS was_rep
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (was_rep) AS BIGINT) AS n_repaired,
+       round(sum(rep), 3) AS sum_repaired
+FROM r GROUP BY user_id
+"""
 
 
 def heatmap_tiles(sf_dir: str):
@@ -1674,6 +1808,7 @@ QUERIES.update(
         "cdc_segments": QueryDef(cdc_segments, CDC_SEGMENTS_SQL),
         "join_order_lineitem": QueryDef(join_order_lineitem, JOIN_ORDER_LINEITEM_SQL),
         "heatmap_tiles": QueryDef(heatmap_tiles, HEATMAP_TILES_SQL),
+        "cdc_repair_fold": QueryDef(cdc_repair_fold, CDC_REPAIR_FOLD_SQL),
         "simplify_events_path": QueryDef(simplify_events_path, None),
         "knn_cosine_ivf": QueryDef(knn_cosine_ivf, None),
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),

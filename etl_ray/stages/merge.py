@@ -34,6 +34,18 @@ from etl_ray.hashing import sha256_hex
 from etl_ray.schema import OP_DELETE
 from etl_ray.stages.validate import _keep_last_per_key
 
+_ARROW_PINNED = False
+
+
+def _pin_arrow_once() -> None:
+    """Pin Arrow's intra-op pool once per worker process (Ray already
+    parallelizes across tasks; per-call set_cpu_count is harmless but
+    repeated syscalls per group are waste)."""
+    global _ARROW_PINNED
+    if not _ARROW_PINNED:
+        pa.set_cpu_count(1)
+        _ARROW_PINNED = True
+
 #: Schema of the small stats table each merge call returns (metrics rows +
 #: per-(repo,lang) delta rows for the incremental rollups).
 STATS_SCHEMA = pa.schema(
@@ -155,7 +167,7 @@ def make_merge_fn(
     def merge(group: pa.Table) -> pa.Table:
         # single-threaded Arrow inside the task — Ray parallelizes across
         # partitions; per-worker thread pools would oversubscribe the node
-        pa.set_cpu_count(1)
+        _pin_arrow_once()
         if group.num_rows == 0:
             return STATS_SCHEMA.empty_table()
         part = int(group.column("part")[0].as_py())
@@ -217,6 +229,21 @@ def make_merge_fn(
             last[: n - 1] = np.invert(same_next.to_numpy(zero_copy_only=False))
         new_state = src.filter(pa.array(last))
 
+        # effective deletes (prior-live keys now tombstoned) folded into
+        # the same run-boundary pass — no extra per-partition join
+        src_np = src.column("_src").to_numpy(zero_copy_only=False)
+        del_np = pc.fill_null(src.column("deleted"), False).to_numpy(
+            zero_copy_only=False
+        )
+        run_starts = np.flatnonzero(np.concatenate(([True], last[:-1])))
+        prior_live_run = (
+            np.maximum.reduceat((src_np == 1) & ~del_np, run_starts)
+            if n
+            else np.zeros(0, dtype=bool)
+        )
+        kept_del = del_np[last]
+        deletes_eff = int(np.sum(prior_live_run.astype(bool) & kept_del))
+
         applied_mask = pc.equal(new_state.column("_src"), 0).combine_chunks()
         applied = int(pc.sum(applied_mask).as_py() or 0)
         stale = delta_t.num_rows - applied
@@ -256,7 +283,7 @@ def make_merge_fn(
         new_live = new_state.filter(live_mask)
         state_rows = new_live.num_rows
         tombstones = new_state.num_rows - state_rows
-        inserts = max(0, state_rows - prior_live.num_rows + deletes_effective(prior_live, new_state))
+        inserts = max(0, state_rows - prior_live.num_rows + deletes_eff)
         updates = upserts - inserts if upserts >= inserts else 0
         wm_col = applied_rows.column("commit_seq")
         prior_wm = -1
@@ -360,16 +387,3 @@ def make_merge_fn(
     return merge
 
 
-def deletes_effective(prior_live: pa.Table, new_state: pa.Table) -> int:
-    """Count prior-live keys that are tombstoned in the new state."""
-    if prior_live.num_rows == 0:
-        return 0
-    dead = new_state.filter(pc.fill_null(new_state.column("deleted"), False))
-    if dead.num_rows == 0:
-        return 0
-    j = prior_live.select(["repo", "path"]).join(
-        dead.select(["repo", "path"]).append_column("_d", pa.nulls(dead.num_rows, pa.int8()).fill_null(1)),
-        keys=["repo", "path"],
-        join_type="inner",
-    )
-    return j.num_rows

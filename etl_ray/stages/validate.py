@@ -69,7 +69,9 @@ def make_validate_fn(num_partitions: int, pre_reduce: bool = True):
         # Pin Arrow's intra-op thread pool inside the worker: Ray already
         # parallelizes across tasks, and N workers × N-thread Arrow pools
         # thrash the node (measured 3.5x slowdown at 32 CPUs, BASELINE.md).
-        pa.set_cpu_count(1)
+        from etl_ray.stages.merge import _pin_arrow_once
+
+        _pin_arrow_once()
         repo = batch.column("repo")
         path = batch.column("path")
         op = batch.column("op")
