@@ -185,7 +185,7 @@ def lsh_near_duplicates(
         LshBucketStage,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=_pool_size(),
         batch_size=4096,
     )
 
@@ -312,11 +312,16 @@ def ivf_topk(
     cent = np.stack([np.asarray(r["embedding"], np.float64) for r in cent_rows])
     cent_ref = ray.put(cent)
 
+    # TWO actor pools are alive at once in this pipeline (index +
+    # scan); size each to half the budget so together they never hold
+    # every CPU (stacked full-size pools deadlock the executor - the
+    # producer read tasks starve)
+    half_pool = max(1, _pool_size() // 2)
     assigned = ds.map_batches(
         IvfIndexStage,
         fn_constructor_kwargs={"centroids_ref": cent_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=half_pool,
         batch_size=4096,
     )
 
@@ -348,7 +353,7 @@ def ivf_topk(
             IvfScanStage,
             fn_constructor_kwargs={"scan_ref": scan_ref, "k": k, "id_col": id_col},
             batch_format="pyarrow",
-            concurrency=_pool_size(),
+            concurrency=half_pool,
             batch_size=4096,
         )
     )

@@ -34,7 +34,7 @@ from etl_ray.functions import similarity as F_sim
 from etl_ray.functions import text as F_text
 from etl_ray.functions.rounding import round_half_away
 from etl_ray.functions.scalar import smart_date_id
-from etl_ray.stages.keyed import bucketed_groups, sorted_pandas
+from etl_ray.stages.keyed import bucketed_groups, pool_size, sorted_pandas
 
 
 def _prev_same_key(keys: np.ndarray) -> np.ndarray:
@@ -557,7 +557,7 @@ def langid_heuristic(sf_dir: str):
     counts and first-max tie-break."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     out = ds.map_batches(F_text.LangIdStage, batch_format="pandas",
-                         concurrency=2, batch_size=1024)
+                         concurrency=pool_size(), batch_size=1024)
     return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
 
 
@@ -892,7 +892,7 @@ def multimodal_features(sf_dir: str):
     itself stays engine-side (model output, not SQL-expressible)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
-    out = F_mm.extract_features(ds, concurrency=2, batch_size=256)
+    out = F_mm.extract_features(ds, concurrency=pool_size(), batch_size=256)
     return out.select_columns(["media_id", "decode_checksum"]).to_pandas()
 
 

@@ -87,9 +87,21 @@ class ReplayEngine:
         cpus = 8
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", 8))
-        #: shuffle partitions for the routing exchange — capped by CPUs so
-        #: the hash-shuffle aggregator pool never oversubscribes the node
-        self.shuffle_partitions = max(2, min(num_partitions, cpus))
+        #: Effective Ray-Data concurrency cap. This VM's Ray Data block
+        #: path saturates near 16 concurrent workers (BASELINE.md §"Why
+        #: the single node caps efficiency": identical parquet-decode work
+        #: degrades 3-10x when issued as 32-way Ray Data tasks while ray
+        #: core + multiprocessing scale to 32). The cap is enforced via
+        #: execution_options.resource_limits (_parallelism_scope), which
+        #: bounds every stage including the shuffle's internal tasks —
+        #: measured 27s -> 16.9s for the 32-CPU sf0.1 bench. On a real
+        #: multi-node cluster set ETL_RAY_DATA_SATURATION to total worker
+        #: slots (or a large value to disable).
+        saturation = int(os.environ.get("ETL_RAY_DATA_SATURATION", "16"))
+        self._data_parallelism = max(2, min(cpus, saturation))
+        #: shuffle partitions for the routing exchange — capped by the
+        #: effective parallelism so the exchange never oversubscribes
+        self.shuffle_partitions = max(2, min(num_partitions, self._data_parallelism))
         self._cpus = cpus
         #: >0 → merge via the cross-window EnsureActor pool (the
         #: per-partition key→state index of stages/ensure.py) instead of
@@ -99,6 +111,34 @@ class ReplayEngine:
         self.ensure_actors = ensure_actors or int(
             os.environ.get("ETL_RAY_ENSURE_ACTORS", "0")
         )
+
+    @contextmanager
+    def _parallelism_scope(self):
+        """Cap the streaming executor at the effective data parallelism.
+
+        ``execution_options.resource_limits.cpu`` bounds EVERY stage of
+        the window pipeline (read, validate, sort-shuffle map/reduce,
+        merge) — per-task num_cpus alone cannot reach the shuffle's
+        internal tasks. Above the measured ~16-worker saturation point of
+        this VM's Ray Data block path, extra advertised CPUs make
+        pipelines SLOWER (BASELINE.md); on a real cluster set
+        ETL_RAY_DATA_SATURATION high to lift the cap.
+        """
+        if self._data_parallelism >= self._cpus:
+            yield
+            return
+        from ray.data import ExecutionResources
+        from ray.data.context import DataContext
+
+        ctx = DataContext.get_current()
+        saved = ctx.execution_options.resource_limits
+        ctx.execution_options.resource_limits = ExecutionResources(
+            cpu=self._data_parallelism
+        )
+        try:
+            yield
+        finally:
+            ctx.execution_options.resource_limits = saved
 
     @contextmanager
     def _shuffle_scope(self):
@@ -260,18 +300,35 @@ class ReplayEngine:
         # NOTE: the whole pipeline (incl. the read) is built inside the
         # shuffle scope — Ray snapshots DataContext at Dataset creation,
         # so a strategy set after read_window would not apply.
-        with self._shuffle_scope():
-            ds = read_window(
-                window, schema, override_num_blocks=max(2 * self._cpus, len(window.files))
-            )
+        # Block count: at least 2x the effective parallelism AND enough
+        # that a block stays ~64 MB of compressed parquet (~150-200 MB in
+        # memory). Sizing blocks to CPUs alone is a trap: a large window
+        # on few CPUs would produce GB-sized blocks and thrash the object
+        # store (measured 2-5x degradation on a 12.6M-event window).
+        window_bytes = sum(os.path.getsize(f) for f in window.files)
+        n_blocks = max(
+            2 * self._data_parallelism,
+            len(window.files),
+            int(window_bytes // (64 << 20)) + 1,
+        )
+        with self._parallelism_scope(), self._shuffle_scope():
+            ds = read_window(window, schema, override_num_blocks=n_blocks)
             ds = ds.map_batches(
                 make_validate_fn(self.num_partitions),
                 batch_format="pyarrow",
                 batch_size=self.batch_size,
                 zero_copy_batch=True,
             )
+            # shuffle partition count: CPU-based floor, data-based bump —
+            # a merge group materializes its whole slice (prior + delta),
+            # so groups are kept near ~128 MB of source data regardless
+            # of how few CPUs the cluster advertises
+            shuffle_parts = min(
+                self.num_partitions,
+                max(self.shuffle_partitions, int(window_bytes // (128 << 20)) + 1),
+            )
             stats_ds = ds.groupby(
-                "part", num_partitions=self.shuffle_partitions
+                "part", num_partitions=shuffle_parts
             ).map_groups(merge, batch_format="pyarrow")
             # tiny result: metrics + per-(repo,lang) delta rows only —
             # collected as Arrow blocks, never as Python row dicts

@@ -98,17 +98,25 @@ def read_window(
     schema: pa.Schema,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    num_cpus: float | None = None,
 ) -> rd.Dataset:
     """Read one window as a Dataset, null-filling columns a segment lacks.
 
     Passing the unified ``schema`` makes the pyarrow scanner backfill
     missing (evolved) columns with nulls — the additive-evolution path.
-    ``override_num_blocks`` sizes read blocks (~2×CPUs keeps per-block
-    overhead low without starving the pipeline).
+    ``override_num_blocks`` sizes read blocks (~2×effective-parallelism
+    keeps per-block overhead low without starving the pipeline).
+    ``num_cpus`` sizes read tasks so the read stage matches the engine's
+    effective-parallelism cap (and fuses with the validate stage, which
+    uses the same resource spec).
     """
+    kwargs = {}
+    if num_cpus is not None and num_cpus > 1:
+        kwargs["ray_remote_args"] = {"num_cpus": num_cpus}
     return rd.read_parquet(
         window.files,
         schema=schema,
         columns=columns,
         override_num_blocks=override_num_blocks,
+        **kwargs,
     )

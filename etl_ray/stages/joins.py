@@ -26,6 +26,16 @@ import ray.data as rd
 from etl_ray.stages.keyed import bucket_ids, default_buckets
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize Dataset.schema() types — pandas-backed datasets report
+    numpy/python types instead of Arrow DataTypes."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (object, str):
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -46,8 +56,8 @@ def shuffle_join(
     """
     b = n_buckets or default_buckets()
     ls, rs = left.schema(), right.schema()
-    l_fields = {n: t for n, t in zip(ls.names, ls.types)}
-    r_fields = {n: t for n, t in zip(rs.names, rs.types)}
+    l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     if on not in l_fields or on not in r_fields:
         raise ValueError(f"join key {on!r} missing from a side")
     l_rest = [n for n in ls.names if n != on]

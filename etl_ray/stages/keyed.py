@@ -44,12 +44,14 @@ def default_buckets(factor: int = 4, floor: int = 16) -> int:
 
 def pool_size() -> int:
     """Actor-pool concurrency for stateful map_batches stages: half the
-    cluster CPUs (leaves headroom for the read/shuffle stages feeding the
-    pool — an actor pool sized to ALL cores starves its producers)."""
+    cluster CPUs, and STRICTLY fewer than all of them — an actor pool
+    holding every core starves the producer stages feeding it and
+    deadlocks the pipeline (observed live: a 2-actor pool on a 2-CPU
+    cluster hung the KNN query indefinitely)."""
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, cpus // 2)
+    return max(1, min(cpus - 1, cpus // 2))
 
 
 def bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:

@@ -100,4 +100,4 @@ from etl_ray.functions.text import LangIdStage, add_token_count, quality_metrics
 register_stage("sha256")(add_sha256)
 register_stage("token_count")(add_token_count)
 register_stage("quality_metrics")(quality_metrics)
-register_stage("lang_id", batch_format="pandas", concurrency=2, batch_size=2048)(LangIdStage)
+register_stage("lang_id", batch_format="pandas", concurrency=None, batch_size=2048)(LangIdStage)
