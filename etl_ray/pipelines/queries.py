@@ -1457,6 +1457,126 @@ QUERIES.update(
 )
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram (k=3 token-shingle) Jaccard over the deterministic
+    planted-pair domain (doc, doc+100000 for doc_id % 10 == 0) — the
+    standalone Jaccard-verify operator (D-class), distributed via the
+    same bucketed pair⋈text join as the MinHash verify (no broadcast of
+    text). SQL oracle recomputes the shingle sets and set algebra."""
+    docs = _docs_with_dups(sf_dir)
+
+    def planted(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        base = t.filter(pa.array(ids % 10 == 0))
+        a = base.column("doc_id").cast(pa.int64())
+        return pa.table({"a": a, "b": pc.add(a, 100000)})
+
+    # pair domain needs only the id column of the RAW documents read —
+    # not the text-carrying dup-planting lineage
+    pairs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"]).map_batches(
+        planted, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = F_dedup._verify_pairs_bucketed(
+        docs, pairs.materialize(), k=3, threshold=-1.0, id_col="doc_id",
+        n_buckets=F_dedup.default_buckets(),
+    )
+    res = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    return res
+
+
+NGRAM_JACCARD_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM all_docs
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), p AS (
+  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents WHERE doc_id % 10 = 0
+), v AS (
+  SELECT p.a, p.b, list_distinct(xa.sh) AS da, list_distinct(xb.sh) AS db
+  FROM p JOIN sgl xa ON xa.doc_id = p.a JOIN sgl xb ON xb.doc_id = p.b
+)
+SELECT a, b,
+  round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
+             WHEN len(da) = 0 OR len(db) = 0 THEN 0.0
+             ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
+                  / (len(da) + len(db)
+                     - len(list_filter(da, x -> list_contains(db, x))))
+        END, 6) AS jaccard
+FROM v ORDER BY a, b
+"""
+
+
+def sliding_window(sf_dir: str):
+    """Sliding-window aggregate composed from the tumbling windows
+    (streaming-shaped custom op, SURVEY §2.10): per user, event count
+    over the current + immediately-preceding 6-hour window. The lag is a
+    whole-partition vectorized pass over the bucketed tumbling counts —
+    no watermark machinery needed for a bounded replay."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        wid = pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 21600.0)), pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "window_id": wid})
+
+    tumbling = (
+        ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "window_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def add_lag(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "window_id"])
+        u = df["user_id"].to_numpy()
+        w = df["window_id"].to_numpy()
+        n = df["n"].to_numpy()
+        prev = np.zeros(len(n), dtype=np.int64)
+        same = _prev_same_key(u)
+        adj = np.zeros(len(n), dtype=bool)
+        if len(n) > 1:
+            adj[1:] = same[1:] & (w[1:] == w[:-1] + 1)
+        prev[adj] = n[np.flatnonzero(adj) - 1]
+        df["n_sliding"] = n + prev
+        return pa.Table.from_pandas(
+            df[["user_id", "window_id", "n_sliding"]], preserve_index=False
+        )
+
+    out = bucketed_groups(tumbling, "user_id", add_lag).to_pandas()
+    out["n_sliding"] = out["n_sliding"].astype("int64")
+    return out
+
+
+SLIDING_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS window_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, window_id,
+       n + CASE WHEN lag(window_id) OVER w = window_id - 1
+                THEN lag(n) OVER w ELSE 0 END AS n_sliding
+FROM t WINDOW w AS (PARTITION BY user_id ORDER BY window_id)
+"""
+
+
 def cdc_repair_fold(sf_dir: str):
     """Order-dependent repair fold (SURVEY K3 — the reference's
     mutation-during-scan SOG repair, builder.py:460-524): per user in
@@ -1809,6 +1929,8 @@ QUERIES.update(
         "join_order_lineitem": QueryDef(join_order_lineitem, JOIN_ORDER_LINEITEM_SQL),
         "heatmap_tiles": QueryDef(heatmap_tiles, HEATMAP_TILES_SQL),
         "cdc_repair_fold": QueryDef(cdc_repair_fold, CDC_REPAIR_FOLD_SQL),
+        "ngram_jaccard_pairs": QueryDef(ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+        "sliding_window": QueryDef(sliding_window, SLIDING_WINDOW_SQL),
         "simplify_events_path": QueryDef(simplify_events_path, None),
         "knn_cosine_ivf": QueryDef(knn_cosine_ivf, None),
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
