@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+
 from etl_ray.sources.events import (
     Window,
     chain_fingerprint,
@@ -232,21 +233,74 @@ class ReplayEngine:
             "windows_total": base_windows + len(windows),
             "windows_skipped": base_windows,
         }
-        for w in windows:
-            if max_windows is not None and ran >= max_windows:
-                break
-            w.index += base_windows
-            for f in w.files:
-                import pyarrow.parquet as _pq
+        run_list = windows if max_windows is None else windows[:max_windows]
+        # Read-ahead (OFF by default): the read+validate of window i+1 is
+        # PURE (no dependence on prior lake state — only the merge needs
+        # the committed manifest), so it CAN materialize in a background
+        # thread while window i shuffles/merges/commits, without touching
+        # the exactly-once boundary (a crash discards the prefetch).
+        # Measured on the single-node sandbox it is a LOSS (28.1 s vs
+        # 16.2 s at 32 cpus): the two concurrent executions each carry
+        # their own resource limit, so the shared block data path runs
+        # 2x the saturation width. On a multi-node cluster where window
+        # i+1's read lands on different nodes' disks than window i's
+        # shuffle, enable with ETL_RAY_PREFETCH=1 and re-measure.
+        prefetch_on = os.environ.get("ETL_RAY_PREFETCH", "0") == "1"
+        prefetch: dict[int, Any] = {}
 
-                cursor_fp = chain_fingerprint(
-                    cursor_fp, f, _pq.read_metadata(f).num_rows
-                )
-            cursor_files += len(w.files)
-            out[f"window_{w.index}"] = self.run_window(
-                w, schema, log_cursor=(cursor_files, cursor_fp)
-            )
-            ran += 1
+        def _start_prefetch(idx: int):
+            import threading
+
+            # dataset CONSTRUCTION stays on the main thread — read_parquet
+            # path resolution does lazy driver-side imports that race when
+            # two threads construct datasets concurrently (observed:
+            # partially-imported fsspec module). Only the EXECUTION
+            # (materialize) runs in the background.
+            ds_next = self._build_validated(run_list[idx], schema)
+            holder: list = []
+
+            def go():
+                try:
+                    holder.append(ds_next.materialize())
+                except BaseException as e:  # surface on join
+                    holder.append(e)
+
+            t = threading.Thread(target=go, daemon=True)
+            t.start()
+            prefetch[idx] = (t, holder)
+
+        def _take_prefetch(idx: int):
+            if idx not in prefetch:
+                return None
+            t, holder = prefetch.pop(idx)
+            t.join()
+            if holder and isinstance(holder[0], BaseException):
+                return None  # fall back to a fresh build
+            return holder[0] if holder else None
+
+        try:
+            with self._parallelism_scope(), self._shuffle_scope():
+                for i, w in enumerate(run_list):
+                    w.index += base_windows
+                    for f in w.files:
+                        import pyarrow.parquet as _pq
+
+                        cursor_fp = chain_fingerprint(
+                            cursor_fp, f, _pq.read_metadata(f).num_rows
+                        )
+                    cursor_files += len(w.files)
+                    if prefetch_on and i + 1 < len(run_list):
+                        _start_prefetch(i + 1)
+                    out[f"window_{w.index}"] = self.run_window(
+                        w,
+                        schema,
+                        log_cursor=(cursor_files, cursor_fp),
+                        validated=_take_prefetch(i),
+                    )
+                    ran += 1
+        finally:
+            for t, _h in prefetch.values():
+                t.join()
         out["windows_run"] = ran
         m = self.store.current()
         if m:
@@ -254,17 +308,44 @@ class ReplayEngine:
             out["metrics"] = m.metrics
         return out
 
+    def _build_validated(self, window: Window, schema: pa.Schema) -> rd.Dataset:
+        """The pure (state-independent) prefix of the window pipeline:
+        pruned unified-schema read + validate/route/combine. Safe to
+        execute ahead of the previous window's commit."""
+        # Block count: at least 2x the effective parallelism AND enough
+        # that a block stays ~64 MB of compressed parquet (~150-200 MB in
+        # memory). Sizing blocks to CPUs alone is a trap: a large window
+        # on few CPUs would produce GB-sized blocks and thrash the object
+        # store (measured 2-5x degradation on a 12.6M-event window).
+        window_bytes = sum(os.path.getsize(f) for f in window.files)
+        n_blocks = max(
+            2 * self._data_parallelism,
+            len(window.files),
+            int(window_bytes // (64 << 20)) + 1,
+        )
+        with self._parallelism_scope(), self._shuffle_scope():
+            ds = read_window(window, schema, override_num_blocks=n_blocks)
+            return ds.map_batches(
+                make_validate_fn(self.num_partitions),
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                zero_copy_batch=True,
+            )
+
     def run_window(
         self,
         window: Window,
         schema: pa.Schema,
         log_cursor: tuple[int, str] | None = None,
+        validated: rd.Dataset | None = None,
     ) -> dict[str, Any]:
         """Execute one checkpoint window end-to-end and commit it.
 
         ``log_cursor`` = (segment files consumed after this window, chained
         prefix fingerprint) — persisted in the manifest as the durable
-        resume cursor.
+        resume cursor. ``validated``: optionally a pre-materialized
+        read+validate dataset for this window (the replay loop's
+        read-ahead); the merge/commit half always runs here.
         """
         t0 = time.perf_counter()
         prior = self.store.current() or Manifest(num_partitions=self.num_partitions)
@@ -297,27 +378,15 @@ class ReplayEngine:
             )
         else:
             merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
-        # NOTE: the whole pipeline (incl. the read) is built inside the
-        # shuffle scope — Ray snapshots DataContext at Dataset creation,
-        # so a strategy set after read_window would not apply.
-        # Block count: at least 2x the effective parallelism AND enough
-        # that a block stays ~64 MB of compressed parquet (~150-200 MB in
-        # memory). Sizing blocks to CPUs alone is a trap: a large window
-        # on few CPUs would produce GB-sized blocks and thrash the object
-        # store (measured 2-5x degradation on a 12.6M-event window).
+        # NOTE: pipelines are built inside the parallelism/shuffle scopes
+        # — Ray snapshots DataContext at Dataset creation, so settings
+        # applied after dataset construction would not apply.
         window_bytes = sum(os.path.getsize(f) for f in window.files)
-        n_blocks = max(
-            2 * self._data_parallelism,
-            len(window.files),
-            int(window_bytes // (64 << 20)) + 1,
-        )
         with self._parallelism_scope(), self._shuffle_scope():
-            ds = read_window(window, schema, override_num_blocks=n_blocks)
-            ds = ds.map_batches(
-                make_validate_fn(self.num_partitions),
-                batch_format="pyarrow",
-                batch_size=self.batch_size,
-                zero_copy_batch=True,
+            ds = (
+                validated
+                if validated is not None
+                else self._build_validated(window, schema)
             )
             # shuffle partition count: CPU-based floor, data-based bump —
             # a merge group materializes its whole slice (prior + delta),
