@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from etl_ray.stages.keyed import bucket_ids, default_buckets, pool_size
+from etl_ray.stages.keyed import bucket_ids, bucketed_groups, default_buckets, pool_size
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -34,17 +34,21 @@ def add_sha256(batch: pa.Table, text_col: str = "text", out: str = "content_sha2
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
     """Keep the min-id row per identical content hash.
 
-    hash column via map_batches → ``groupby(hash)`` (hash-partitioned, so
-    each group lands wholly in one task) → min-id winner per group.
+    hash column via map_batches → ``groupby(hash(sha) % B)`` — BUCKETED,
+    one vectorized pandas pass per partition, never a Python dispatch per
+    distinct document (the round-1 anti-pattern; stages/keyed.py). All
+    rows of a hash land in one bucket, so the min-id winner is global.
     """
     ds = ds.map_batches(
         lambda b: add_sha256(b, text_col), batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def first_per_hash(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([("content_sha256"), id_col], kind="stable")
+        df = df.drop_duplicates(subset="content_sha256", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return ds.groupby("content_sha256").map_groups(first, batch_format="pandas")
+    return bucketed_groups(ds, "content_sha256", first_per_hash)
 
 
 # --- shingles + MinHash ------------------------------------------------------
@@ -324,7 +328,11 @@ def _verify_pairs_bucketed(
     """
     import ray
 
-    # prune the text side: candidate-id set (ints only) ≪ corpus
+    # prune the text side: candidate-id set (ints only) ≪ corpus.
+    # Ray Data can emit COLUMNLESS empty blocks between stages (observed:
+    # "RefBundle with a different schema ... new schema: ."), and
+    # pa.concat_tables rejects the mismatched empty schema — drop
+    # zero-row tables before concatenating block refs (engine-wide rule).
     id_tables = [
         t
         for t in ray.get(
@@ -340,10 +348,13 @@ def _verify_pairs_bucketed(
                             )
                         )
                     }
-                ),
+                )
+                if t.num_rows
+                else pa.table({"id": pa.array([], pa.int64())}),
                 batch_format="pyarrow",
             ).to_arrow_refs()
         )
+        if t.num_rows
     ]
     if not id_tables or sum(t.num_rows for t in id_tables) == 0:
         return rd.from_arrow(
@@ -408,6 +419,12 @@ def _verify_pairs_bucketed(
             out = pdf.merge(tdf.drop_duplicates("id"), on="id", how="left").drop(
                 columns=["id"]
             )
+            # the union null-fill widened a/b to float64 in pandas; pair
+            # rows carry no nulls, so restore int64 HERE — downstream
+            # tag_pairs/tag_texts then agree on int64 and the union no
+            # longer mixes block schemas (the BENCH_r02 RefBundle warnings)
+            for c in ("a", "b"):
+                out[c] = out[c].astype("int64")
             return pa.Table.from_pandas(out, preserve_index=False)
 
         return (

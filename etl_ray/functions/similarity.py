@@ -63,30 +63,32 @@ def _partial_topk(
 ) -> pa.Table:
     """Per-batch partial top-k: emit ≤ n_queries × k candidate rows.
 
-    ``sims`` is the rounded (n_queries × n_rows) matrix. Selection order
-    matches the final merge (sim desc, id asc) so candidates that could
-    appear in the global top-k are never pruned locally — the candidate
-    stream through the shuffle is O(queries × k × blocks), not
-    O(queries × corpus)."""
+    ``sims`` is the rounded (n_queries × n_rows) matrix. Selection is one
+    row-wise ``np.lexsort`` on the composite key (sim desc, neighbor_id
+    asc) — EXACTLY the final merge's order, so a boundary tie can never
+    prune a neighbor the global order would keep (argpartition broke
+    boundary ties arbitrarily; with sims rounded to 6 dp such ties are
+    common). Emits ≤ n_queries × k rows; no per-query Python loop."""
     nq, nb = sims.shape
+    if nb == 0 or nq == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
     kk = min(k, nb)
-    out_q, out_n, out_s = [], [], []
-    if kk < nb:
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-    else:
-        part = np.broadcast_to(np.arange(nb), (nq, nb))
-    for i in range(nq):
-        sel = part[i]
-        s, n_ids = sims[i, sel], ids[sel]
-        order = np.lexsort((n_ids, -s))
-        out_q.append(np.full(kk, q_ids[i]))
-        out_n.append(n_ids[order])
-        out_s.append(s[order])
+    order = np.lexsort(
+        (np.broadcast_to(ids, sims.shape), -sims), axis=1
+    )[:, :kk]
+    sel_ids = ids[order]  # (nq, kk)
+    sel_sims = np.take_along_axis(sims, order, axis=1)
     return pa.table(
         {
-            "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
-            "neighbor_id": pa.array(np.concatenate(out_n).astype(np.int64)),
-            "sim": pa.array(np.concatenate(out_s)),
+            "query_id": pa.array(np.repeat(q_ids, kk).astype(np.int64)),
+            "neighbor_id": pa.array(sel_ids.ravel().astype(np.int64)),
+            "sim": pa.array(sel_sims.ravel().astype(np.float64)),
         }
     )
 
@@ -109,6 +111,10 @@ class BruteForceTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray Data can emit empty blocks
+            return _partial_topk(
+                np.empty(0, np.int64), np.empty((0, 0)), np.empty(0, np.int64), 1
+            )
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_matrix(batch.column("embedding")))
         sims = round_half_away(self.q_mat @ m.T, 6)  # (n_queries, batch)
@@ -189,20 +195,49 @@ def lsh_near_duplicates(
         batch_size=4096,
     )
 
-    def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        m = _normalize(np.stack(group["embedding"].to_numpy()).astype(np.float64))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        s = round_half_away(sims[ai, bi], 6)
-        keep = s >= threshold
-        a, bb = ids[ai][keep], ids[bi][keep]
-        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
-        return pd.DataFrame({"a": lo, "b": hi, "sim": s[keep]})
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        """Whole-partition verify: ONE lexsort + run detection over a
+        shuffle partition holding many whole LSH buckets (2^n_planes tiny
+        buckets would otherwise each pay a Python dispatch — the
+        candidate_pairs_partition pattern, stages/keyed.py)."""
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if t.num_rows < 2:
+            return empty
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64))
+        order = np.lexsort((ids, bucket))
+        bucket, ids, m = bucket[order], ids[order], m[order]
+        new_run = np.empty(len(ids), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = bucket[1:] != bucket[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b, out_s = [], [], []
+        for s0, e0 in zip(starts, ends):  # touches only buckets with ≥2 rows
+            if e0 - s0 < 2:
+                continue
+            gi, gm = ids[s0:e0], m[s0:e0]
+            sims = gm @ gm.T
+            ai, bi = np.triu_indices(len(gi), k=1)
+            s = round_half_away(sims[ai, bi], 6)
+            keep = s >= threshold
+            a, bb = gi[ai][keep], gi[bi][keep]
+            out_a.append(np.minimum(a, bb))
+            out_b.append(np.maximum(a, bb))
+            out_s.append(s[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "sim": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
 
-    pairs = b.groupby("bucket").map_groups(in_bucket, batch_format="pandas")
+    pairs = bucketed_groups(b, "bucket", pairs_partition)
     res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
@@ -282,6 +317,32 @@ class IvfScanStage:
         return t.filter(pc.greater(t.column("sim"), float("-inf")))
 
 
+class IvfFusedScanStage:
+    """Assign + probe-filter + scan fused into ONE actor: holds both the
+    centroid matrix and the query/probe state, so the pipeline needs a
+    single actor pool (pool_size()) instead of two stacked half-pools —
+    on a 2-CPU cluster two 1-actor pools held every CPU and starved the
+    producer read tasks (the documented deadlock mode)."""
+
+    def __init__(self, centroids_ref, scan_ref, wanted, k: int, id_col: str = "vec_id"):
+        self.index = IvfIndexStage(centroids_ref)
+        self.scan = IvfScanStage(scan_ref, k, id_col)
+        self.wanted = wanted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _partial_topk(
+                np.empty(0, np.int64), np.empty((0, 0)), np.empty(0, np.int64), 1
+            )
+        b = self.index(batch)
+        b = b.filter(pc.is_in(b.column("centroid_id"), value_set=self.wanted))
+        if b.num_rows == 0:
+            return _partial_topk(
+                np.empty(0, np.int64), np.empty((0, 0)), np.empty(0, np.int64), 1
+            )
+        return self.scan(b)
+
+
 def ivf_topk(
     ds: rd.Dataset,
     query_ids: list[int],
@@ -312,19 +373,6 @@ def ivf_topk(
     cent = np.stack([np.asarray(r["embedding"], np.float64) for r in cent_rows])
     cent_ref = ray.put(cent)
 
-    # TWO actor pools are alive at once in this pipeline (index +
-    # scan); size each to half the budget so together they never hold
-    # every CPU (stacked full-size pools deadlock the executor - the
-    # producer read tasks starve)
-    half_pool = max(1, _pool_size() // 2)
-    assigned = ds.map_batches(
-        IvfIndexStage,
-        fn_constructor_kwargs={"centroids_ref": cent_ref},
-        batch_format="pyarrow",
-        concurrency=half_pool,
-        batch_size=4096,
-    )
-
     qset = pa.array(list(query_ids), pa.int64())
     qrows = ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column(id_col), value_set=qset)),
@@ -341,20 +389,24 @@ def ivf_topk(
     wanted = pa.array(sorted({int(c) for row in probe for c in row}), pa.int32())
     scan_ref = ray.put({"ids": q_ids, "matrix": q_mat, "probe": probe_mat})
 
-    # scan only the probed buckets, IN the cluster: each batch computes
-    # sims vs all queries, masks rows whose centroid a query does not
-    # probe, and emits a partial top-k — no driver materialization
-    cand = (
-        assigned.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("centroid_id"), value_set=wanted)),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            IvfScanStage,
-            fn_constructor_kwargs={"scan_ref": scan_ref, "k": k, "id_col": id_col},
-            batch_format="pyarrow",
-            concurrency=half_pool,
-            batch_size=4096,
-        )
+    # ONE fused actor pool does assign → probe-filter → scan per batch:
+    # a single pool sized by pool_size() keeps the producer-starvation
+    # invariant (two stacked half-pools summed to every CPU on a 2-CPU
+    # cluster — the exact deadlock mode pool_size() documents). Each
+    # batch computes sims vs all queries, masks rows whose centroid a
+    # query does not probe, and emits a partial top-k — no driver
+    # materialization.
+    cand = ds.map_batches(
+        IvfFusedScanStage,
+        fn_constructor_kwargs={
+            "centroids_ref": cent_ref,
+            "scan_ref": scan_ref,
+            "wanted": wanted,
+            "k": k,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=_pool_size(),
+        batch_size=4096,
     )
     return _topk_merge(cand, k, exclude_self=True)

@@ -45,11 +45,30 @@ def _prev_same_key(keys: np.ndarray) -> np.ndarray:
     return same
 
 
+def _capped(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Run a query under the saturation cap (etl_ray/context.py): above
+    ~16 concurrent Ray-Data workers this VM's block path degrades, and
+    the round-2 uncapped query surface regressed 4 queries at 32 CPUs."""
+    import functools
+
+    from etl_ray.context import saturation_scope
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        with saturation_scope():
+            return fn(sf_dir)
+
+    return wrapped
+
+
 @dataclass
 class QueryDef:
     fn: Callable[[str], Any]
     sql: str | None
     doc: str = ""
+
+    def __post_init__(self):
+        self.fn = _capped(self.fn)
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -961,12 +980,18 @@ def _run_doc_replay(sf_dir: str):
     # is reproducible by the SQL audit oracle. The derived-log fixture is
     # small; the event tables are gathered as Arrow blocks for the split
     # (the replay itself stays fully distributed).
+    # drop zero-row block refs before concat: Ray Data can emit
+    # columnless empty blocks whose schema pa.concat_tables rejects
     ev = pa.concat_tables(
-        ray.get(
-            docs.map_batches(
-                _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
+        [
+            t
+            for t in ray.get(
+                docs.map_batches(
+                    _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
     )
     cs4 = ev.column("commit_seq").to_numpy(zero_copy_only=False) % 4
     sizes = []
@@ -1759,8 +1784,26 @@ def join_order_lineitem(sf_dir: str):
 
     li = rd.read_parquet(_p(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice"])
-    li = li.map_batches(lambda t: t.rename_columns(["okey", "l_extendedprice"]),
-                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial_per_okey(t: pa.Table) -> pa.Table:
+        # per-batch combiner: (count, sum) per orderkey BEFORE the join
+        # shuffle — the rollup only needs per-okey partials, so the
+        # exchange carries ~1 row per (okey, batch) instead of every
+        # lineitem row (~4x fewer bytes at lineitem:orders ≈ 4:1).
+        # Partials for the same okey from different batches join the
+        # SAME orders row and re-sum correctly downstream.
+        g = t.to_pandas().groupby("l_orderkey", sort=False, as_index=False).agg(
+            li_n=("l_extendedprice", "size"), li_sum=("l_extendedprice", "sum")
+        )
+        return pa.table(
+            {
+                "okey": pa.array(g["l_orderkey"].to_numpy()),
+                "li_n": pa.array(g["li_n"].to_numpy().astype(np.int64)),
+                "li_sum": pa.array(g["li_sum"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    li = li.map_batches(partial_per_okey, batch_format="pyarrow", zero_copy_batch=True)
     orders = rd.read_parquet(_p(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
     orders = orders.map_batches(
@@ -1768,9 +1811,10 @@ def join_order_lineitem(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     joined = shuffle_join(li, orders, on="okey", how="inner")
     t = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"),
-        Sum("l_extendedprice", alias_name="total_price"),
+        Sum("li_n", alias_name="n_items"),
+        Sum("li_sum", alias_name="total_price"),
     ).to_pandas()
+    t["n_items"] = t["n_items"].astype("int64")
     t["total_price"] = round_half_away(t["total_price"], 2)
     return t
 
@@ -1936,3 +1980,87 @@ QUERIES.update(
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
     }
 )
+
+
+# ===================================================== cascaded summaries
+
+def _cascade_cells(t: pa.Table) -> pa.Table:
+    """(cell_x, cell_y, value) for the cascade over events: cell_x =
+    floor(abs(value)), cell_y = hour-of-day — the spatial-grid analog of
+    the reference's ST_SquareGrid cells (staging/01_staging_cells.sql)."""
+    v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+    us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "cell_x": pa.array(np.floor(np.abs(v)).astype(np.int64)),
+            "cell_y": pa.array(((us // 3_600_000_000) % 24).astype(np.int64)),
+            "value": pa.array(v),
+        }
+    )
+
+
+def _make_cascade_query(agg):
+    """One gated query per declared agg type (the reference's five
+    heatmap types, heatmaps/01_count.sql…05_time.sql), each emitting the
+    FULL 3-level parent-linked cascade (apply_rollups.py:129-135)."""
+
+    def fn(sf_dir: str):
+        from etl_ray.pipelines.cascade import cascade_rollup
+
+        ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+        return cascade_rollup(ds, _cascade_cells, [agg], (1, 4, 16))
+
+    fn.__name__ = f"cascade_{agg.kind}"
+    return fn
+
+
+_CASCADE_SQL_TMPL = """
+WITH cellv AS (
+  SELECT CAST(floor(abs(value)) AS BIGINT) AS cx,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) % 24 AS cy,
+         value AS v
+  FROM events
+), l1 AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+         max(v) AS mx, min(v) AS mn
+  FROM cellv GROUP BY 1, 2
+), l4 AS (
+  SELECT cx // 4 AS cx, cy // 4 AS cy, CAST(sum(n) AS BIGINT) AS n,
+         sum(s) AS s, max(mx) AS mx, min(mn) AS mn
+  FROM l1 GROUP BY 1, 2
+), l16 AS (
+  SELECT cx // 4 AS cx, cy // 4 AS cy, CAST(sum(n) AS BIGINT) AS n,
+         sum(s) AS s, max(mx) AS mx, min(mn) AS mn
+  FROM l4 GROUP BY 1, 2
+), u AS (
+  SELECT CAST(1 AS BIGINT) AS level, cx AS cell_x, cy AS cell_y,
+         cx // 4 AS parent_x, cy // 4 AS parent_y, {expr} AS {out}
+  FROM l1
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), cx, cy, cx // 4, cy // 4, {expr} FROM l4
+  UNION ALL
+  SELECT CAST(16 AS BIGINT), cx, cy, CAST(-1 AS BIGINT),
+         CAST(-1 AS BIGINT), {expr} FROM l16
+)
+SELECT * FROM u ORDER BY level, cell_x, cell_y
+"""
+
+
+def _register_cascade_queries():
+    from etl_ray.pipelines.cascade import CascadeAgg
+
+    specs = {
+        "cascade_count": (CascadeAgg("count", "n"), "n"),
+        "cascade_sum": (CascadeAgg("sum", "sum_value", 3), "round(s, 3)"),
+        "cascade_max": (CascadeAgg("max", "max_value", 6), "round(mx, 6)"),
+        "cascade_min": (CascadeAgg("min", "min_value", 6), "round(mn, 6)"),
+        "cascade_avg": (CascadeAgg("mean", "avg_value", 6), "round(round(s, 6) / n, 6)"),
+    }
+    for name, (agg, expr) in specs.items():
+        QUERIES[name] = QueryDef(
+            _make_cascade_query(agg),
+            _CASCADE_SQL_TMPL.format(expr=expr, out=agg.out),
+        )
+
+
+_register_cascade_queries()

@@ -49,10 +49,11 @@ def shuffle_join(
     Schemas are read from dataset metadata once to build the unified
     tagged layout (null-filled columns for the other side).
 
-    Dtype note: the tagged union makes every non-key column nullable, so
-    integer columns surface as float64 in the joined pandas frame (the
-    usual pandas nullable-int widening). Cast downstream if exact integer
-    types matter.
+    Dtype note: the tagged union makes every non-key column nullable;
+    integer columns transiently widen to float64 in the per-bucket pandas
+    frame and are cast BACK to their declared integer types (nullable
+    Int64 where a LEFT join introduced real nulls) before the output
+    block is emitted — exact-integer joins are safe.
     """
     b = n_buckets or default_buckets()
     ls, rs = left.schema(), right.schema()
@@ -66,9 +67,17 @@ def shuffle_join(
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
 
+    # identical column ORDER on both tagged streams (union requirement)
+    order = [on, *l_rest, *r_rest, "_side", "_jbucket"]
+    all_fields = {**l_fields, **r_fields,
+                  "_side": pa.bool_(), "_jbucket": pa.int32()}
+    empty_tagged = pa.table({c: pa.array([], all_fields[c]) for c in order})
+
     def tag(side_rest, other_rest, other_fields, is_right: bool):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
+            if n == 0:  # Ray Data can emit COLUMNLESS empty blocks —
+                return empty_tagged  # pin the declared union schema
             out = {on: t.column(on)}
             for c in side_rest:
                 out[c] = t.column(c)
@@ -80,10 +89,9 @@ def shuffle_join(
 
         return fn
 
-    # identical column ORDER on both tagged streams (union requirement)
-    order = [on, *l_rest, *r_rest, "_side", "_jbucket"]
-
     def reorder(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_tagged
         return t.select(order)
 
     tagged = (
@@ -103,6 +111,19 @@ def shuffle_join(
         ldf = df[~is_r][[on, *l_rest]]
         rdf = df[is_r][[on, *r_rest]]
         out = ldf.merge(rdf, on=on, how=how)
+        # the tagged union null-fills widened integer columns to float64
+        # in pandas — restore the declared integer types here (nullable
+        # Int64 handles the genuine nulls a LEFT join introduces), so
+        # callers get exact integers back instead of the documented
+        # widening footgun
+        for c in out.columns:
+            want = all_fields.get(c)
+            if (
+                want is not None
+                and pa.types.is_integer(want)
+                and out[c].dtype.kind == "f"
+            ):
+                out[c] = out[c].astype("Int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("_jbucket").map_groups(
