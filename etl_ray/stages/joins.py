@@ -10,20 +10,33 @@ Shape: both sides are tagged into one union stream with a shared bucket
 key ``hash(join key) % B`` (ONE all-to-all exchange), then each bucket
 partition runs a single C-implemented pandas merge. Rows of a given key
 land in exactly one bucket, so the merge is complete by construction.
-Skew note: a pathologically hot key concentrates in one bucket — salt
-the key upstream (append ``key_salt = hash(row) % S`` to both sides and
-join on (key, salt) after replicating the smaller side S×) when a single
-key's rows exceed a worker's heap.
+
+Skew: pass ``salt_threshold=R`` and keys whose LEFT-side row count
+reaches R are SALTED — each hot left row gets a salt in [0, S) with
+S = ceil(count/R), each hot RIGHT row is replicated S× (once per salt),
+and the bucket key becomes hash(key, salt); a hot key's rows then spread
+over ≥ min(S, B) merge tasks, bounding per-task memory at ~R left rows.
+Detection is a per-batch combiner + one small (key, count) aggregate with
+the hot set (≤ |left|/R keys by construction) filtered IN-cluster before
+it reaches the driver — the Ray analog of the reference's density-based
+KD-tree partition rebalancing
+(``etl/partition_builder/02_kd_tree_construction.sql:36-60``,
+``03_best_split_horizontal.sql:1-40``).
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from etl_ray.stages.keyed import bucket_ids, default_buckets
+
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _arrow_type(t) -> pa.DataType:
@@ -36,12 +49,75 @@ def _arrow_type(t) -> pa.DataType:
     return pa.from_numpy_dtype(np.dtype(t))
 
 
+def detect_hot_keys(
+    ds: rd.Dataset, on: str, threshold: int, key_type: pa.DataType | None = None
+) -> dict:
+    """Keys of ``ds`` with ≥ ``threshold`` rows → {key: salt_ways}.
+
+    Per-batch partial counts (combiner) → one small groupby over (key,
+    partial) rows → in-cluster filter to the hot set before take_all —
+    the driver sees ≤ total_rows/threshold keys, never the histogram.
+    """
+    from ray.data.aggregate import Sum
+
+    kt = key_type or pa.int64()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({on: pa.array([], kt),
+                             "_hn": pa.array([], pa.int64())})
+        g = t.select([on]).to_pandas().groupby(on, as_index=False).size()
+        return pa.table({on: pa.array(g[on].to_numpy()),
+                         "_hn": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(on)
+        .aggregate(Sum("_hn", alias_name="_hn"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("_hn"), threshold)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return {r[on]: math.ceil(r["_hn"] / threshold) for r in totals}
+
+
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Full-width uint64 key hash (pre-modulus, for salt mixing)."""
+    from etl_ray.stages.keyed import _HASH_KEY
+
+    if pa.types.is_integer(col.type):
+        with np.errstate(over="ignore"):
+            return (
+                col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+                * _SALT_MIX
+            ) >> np.uint64(33)
+    arr = col.to_pandas().to_numpy(dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY)
+
+
+def _salted_buckets(col, salt: np.ndarray, b: int) -> pa.Array:
+    h = _hash64(col)
+    with np.errstate(over="ignore"):
+        h = h + salt.astype(np.uint64) * _SALT_MIX
+    return pa.array((h % b).astype(np.int32))
+
+
+def _salt_ways(keys: np.ndarray, hot: dict) -> np.ndarray:
+    """Per-row salt fan (1 for cold keys) — vectorized dict lookup."""
+    return (
+        pd.Series(keys).map(hot).fillna(1).astype(np.int64).to_numpy()
+    )
+
+
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
     on: str,
     how: str = "inner",
     n_buckets: int | None = None,
+    salt_threshold: int | None = None,
 ) -> rd.Dataset:
     """Distributed hash join of two large Datasets on column ``on``.
 
@@ -54,8 +130,20 @@ def shuffle_join(
     frame and are cast BACK to their declared integer types (nullable
     Int64 where a LEFT join introduced real nulls) before the output
     block is emitted — exact-integer joins are safe.
+
+    ``salt_threshold``: when set, LEFT-side keys with ≥ that many rows
+    are salted S = ceil(count/threshold) ways and the matching RIGHT rows
+    replicated S× (module docstring). Pick it as the per-merge-task row
+    budget (heap_bytes / avg_row_bytes). The big/probe side must be
+    ``left``; swap the call if the right side is the skewed one.
     """
     b = n_buckets or default_buckets()
+    hot: dict = {}
+    if salt_threshold is not None:
+        ls0 = left.schema()
+        kt = _arrow_type(dict(zip(ls0.names, ls0.types))[on])
+        hot = detect_hot_keys(left, on, salt_threshold, kt)
+        hot = {k: s for k, s in hot.items() if s > 1}
     ls, rs = left.schema(), right.schema()
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
@@ -73,18 +161,49 @@ def shuffle_join(
                   "_side": pa.bool_(), "_jbucket": pa.int32()}
     empty_tagged = pa.table({c: pa.array([], all_fields[c]) for c in order})
 
+    # hot-key set shipped ONCE via ray.put (bounded ≤ |left|/threshold
+    # keys), fetched from plasma per task — never re-shipped per batch
+    hot_ref = None
+    if hot:
+        import ray as _ray
+
+        hot_ref = _ray.put(hot)
+
     def tag(side_rest, other_rest, other_fields, is_right: bool):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
             if n == 0:  # Ray Data can emit COLUMNLESS empty blocks —
                 return empty_tagged  # pin the declared union schema
+            if hot_ref is not None:
+                import ray as _ray
+
+                h = _ray.get(hot_ref)
+                keys = t.column(on).to_pandas().to_numpy()
+                ways = _salt_ways(keys, h)
+                if is_right:
+                    # replicate hot rows S× — one copy per salt value, so
+                    # every salted left bucket sees the full right side
+                    idx = np.repeat(np.arange(n), ways)
+                    salt = np.arange(len(idx)) - np.repeat(
+                        np.cumsum(ways) - ways, ways
+                    )
+                    t = t.take(pa.array(idx))
+                else:
+                    # spread hot left rows: batch position mod the key's
+                    # salt fan — deterministic, vectorized, ~uniform
+                    salt = np.arange(n) % ways
+                n = t.num_rows
             out = {on: t.column(on)}
             for c in side_rest:
                 out[c] = t.column(c)
             for c in other_rest:
                 out[c] = pa.nulls(n, other_fields[c])
             out["_side"] = pa.nulls(n, pa.bool_()).fill_null(is_right)
-            out["_jbucket"] = bucket_ids(t.column(on), b)
+            out["_jbucket"] = (
+                _salted_buckets(t.column(on), salt, b)
+                if hot_ref is not None
+                else bucket_ids(t.column(on), b)
+            )
             return pa.table(out)
 
         return fn

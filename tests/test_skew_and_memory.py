@@ -101,3 +101,88 @@ def test_wide_content_with_small_batches(ray_session, tmp_path):
     assert set(state) == set(res.state)
     for k, row in res.state.items():
         assert state[k]["content_sha256"] == row["content_sha256"], k
+
+
+def test_salted_shuffle_join_spreads_hot_key(ray_session):
+    """VERDICT r2 #5: one key holds 50% of the left rows; with
+    ``salt_threshold`` the join (a) still produces exactly the unsalted
+    result and (b) spreads the hot key's rows over many buckets, so no
+    merge task materializes more than ~threshold left rows of that key.
+    Mirrors the reference's KD-tree density rebalance
+    (etl/partition_builder/02_kd_tree_construction.sql:36-60)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.stages.joins import (
+        _salt_ways,
+        _salted_buckets,
+        detect_hot_keys,
+        shuffle_join,
+    )
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    # key 7 = 50% of rows; the rest uniform over 100 cold keys
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 200, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 220, dtype=np.int64),
+         "rv": np.arange(0, 220, dtype=np.int64) * 10}
+    )
+    lds = rd.from_pandas(left)
+    rds = rd.from_pandas(right)
+
+    threshold = 200
+    hot = detect_hot_keys(lds, "k", threshold, key_type=None)
+    assert 7 in hot and hot[7] >= (keys == 7).sum() // threshold
+
+    plain = (
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right), on="k")
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    salted = (
+        shuffle_join(lds, rds, on="k", salt_threshold=threshold)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["k", "lv", "rv"]], salted[["k", "lv", "rv"]]
+    )
+
+    # spread evidence: the hot key's left rows land in ≥ min(S, B)/2
+    # distinct buckets under the salted bucket fn (per-task rows bounded)
+    s = hot[7]
+    hot_rows = np.flatnonzero(keys == 7)
+    ways = _salt_ways(keys[hot_rows], hot)
+    salt = np.arange(len(hot_rows)) % ways
+    b = 64
+    buckets = _salted_buckets(
+        pa.array(keys[hot_rows]), salt, b
+    ).to_numpy(zero_copy_only=False)
+    n_buckets_hit = len(np.unique(buckets))
+    assert n_buckets_hit >= min(s, b) // 2
+    counts = np.bincount(buckets, minlength=b)
+    assert counts.max() <= 3 * threshold  # bounded per-task hot-key rows
+
+
+def test_salted_left_join_parity(ray_session):
+    """Salting preserves LEFT-join semantics (unmatched hot rows appear
+    exactly once with nulls)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.stages.joins import shuffle_join
+
+    left = pd.DataFrame(
+        {"k": np.array([5] * 500 + [1, 2, 3] * 10, dtype=np.int64)}
+    )
+    left["lv"] = np.arange(len(left), dtype=np.int64)
+    right = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                          "rv": np.array([10, 20], dtype=np.int64)})
+    out = (
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     how="left", salt_threshold=100)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    assert len(out) == len(left)  # every left row exactly once
+    assert out[out["k"] == 5]["rv"].isna().all()
+    assert (out[out["k"] == 1]["rv"] == 10).all()
