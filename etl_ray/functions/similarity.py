@@ -289,7 +289,11 @@ class IvfIndexStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch.column("embedding")))
-        assign = np.argmax(m @ self.centroids.T, axis=1).astype(np.int32)
+        # round BEFORE argmax (ties → smallest centroid id, np.argmax
+        # first-max rule) so assignment is reproducible across engines —
+        # the SQL oracle ranks by (round(sim,6) DESC, cid ASC)
+        sims = round_half_away(m @ self.centroids.T, 6)
+        assign = np.argmax(sims, axis=1).astype(np.int32)
         return batch.append_column("centroid_id", pa.array(assign))
 
 
@@ -382,8 +386,11 @@ def ivf_topk(
     q_mat = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in qrows]))
     q_ids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     # probe membership as a dense (n_queries × n_centroids) bool matrix —
-    # tiny, broadcast once with the query matrix
-    probe = np.argsort(-(q_mat @ _normalize(cent).T), axis=1)[:, :n_probe]
+    # tiny, broadcast once with the query matrix. Rounded sims + STABLE
+    # argsort → ties resolve to the smaller centroid id, matching the
+    # SQL oracle's (sim DESC, cid ASC) ranking
+    probe_sims = round_half_away(q_mat @ _normalize(cent).T, 6)
+    probe = np.argsort(-probe_sims, axis=1, kind="stable")[:, :n_probe]
     probe_mat = np.zeros((len(q_ids), len(cent)), dtype=bool)
     probe_mat[np.arange(len(q_ids))[:, None], probe] = True
     wanted = pa.array(sorted({int(c) for row in probe for c in row}), pa.int32())

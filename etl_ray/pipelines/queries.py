@@ -1934,12 +1934,60 @@ LEFT JOIN seq q USING (user_id, seg)
 
 
 def knn_cosine_ivf(sf_dir: str):
-    """Approximate ANN via the IVF coarse index (probe-limited scan) —
-    rows-only (approximate by construction; recall vs the brute-force
-    baseline is pinned in tests/test_dedup_similarity.py)."""
+    """Approximate ANN via the IVF coarse index (probe-limited scan).
+
+    FULLY SQL-gated this round (VERDICT r2 #10): the index is
+    deterministic end-to-end — stride-selected centroids, assignment by
+    (round(sim,6) DESC, cid ASC) argmax, probe sets by the same rounded
+    ranking — so the DuckDB oracle replays the exact IVF algorithm, not
+    just a rows count. Recall vs brute force stays pinned in
+    tests/test_dedup_similarity.py."""
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return F_sim.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10,
                           n_probe=4, centroid_stride=25)
+
+
+KNN_IVF_SQL = """
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id % 25 = 0
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_cosine_similarity(v.ve, c.ce), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM v CROSS JOIN c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 5
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC,
+                      c.cid ASC) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= 4
+), s AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, v.ve), 6) AS sim
+  FROM q CROSS JOIN v
+  JOIN assign a ON a.vec_id = v.vec_id
+  JOIN probe p ON p.query_id = q.query_id AND p.cid = a.cid
+  WHERE v.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 10
+"""
 
 
 def sampled_docs(sf_dir: str):
@@ -1976,7 +2024,7 @@ QUERIES.update(
         "ngram_jaccard_pairs": QueryDef(ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
         "sliding_window": QueryDef(sliding_window, SLIDING_WINDOW_SQL),
         "simplify_events_path": QueryDef(simplify_events_path, None),
-        "knn_cosine_ivf": QueryDef(knn_cosine_ivf, None),
+        "knn_cosine_ivf": QueryDef(knn_cosine_ivf, KNN_IVF_SQL),
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
     }
 )
@@ -2064,3 +2112,165 @@ def _register_cascade_queries():
 
 
 _register_cascade_queries()
+
+
+# ==================================== smart time key + direction inference
+
+def smart_time_roundtrip(sf_dir: str):
+    """HHMMSS smart time key (SURVEY M9/F5, helper_functions.py:189-198)
+    + the (date_id, time_id) → timestamp reconstruction
+    (01_smart_date_time_id.sql:1-11): distinct pairs on a deterministic
+    event sample, each with its reconstructed timestamp and count. The
+    reconstruction runs on DISTINCT pairs only (bounded by 86400 ×
+    days, never by fact volume)."""
+    from etl_ray.functions.scalar import smart_time_id, timestamp_from_date_time_id
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(eid % 97 == 0))
+        g = pa.table(
+            {
+                "date_id": smart_date_id(kept.column("ts")),
+                "time_id": smart_time_id(kept.column("ts")),
+            }
+        ).to_pandas().groupby(["date_id", "time_id"], sort=False, as_index=False).size()
+        return pa.table(
+            {
+                "date_id": pa.array(g["date_id"].to_numpy().astype(np.int64)),
+                "time_id": pa.array(g["time_id"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["date_id", "time_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["ts_recon"] = pd.to_datetime(
+        [
+            timestamp_from_date_time_id(int(d), int(t))
+            for d, t in zip(out["date_id"], out["time_id"])
+        ]
+    )
+    return out.sort_values(["date_id", "time_id"]).reset_index(drop=True)
+
+
+SMART_TIME_ROUNDTRIP_SQL = """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT) AS date_id,
+       CAST(hour(ts) * 10000 + minute(ts) * 100 + second(ts) AS BIGINT) AS time_id,
+       CAST(count(*) AS BIGINT) AS n,
+       make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts),
+                      CAST(second(ts) AS DOUBLE)) AS ts_recon
+FROM events WHERE event_id % 97 = 0
+GROUP BY 1, 2, 4
+ORDER BY date_id, time_id
+"""
+
+
+#: the reference's 25-row dim_direction cross product {N,S,E,W,Unknown}²
+#: (etl/init/sql/13_dim_direction.sql:1-22) — a static broadcast dict (J9)
+_DIR_LABELS = ["N", "S", "E", "W", "Unknown"]
+
+
+def direction_classify(sf_dir: str):
+    """Entry/exit direction inference (SURVEY A3 — argmin edge distance
+    with an Unknown threshold, fact_cell_rollup.sql:36-37,61-74 +
+    dim_direction lookup): each user's first/last event position inside
+    its unit cell is classified by nearest edge (N,S,E,W in argmin tie
+    order, 'Unknown' beyond 0.2), then (entry, exit) maps through the
+    25-entry direction dict to direction_id = entry_idx*5 + exit_idx."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def classify_partition(t: pa.Table) -> pa.Table:
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        starts = np.flatnonzero(~_prev_same_key(u))
+        ends = np.append(starts[1:], len(u)) - 1
+        v = df["value"].to_numpy(dtype=np.float64)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+
+        def edge_label(idx: np.ndarray) -> np.ndarray:
+            px = v[idx] - np.floor(v[idx])
+            py = ((us[idx] // 1_000_000) % 3600) / 3600.0
+            # distances to edges in FIXED argmin tie order (N,S,E,W) —
+            # matches the SQL CASE evaluation order exactly
+            d = np.stack([1.0 - py, py, 1.0 - px, px])
+            lab = np.argmin(d, axis=0)
+            lab[d.min(axis=0) > 0.2] = 4  # Unknown threshold
+            return lab
+
+        e_idx = edge_label(starts)
+        x_idx = edge_label(ends)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts].astype(np.int64)),
+                "entry_dir": pa.array([_DIR_LABELS[i] for i in e_idx], pa.string()),
+                "exit_dir": pa.array([_DIR_LABELS[i] for i in x_idx], pa.string()),
+                "direction_id": pa.array((e_idx * 5 + x_idx).astype(np.int64)),
+            }
+        )
+
+    per_user = bucketed_groups(ds, "user_id", classify_partition)
+    out = (
+        per_user.groupby(["entry_dir", "exit_dir", "direction_id"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["direction_id"]).reset_index(drop=True)
+
+
+DIRECTION_CLASSIFY_SQL = """
+WITH o AS (
+  SELECT user_id, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+), fl AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN value END) AS v1,
+         max(CASE WHEN rn = 1 THEN ts END) AS t1,
+         max(CASE WHEN rn = cnt THEN value END) AS v2,
+         max(CASE WHEN rn = cnt THEN ts END) AS t2
+  FROM o GROUP BY user_id
+), pos AS (
+  SELECT user_id,
+         v1 - floor(v1) AS px1,
+         (epoch_us(t1) // 1000000 % 3600) / 3600.0 AS py1,
+         v2 - floor(v2) AS px2,
+         (epoch_us(t2) // 1000000 % 3600) / 3600.0 AS py2
+  FROM fl
+), lab AS (
+  SELECT user_id,
+    CASE WHEN least(1.0 - py1, py1, 1.0 - px1, px1) > 0.2 THEN 4
+         WHEN 1.0 - py1 <= py1 AND 1.0 - py1 <= 1.0 - px1 AND 1.0 - py1 <= px1 THEN 0
+         WHEN py1 <= 1.0 - px1 AND py1 <= px1 THEN 1
+         WHEN 1.0 - px1 <= px1 THEN 2 ELSE 3 END AS e_idx,
+    CASE WHEN least(1.0 - py2, py2, 1.0 - px2, px2) > 0.2 THEN 4
+         WHEN 1.0 - py2 <= py2 AND 1.0 - py2 <= 1.0 - px2 AND 1.0 - py2 <= px2 THEN 0
+         WHEN py2 <= 1.0 - px2 AND py2 <= px2 THEN 1
+         WHEN 1.0 - px2 <= px2 THEN 2 ELSE 3 END AS x_idx
+  FROM pos
+), dirs AS (SELECT unnest(['N','S','E','W','Unknown']) AS lbl,
+                   unnest([0,1,2,3,4]) AS i)
+SELECT de.lbl AS entry_dir, dx.lbl AS exit_dir,
+       CAST(l.e_idx * 5 + l.x_idx AS BIGINT) AS direction_id,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lab l JOIN dirs de ON de.i = l.e_idx JOIN dirs dx ON dx.i = l.x_idx
+GROUP BY 1, 2, 3
+ORDER BY direction_id
+"""
+
+
+QUERIES.update(
+    {
+        "smart_time_roundtrip": QueryDef(smart_time_roundtrip, SMART_TIME_ROUNDTRIP_SQL),
+        "direction_classify": QueryDef(direction_classify, DIRECTION_CLASSIFY_SQL),
+    }
+)
