@@ -161,7 +161,8 @@ class ReplayEngine:
         the window pipeline and restored after (Ray snapshots the
         context at Dataset creation — the read must happen inside).
         """
-        if os.environ.get("ETL_RAY_SHUFFLE", "sort") != "hash":
+        mode = os.environ.get("ETL_RAY_SHUFFLE", "sort")
+        if mode not in ("hash", "push"):
             yield
             return
         from ray.data.context import DataContext, ShuffleStrategy
@@ -172,9 +173,15 @@ class ReplayEngine:
             ctx.max_hash_shuffle_aggregators,
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
         )
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        ctx.max_hash_shuffle_aggregators = max(1, self._cpus // 2)
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        if mode == "push":
+            # push-based (magnet-style) sort shuffle: map outputs are
+            # pushed/merged eagerly instead of waiting at a strict
+            # map→reduce barrier
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        else:
+            ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+            ctx.max_hash_shuffle_aggregators = max(1, self._cpus // 2)
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
         try:
             yield
         finally:
@@ -183,6 +190,95 @@ class ReplayEngine:
                 ctx.max_hash_shuffle_aggregators,
                 ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
             ) = saved
+
+    # ------------------------------------------------- direct exchange
+
+    def _direct_exchange(self, ds: rd.Dataset, merge, shuffle_parts: int) -> list:
+        """Known-boundary routing exchange: 2-round map/reduce over raw
+        Ray tasks, returning the per-partition stats tables.
+
+        Why not ``groupby('part')``: Ray's sort-based AllToAll pays a
+        boundary-SAMPLING pass plus a full sort, but ``part`` is OUR
+        precomputed dense int in [0, num_partitions) — the reduce ranges
+        are known a priori (range(part) = part*S // P, contiguous), so
+        the exchange needs no sampling and no ordering (measured: the
+        Sort operator spent 7.6 s span for 4.6 s of compute on an 8-CPU
+        window; this path removes the sampling/sort span). The merge
+        fold re-sorts per key anyway (stages/merge.py LWW sort), so
+        block order into the reduce is irrelevant.
+
+        Partitioning assumptions (documented per the custom-operator
+        rule): 'part' is int32 in [0, P); every row of a part reaches
+        exactly one reduce range; staged-file writes inside ``merge``
+        are deterministic + atomic, so Ray task retries stay
+        exactly-once. Multi-node shape: round 1 runs where the validated
+        blocks live and ships only each reduce range's slice — the same
+        traffic pattern as the built-in shuffle.
+
+        Blocks are consumed via ``iter_internal_ref_bundles`` rather
+        than ``to_arrow_refs``: (a) bundles stream out while the
+        read+validate pipeline is still executing, so split tasks
+        OVERLAP the scan instead of waiting at a materialize barrier;
+        (b) ``to_arrow_refs`` internally calls
+        ``schema(fetch_if_missing=True)``, which re-executes a
+        ``limit(1)`` prefix of the whole pipeline — a measured ~0.9 s
+        of serial dead time per window.
+        """
+        P, S = self.num_partitions, shuffle_parts
+
+        @ray.remote(num_returns=S)
+        def split_block(t: pa.Table):
+            import numpy as _np
+
+            if t.num_rows == 0:
+                empty = t.slice(0, 0)
+                return [empty] * S if S > 1 else empty
+            part = t.column("part").to_numpy(zero_copy_only=False)
+            rng = (part.astype(_np.int64) * S) // P
+            order = _np.argsort(rng, kind="stable")
+            st = t.take(pa.array(order))
+            bounds = _np.searchsorted(rng[order], _np.arange(S + 1))
+            out = [
+                st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(S)
+            ]
+            return out if S > 1 else out[0]
+
+        @ray.remote
+        def merge_range(*slices):
+            import numpy as _np
+
+            ts = [s for s in slices if s.num_rows]
+            if not ts:
+                return merge(pa.table({}))  # empty → empty stats table
+            t = pa.concat_tables(ts, promote_options="default")
+            part = t.column("part").to_numpy(zero_copy_only=False)
+            order = _np.argsort(part, kind="stable")
+            t = t.take(pa.array(order))
+            ps = part[order]
+            starts = _np.flatnonzero(
+                _np.concatenate(([True], ps[1:] != ps[:-1]))
+            )
+            ends = _np.append(starts[1:], len(ps))
+            outs = [
+                merge(t.slice(s, e - s)) for s, e in zip(starts, ends)
+            ]
+            outs = [o for o in outs if o.num_rows]
+            return (
+                pa.concat_tables(outs, promote_options="default")
+                if outs
+                else merge(pa.table({}))
+            )
+
+        slice_refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                r = split_block.remote(block_ref)
+                slice_refs.append([r] if S == 1 else r)
+        out_refs = [
+            merge_range.remote(*[row[i] for row in slice_refs])
+            for i in range(S)
+        ]
+        return [t for t in ray.get(out_refs) if t.num_rows]
 
     # ------------------------------------------------------------------ run
 
@@ -396,12 +492,23 @@ class ReplayEngine:
                 self.num_partitions,
                 max(self.shuffle_partitions, int(window_bytes // (128 << 20)) + 1),
             )
-            stats_ds = ds.groupby(
-                "part", num_partitions=shuffle_parts
-            ).map_groups(merge, batch_format="pyarrow")
-            # tiny result: metrics + per-(repo,lang) delta rows only —
-            # collected as Arrow blocks, never as Python row dicts
-            blocks = [t for t in ray.get(stats_ds.to_arrow_refs()) if t.num_rows]
+            if os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct":
+                # default: the known-boundary 2-round exchange (below) —
+                # no sampling pass, no sort barrier
+                blocks = self._direct_exchange(ds, merge, shuffle_parts)
+                stats_ds = None
+            else:
+                stats_ds = ds.groupby(
+                    "part", num_partitions=shuffle_parts
+                ).map_groups(merge, batch_format="pyarrow")
+                # tiny result: metrics + per-(repo,lang) delta rows only —
+                # collected as Arrow blocks, never as Python row dicts
+                blocks = [
+                    t for t in ray.get(stats_ds.to_arrow_refs()) if t.num_rows
+                ]
+        t_exec = time.perf_counter() - t0
+        if os.environ.get("ETL_RAY_PROFILE") and stats_ds is not None:
+            print(stats_ds.stats())
         stats_t = (
             pa.concat_tables(blocks, promote_options="default") if blocks else None
         )
@@ -481,6 +588,7 @@ class ReplayEngine:
         m.summaries = {k: self.store.rel_path(v) for k, v in summary_paths.items()}
 
         agg["window_rows"] = window.rows
+        agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
         agg["wall_sec"] = round(time.perf_counter() - t0, 4)
         m.metrics = agg
         self.store.commit(m)  # ← the exactly-once boundary
