@@ -43,6 +43,28 @@ from etl_ray.sources.events import (
     unified_schema,
 )
 from etl_ray.stages.merge import make_merge_fn
+
+#: per-slice audit-count schema carried through the cascaded exchange
+_COUNTS_SCHEMA = pa.schema(
+    [("part", pa.int32()), ("events_in", pa.int64()), ("invalid", pa.int64())]
+)
+_COUNTS_EMPTY = _COUNTS_SCHEMA.empty_table()
+
+
+def _sum_counts(tables: list[pa.Table]) -> pa.Table:
+    """Associative fold of per-part (events_in, invalid) count tables."""
+    ts = [t for t in tables if t.num_rows]
+    if not ts:
+        return _COUNTS_EMPTY
+    t = pa.concat_tables(ts)
+    g = t.group_by("part").aggregate([("events_in", "sum"), ("invalid", "sum")])
+    return pa.table(
+        {
+            "part": g.column("part"),
+            "events_in": g.column("events_in_sum"),
+            "invalid": g.column("invalid_sum"),
+        }
+    )
 from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
 from etl_ray.pipelines import rollups
@@ -223,61 +245,145 @@ class ReplayEngine:
         ``schema(fetch_if_missing=True)``, which re-executes a
         ``limit(1)`` prefix of the whole pipeline — a measured ~0.9 s
         of serial dead time per window.
+
+        CASCADED FOLDING: the LWW keep-last comparator (repo, path,
+        commit_seq, seq, commit, content) is a total order, so per-key
+        max is ASSOCIATIVE — slices of a reduce range can be pre-folded
+        pairwise/k-wise as they arrive, in any tree shape, and the final
+        winner set is byte-identical. Every ``ETL_RAY_FOLD_FANIN``
+        slices per range are combined by a ``fold`` task while the scan
+        is still decoding upstream blocks, which (a) hides most of the
+        merge CPU inside the scan's wall time — the scan is memory-bus
+        bound on this VM and leaves CPUs idle that folds can use — and
+        (b) dedups in-window losers early, so the final merge_range sees
+        roughly the per-key winner set instead of the full event stream
+        (smaller peak memory per reduce task at any scale). Audit-metric
+        parity: per-part (events_in, invalid) counts are taken at split
+        time, BEFORE any folding, and carried alongside the rows
+        (summed, associative) — merge_delta reports exactly what the
+        one-shot group path would.
         """
         P, S = self.num_partitions, shuffle_parts
+        fanin = max(2, int(os.environ.get("ETL_RAY_FOLD_FANIN", "8")))
+        delta_fn = merge.delta_fn
 
         @ray.remote(num_returns=S)
         def split_block(t: pa.Table):
             import numpy as _np
 
             if t.num_rows == 0:
-                empty = t.slice(0, 0)
+                empty = (t.slice(0, 0), _COUNTS_EMPTY)
                 return [empty] * S if S > 1 else empty
-            part = t.column("part").to_numpy(zero_copy_only=False)
-            rng = (part.astype(_np.int64) * S) // P
+            part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
+            valid = pc.fill_null(t.column("_valid"), False).to_numpy(
+                zero_copy_only=False
+            )
+            # pre-fold audit counts, per part (events_in incl. invalid)
+            ev = _np.bincount(part, minlength=P)
+            inv = _np.bincount(part[~valid], minlength=P)
+            nz = _np.flatnonzero(ev)
+            counts = pa.table(
+                {
+                    "part": pa.array(nz.astype(_np.int32)),
+                    "events_in": pa.array(ev[nz]),
+                    "invalid": pa.array(inv[nz]),
+                }
+            )
+            t = t.filter(pa.array(valid)).drop_columns(["_valid"])
+            part_v = t.column("part").to_numpy(zero_copy_only=False).astype(
+                _np.int64
+            )
+            rng = (part_v * S) // P
             order = _np.argsort(rng, kind="stable")
             st = t.take(pa.array(order))
             bounds = _np.searchsorted(rng[order], _np.arange(S + 1))
+            crng = (nz * S) // P  # nz ascending → counts contiguous per range
+            cbounds = _np.searchsorted(crng, _np.arange(S + 1))
             out = [
-                st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(S)
+                (
+                    st.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                    counts.slice(cbounds[i], cbounds[i + 1] - cbounds[i]),
+                )
+                for i in range(S)
             ]
             return out if S > 1 else out[0]
 
         @ray.remote
-        def merge_range(*slices):
+        def fold(*pairs):
+            from etl_ray.stages.merge import _pin_arrow_once
+            from etl_ray.stages.validate import _keep_last_per_key
+
+            _pin_arrow_once()
+            ts = [p[0] for p in pairs if p[0].num_rows]
+            rows = (
+                _keep_last_per_key(pa.concat_tables(ts, promote_options="default"))
+                if ts
+                else pairs[0][0]
+            )
+            return rows, _sum_counts([p[1] for p in pairs])
+
+        @ray.remote
+        def merge_range(*pairs):
             import numpy as _np
 
-            ts = [s for s in slices if s.num_rows]
-            if not ts:
-                return merge(pa.table({}))  # empty → empty stats table
-            t = pa.concat_tables(ts, promote_options="default")
-            part = t.column("part").to_numpy(zero_copy_only=False)
-            order = _np.argsort(part, kind="stable")
-            t = t.take(pa.array(order))
-            ps = part[order]
-            starts = _np.flatnonzero(
-                _np.concatenate(([True], ps[1:] != ps[:-1]))
+            from etl_ray.stages.merge import STATS_SCHEMA
+            from etl_ray.stages.validate import _keep_last_per_key
+
+            counts = _sum_counts([p[1] for p in pairs])
+            ts = [p[0] for p in pairs if p[0].num_rows]
+            rows = (
+                _keep_last_per_key(pa.concat_tables(ts, promote_options="default"))
+                if ts
+                else pairs[0][0]
+            )
+            part_np = rows.column("part").to_numpy(zero_copy_only=False)
+            order = _np.argsort(part_np, kind="stable")
+            rows = rows.take(pa.array(order))
+            ps = part_np[order]
+            starts = (
+                _np.flatnonzero(_np.concatenate(([True], ps[1:] != ps[:-1])))
+                if len(ps)
+                else _np.zeros(0, dtype=_np.int64)
             )
             ends = _np.append(starts[1:], len(ps))
-            outs = [
-                merge(t.slice(s, e - s)) for s, e in zip(starts, ends)
-            ]
+            cnt = {
+                int(p): (int(e), int(i))
+                for p, e, i in zip(
+                    counts.column("part").to_pylist(),
+                    counts.column("events_in").to_pylist(),
+                    counts.column("invalid").to_pylist(),
+                )
+            }
+            outs, seen = [], set()
+            for s, e in zip(starts, ends):
+                part = int(ps[s])
+                seen.add(part)
+                ein, inv = cnt.get(part, (int(e - s), 0))
+                outs.append(delta_fn(part, rows.slice(s, e - s), ein, inv))
+            empty_delta = rows.slice(0, 0)
+            for part, (ein, inv) in cnt.items():
+                # parts whose window rows were ALL invalid still get a
+                # metrics row (events_in/invalid audit parity)
+                if part not in seen:
+                    outs.append(delta_fn(part, empty_delta, ein, inv))
             outs = [o for o in outs if o.num_rows]
             return (
                 pa.concat_tables(outs, promote_options="default")
                 if outs
-                else merge(pa.table({}))
+                else STATS_SCHEMA.empty_table()
             )
 
-        slice_refs = []
+        pending: list[list] = [[] for _ in range(S)]
         for bundle in ds.iter_internal_ref_bundles():
             for block_ref in bundle.block_refs:
                 r = split_block.remote(block_ref)
-                slice_refs.append([r] if S == 1 else r)
-        out_refs = [
-            merge_range.remote(*[row[i] for row in slice_refs])
-            for i in range(S)
-        ]
+                for i in range(S):
+                    pending[i].append(r if S == 1 else r[i])
+                    if len(pending[i]) >= fanin:
+                        pending[i] = [fold.remote(*pending[i])]
+        if not any(pending):
+            return []
+        out_refs = [merge_range.remote(*pending[i]) for i in range(S)]
         return [t for t in ray.get(out_refs) if t.num_rows]
 
     # ------------------------------------------------------------------ run

@@ -56,8 +56,13 @@ class EnsureActor:
         staging_dir: str,
         payload_types: dict[str, str],
         ckpt_id: int,
+        counts: tuple[int, int] | None = None,
     ) -> pa.Table:
-        """Apply one window's delta for one partition; returns stats table."""
+        """Apply one window's delta for one partition; returns stats table.
+
+        ``counts=(events_in, invalid)`` marks ``delta`` as already
+        validated + per-key combined (the cascaded streaming exchange);
+        ``None`` means a raw routed group carrying ``_valid``."""
         import pyarrow.parquet as pq
 
         cached = self.cache.get(part)
@@ -72,7 +77,10 @@ class EnsureActor:
             staging_dir, {}, payload_types, ckpt_id,
             prior_override=prior, prior_override_path=prior_file,
         )
-        stats = fn(delta)
+        if counts is not None:
+            stats = fn.delta_fn(part, delta, counts[0], counts[1])
+        else:
+            stats = fn(delta)
         # refresh the cache from the staged file we just wrote (or keep
         # prior when unchanged)
         # cache key = the checkpoint the manifest will record for this
@@ -171,4 +179,29 @@ def make_actor_merge_fn(
                 # to the restarted actor instance automatically
         raise last_err
 
+    def delta_fn(
+        part: int, delta: pa.Table, events_in: int, invalid: int
+    ) -> pa.Table:
+        """Precombined-delta entry (cascaded exchange) — same actor
+        routing/retry discipline as ``route``."""
+        actor = actors[part % num_actors]
+        last_err: Exception | None = None
+        for attempt in range(4):
+            try:
+                return ray.get(
+                    actor.merge_window.remote(
+                        part, delta, prior_ckpts.get(part, -1),
+                        prior_files.get(part), staging_dir, payload_types,
+                        ckpt_id, counts=(events_in, invalid),
+                    )
+                )
+            except (ray.exceptions.ActorUnavailableError,
+                    ray.exceptions.ActorDiedError) as e:
+                last_err = e
+                import time as _t
+
+                _t.sleep(0.5 * (attempt + 1))
+        raise last_err
+
+    route.delta_fn = delta_fn
     return route

@@ -164,18 +164,15 @@ def make_merge_fn(
         ("deleted", pa.bool_()), ("part", pa.int32()),
     ] + extra_cols
 
-    def merge(group: pa.Table) -> pa.Table:
-        # single-threaded Arrow inside the task — Ray parallelizes across
-        # partitions; per-worker thread pools would oversubscribe the node
+    def merge_delta(
+        part: int, delta: pa.Table, events_in: int, invalid: int
+    ) -> pa.Table:
+        """Core fold on an already-combined delta (valid rows, one winner
+        per key). ``events_in``/``invalid`` are the pre-combine counts —
+        carried separately so callers that reduce upstream (the cascaded
+        streaming exchange, replay.py) report identical audit metrics to
+        the one-shot group path below."""
         _pin_arrow_once()
-        if group.num_rows == 0:
-            return STATS_SCHEMA.empty_table()
-        part = int(group.column("part")[0].as_py())
-        valid_mask = group.column("_valid").combine_chunks()
-        invalid = int(pc.sum(pc.invert(valid_mask)).as_py() or 0)
-        events_in = group.num_rows
-        delta = _keep_last_per_key(group.filter(valid_mask))
-
         if prior_override is not None:
             prior_path = prior_override_path
             prior = prior_override
@@ -384,6 +381,20 @@ def make_merge_fn(
         )
         return pa.concat_tables([metrics_row, delta_rows])
 
+    def merge(group: pa.Table) -> pa.Table:
+        # single-threaded Arrow inside the task — Ray parallelizes across
+        # partitions; per-worker thread pools would oversubscribe the node
+        _pin_arrow_once()
+        if group.num_rows == 0:
+            return STATS_SCHEMA.empty_table()
+        part = int(group.column("part")[0].as_py())
+        valid_mask = group.column("_valid").combine_chunks()
+        invalid = int(pc.sum(pc.invert(valid_mask)).as_py() or 0)
+        events_in = group.num_rows
+        delta = _keep_last_per_key(group.filter(valid_mask))
+        return merge_delta(part, delta, events_in, invalid)
+
+    merge.delta_fn = merge_delta
     return merge
 
 
