@@ -165,10 +165,35 @@ def run_scaling(sf_dir: str) -> dict:
       sizes it amortizes away, so the scaling measurement pays it once.
     - **Interleaved passes** (lo, hi, lo, hi): hypervisor noise drifts
       over minutes; alternating levels cancels the drift instead of
-      attributing it to one side. Best-of per level.
+      attributing it to one side. Median per level.
+    - **Warm runs** (one untimed warmup replay per child, then timed
+      iterations): the north-rule metric is SUSTAINED events/s, and a
+      process's first replay pays one-time streaming-executor/worker
+      startup that a long-running ingest never re-pays (measured:
+      +2-4 s on the first replay at either level — a constant that
+      biases the ratio, not a throughput property).
+    - **Teardown barrier between children**: ray.shutdown() returns
+      before the raylet/plasma/worker tree exits; without waiting for
+      a clean process table the NEXT pinned child shares its cores
+      with the dying cluster (measured: +60-70%% on both levels —
+      the round-1 "zombie clusters poison benches" lesson applied to
+      our own harness).
     """
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(","))
-    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "3"))
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
+
+    def wait_ray_teardown(timeout_s: float = 30.0) -> None:
+        deadline = time.perf_counter() + timeout_s
+        while time.perf_counter() < deadline:
+            alive = subprocess.run(
+                ["pgrep", "-f", "raylet|gcs_server|ray::"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+            if not alive:
+                return
+            time.sleep(0.5)
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+        time.sleep(2)
     # headline-sized input: larger single-window inputs were tried and
     # degrade the high-CPU side disproportionately on this VM (object
     # store churn at 3x the working set), biasing the ratio downward
@@ -177,13 +202,14 @@ def run_scaling(sf_dir: str) -> dict:
     times: dict[int, list] = {lo: [], hi: []}
     for _ in range(passes):
         for ncpu in (lo, hi):
+            wait_ray_teardown()
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
                 GRAFT_SF_DIR=sf_dir,
-                GRAFT_BENCH_ITERS="1",
+                GRAFT_BENCH_ITERS="2",
                 GRAFT_BENCH_WINDOWS="1",
-                GRAFT_BENCH_WARMUP="0",
+                GRAFT_BENCH_WARMUP="1",
                 GRAFT_BENCH_EVENTS=n_keys,
                 GRAFT_BENCH_SKIP_QUERIES="1",
             )
@@ -201,7 +227,7 @@ def run_scaling(sf_dir: str) -> dict:
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             results[ncpu] = r
-            times[ncpu].append(r["value"])
+            times[ncpu].extend(r["runs"])
     # median per level: hypervisor bursts SLOW the CPU-bound high side
     # but can speed the low side (num_cpus caps task slots, not host
     # threads — a "2-CPU" run sometimes bursts), so best-of is biased
