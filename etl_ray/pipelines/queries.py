@@ -1809,7 +1809,14 @@ def join_order_lineitem(sf_dir: str):
     orders = orders.map_batches(
         lambda t: t.rename_columns(["okey", "o_orderpriority"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = shuffle_join(li, orders, on="okey", how="inner")
+    joined = shuffle_join(
+        li, orders, on="okey", how="inner",
+        schemas=(
+            pa.schema([("okey", pa.int64()), ("li_n", pa.int64()),
+                       ("li_sum", pa.float64())]),
+            pa.schema([("okey", pa.int64()), ("o_orderpriority", pa.string())]),
+        ),
+    )
     t = joined.groupby("o_orderpriority").aggregate(
         Sum("li_n", alias_name="n_items"),
         Sum("li_sum", alias_name="total_price"),

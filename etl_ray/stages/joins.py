@@ -118,6 +118,7 @@ def shuffle_join(
     how: str = "inner",
     n_buckets: int | None = None,
     salt_threshold: int | None = None,
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
 ) -> rd.Dataset:
     """Distributed hash join of two large Datasets on column ``on``.
 
@@ -138,13 +139,15 @@ def shuffle_join(
     ``left``; swap the call if the right side is the skewed one.
     """
     b = n_buckets or default_buckets()
+    # .schema() on a transformed Dataset forces a limit(1) partial
+    # execution (~0.5-1.5 s each on this VM) — callers that know their
+    # schemas pass them explicitly
+    ls, rs = schemas if schemas is not None else (left.schema(), right.schema())
     hot: dict = {}
     if salt_threshold is not None:
-        ls0 = left.schema()
-        kt = _arrow_type(dict(zip(ls0.names, ls0.types))[on])
+        kt = _arrow_type(dict(zip(ls.names, ls.types))[on])
         hot = detect_hot_keys(left, on, salt_threshold, kt)
         hot = {k: s for k, s in hot.items() if s > 1}
-    ls, rs = left.schema(), right.schema()
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     if on not in l_fields or on not in r_fields:
@@ -245,6 +248,14 @@ def shuffle_join(
                 out[c] = out[c].astype("Int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    import os
+
+    from etl_ray.stages.keyed import direct_bucket_groups
+
+    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
+        # known-boundary exchange on our dense _jbucket — no sampling,
+        # no sort (stages/keyed.py:direct_bucket_groups)
+        return direct_bucket_groups(tagged, "_jbucket", b, merge_partition)
     return tagged.groupby("_jbucket").map_groups(
         merge_partition, batch_format="pyarrow"
     )

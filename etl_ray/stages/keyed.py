@@ -67,6 +67,107 @@ def bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     return pa.array((h % n_buckets).astype(np.int32))
 
 
+def direct_bucket_groups(
+    ds: rd.Dataset,
+    bucket_col: str,
+    n_buckets: int,
+    group_fn,
+    n_ranges: int | None = None,
+) -> rd.Dataset:
+    """Known-boundary group exchange: apply ``group_fn`` once per bucket
+    without Ray Data's AllToAll.
+
+    ``bucket_col`` must hold a dense int in [0, n_buckets) — OUR own
+    precomputed hash bucket — so the reduce ranges are known a priori
+    (``range(bucket) = bucket * S // B``, contiguous). Ray's sort-based
+    ``groupby().map_groups`` pays a boundary-sampling pass plus a full
+    sort for exactly this routing; raw 2-round map/reduce tasks skip
+    both (the replay engine's exchange, ``replay._direct_exchange``,
+    generalized — measured there: the Sort operator spent 9.8 s span
+    for 4.3 s compute on one window).
+
+    Scale shape: split tasks start as upstream blocks materialize
+    (streaming via ``iter_internal_ref_bundles``); each reduce task
+    buffers only its range (~data/S); the driver touches REFS plus one
+    tiny has-rows flag per range, never row data — results stream into
+    the output Dataset via ``from_arrow_refs``. Semantics are identical
+    to ``groupby(bucket).map_groups``: ``group_fn`` sees every row of
+    exactly one bucket per call.
+
+    Ray-core tasks also sidestep the Data-block-path saturation this VM
+    exhibits (BASELINE.md) — core scheduling scales ~1.0 to 32 CPUs.
+    ``ETL_RAY_GROUP_EXCHANGE=sort`` restores the AllToAll path
+    engine-wide (A/B lever; the multi-node network-shuffle shape).
+    """
+    S = n_ranges or max(1, min(n_buckets, cluster_parallelism()))
+
+    @ray.remote(num_returns=S)
+    def split(t: pa.Table):
+        if t.num_rows == 0:
+            return [None] * S if S > 1 else None
+        bucket = (
+            t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        rng = bucket * S // n_buckets
+        order = np.argsort(rng, kind="stable")
+        st = t.take(pa.array(order))
+        bounds = np.searchsorted(rng[order], np.arange(S + 1))
+        out = [st.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(S)]
+        out = [o if o.num_rows else None for o in out]
+        return out if S > 1 else out[0]
+
+    @ray.remote(num_returns=2)
+    def apply_range(*slices):
+        ts = [s for s in slices if s is not None and s.num_rows]
+        if not ts:
+            return False, pa.table({})
+        t = pa.concat_tables(ts, promote_options="default")
+        bucket = t.column(bucket_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        t = t.take(pa.array(order))
+        bs = bucket[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ends = np.append(starts[1:], len(bs))
+        outs = []
+        for s, e in zip(starts, ends):
+            r = group_fn(t.slice(s, e - s))
+            if isinstance(r, pd.DataFrame):  # map_groups tolerated pandas
+                r = pa.Table.from_pandas(r, preserve_index=False)
+            if r.num_rows:
+                outs.append(r)
+        if not outs:
+            return False, pa.table({})
+        return True, pa.concat_tables(outs, promote_options="default")
+
+    slice_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            r = split.remote(block_ref)
+            slice_refs.append([r] if S == 1 else r)
+    if not slice_refs:
+        return rd.from_arrow(pa.table({}))
+    flag_refs, table_refs = [], []
+    for i in range(S):
+        f, t = apply_range.remote(*[row[i] for row in slice_refs])
+        flag_refs.append(f)
+        table_refs.append(t)
+    # only the 1-byte flags come to the driver; row data stays in plasma
+    keep = [t for t, f in zip(table_refs, ray.get(flag_refs)) if f]
+    if not keep:
+        return rd.from_arrow(pa.table({}))
+    return rd.from_arrow_refs(keep)
+
+
+def cluster_parallelism() -> int:
+    """Reduce-task fan for raw-task exchanges: all advertised CPUs (the
+    Ray-CORE path scales to the full node, unlike the Data block path —
+    the saturation cap applies only to Dataset execution)."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return cpus
+
+
 def bucketed_groups(
     ds: rd.Dataset,
     key_col: str,
@@ -78,8 +179,12 @@ def bucketed_groups(
     ``partition_fn(table) -> table`` receives one bucket's rows (many
     whole key-groups, pyarrow) and must be fully vectorized inside.
     The ``_bucket`` column is added here and NOT passed to
-    ``partition_fn``.
+    ``partition_fn``. Routed via the known-boundary direct exchange
+    (``direct_bucket_groups``) by default; ``ETL_RAY_GROUP_EXCHANGE=sort``
+    selects Ray Data's AllToAll instead.
     """
+    import os
+
     b = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -88,11 +193,10 @@ def bucketed_groups(
     def run(t: pa.Table) -> pa.Table:
         return partition_fn(t.drop_columns(["_bucket"]))
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(run, batch_format="pyarrow")
-    )
+    mapped = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
+        return direct_bucket_groups(mapped, "_bucket", b, run)
+    return mapped.groupby("_bucket").map_groups(run, batch_format="pyarrow")
 
 
 def sorted_pandas(t: pa.Table, sort_cols: list[str]) -> pd.DataFrame:
