@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from etl_ray.stages.keyed import bucket_ids, bucketed_groups, default_buckets, pool_size
+from etl_ray.stages.keyed import bucket_ids, bucketed_groups, default_buckets
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -128,10 +128,11 @@ def minhash_params(n_perm: int = 24, seed: int = 1337):
 
 
 class MinHashStage:
-    """Actor-pool stage: per-doc MinHash signature (n_perm permutations).
+    """Per-doc MinHash signature (n_perm permutations), run task-based
+    (param derivation is microseconds).
 
-    Permutation parameters are derived ONCE per actor in ``__init__`` from
-    a fixed seed (stateful-stage discipline); per batch the signature is a
+    Permutation parameters are derived in ``__init__`` from
+    a fixed seed; per batch the signature is a
     vectorized min over ``(a*x + b) mod 2^32`` universal hashes of the
     shingle set. The 32-bit modular domain is deliberate: the DuckDB
     oracle evaluates the same permutations with HUGEINT arithmetic.
@@ -266,13 +267,13 @@ def minhash_dedup_pairs(
     """
     import ray
 
-    sigs = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"n_perm": n_perm, "k": k},
-        batch_format="pyarrow",
-        concurrency=pool_size(),
-        batch_size=1024,
-    )
+    # task-based: deriving the (a, b) permutation params from the fixed
+    # seed is microseconds per call — actor-pool spawn costs more than
+    # the state it would amortize
+    def minhash(b: pa.Table) -> pa.Table:
+        return MinHashStage(n_perm=n_perm, k=k)(b)
+
+    sigs = ds.map_batches(minhash, batch_format="pyarrow", batch_size=1024)
     n_buckets = default_buckets()
 
     def explode_with_bucket(b: pa.Table) -> pa.Table:
@@ -502,8 +503,8 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
     EXACT, not probabilistic) → groupby band → verify exact Hamming
     inside the group.
     """
-    sig = ds.map_batches(SimHashStage, batch_format="pyarrow",
-                         concurrency=pool_size(), batch_size=2048)
+    sig = ds.map_batches(lambda b: SimHashStage()(b), batch_format="pyarrow",
+                         batch_size=2048)
     n_buckets = default_buckets()
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -17,7 +17,7 @@ import ray
 import ray.data as rd
 
 from etl_ray.functions.rounding import round_half_away
-from etl_ray.stages.keyed import bucketed_groups, pool_size as _pool_size
+from etl_ray.stages.keyed import bucketed_groups
 
 
 def _topk_merge(cand: rd.Dataset, k: int, exclude_self: bool) -> pa.Table:
@@ -94,9 +94,10 @@ def _partial_topk(
 
 
 class BruteForceTopK:
-    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+    """Per-batch cosine top-k against broadcast queries (run task-based —
+    see knn_cosine; construction is one zero-copy plasma get).
 
-    ``__init__`` fetches the query matrix once per actor (``ray.get`` of a
+    ``__init__`` fetches the query matrix (``ray.get`` of a
     ``ray.put`` handle) and pre-normalizes it; ``__call__`` is one matmul
     per batch followed by a PARTIAL top-(k+1) (argpartition) — the stage
     emits ≤ n_queries × (k+1) rows per batch, never the full sim matrix
@@ -145,13 +146,15 @@ def knn_cosine(
             "matrix": np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows]),
         }
     )
-    cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=_pool_size(),
-        batch_size=4096,
-    )
+    # TASK-based stage, not an actor pool: the per-worker state here is
+    # one ray.get of the broadcast handle + a tiny normalize — trivial
+    # enough that spawning a pool of actors costs more than it saves
+    # (measured: the 16-actor pool added ~1.5 s to a 2k-row scan; plasma
+    # serves the query matrix zero-copy to every task on the node).
+    def scan(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(qref, k, id_col)(batch)
+
+    cand = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
     return _topk_merge(cand, k, exclude_self)
 
 
@@ -187,13 +190,13 @@ def lsh_near_duplicates(
     sample. The bucket groupby is the only shuffle.
     """
     dim = len(ds.take(1)[0]["embedding"])
-    b = ds.map_batches(
-        LshBucketStage,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
-        batch_format="pyarrow",
-        concurrency=_pool_size(),
-        batch_size=4096,
-    )
+
+    # task-based: plane generation from a fixed seed is microseconds —
+    # an actor pool's spawn cost dwarfs the state it would keep
+    def lsh_bucket(batch: pa.Table) -> pa.Table:
+        return LshBucketStage(dim=dim, n_planes=n_planes)(batch)
+
+    b = ds.map_batches(lsh_bucket, batch_format="pyarrow", batch_size=4096)
 
     def pairs_partition(t: pa.Table) -> pa.Table:
         """Whole-partition verify: ONE lexsort + run detection over a
@@ -322,11 +325,10 @@ class IvfScanStage:
 
 
 class IvfFusedScanStage:
-    """Assign + probe-filter + scan fused into ONE actor: holds both the
-    centroid matrix and the query/probe state, so the pipeline needs a
-    single actor pool (pool_size()) instead of two stacked half-pools —
-    on a 2-CPU cluster two 1-actor pools held every CPU and starved the
-    producer read tasks (the documented deadlock mode)."""
+    """Assign + probe-filter + scan fused into ONE stage: holds both the
+    centroid matrix and the query/probe state. Run task-based (state =
+    two zero-copy plasma gets); fusing also means no stacked stages
+    competing for CPUs."""
 
     def __init__(self, centroids_ref, scan_ref, wanted, k: int, id_col: str = "vec_id"):
         self.index = IvfIndexStage(centroids_ref)
@@ -396,24 +398,14 @@ def ivf_topk(
     wanted = pa.array(sorted({int(c) for row in probe for c in row}), pa.int32())
     scan_ref = ray.put({"ids": q_ids, "matrix": q_mat, "probe": probe_mat})
 
-    # ONE fused actor pool does assign → probe-filter → scan per batch:
-    # a single pool sized by pool_size() keeps the producer-starvation
-    # invariant (two stacked half-pools summed to every CPU on a 2-CPU
-    # cluster — the exact deadlock mode pool_size() documents). Each
+    # ONE fused pass does assign → probe-filter → scan per batch. Each
     # batch computes sims vs all queries, masks rows whose centroid a
     # query does not probe, and emits a partial top-k — no driver
-    # materialization.
-    cand = ds.map_batches(
-        IvfFusedScanStage,
-        fn_constructor_kwargs={
-            "centroids_ref": cent_ref,
-            "scan_ref": scan_ref,
-            "wanted": wanted,
-            "k": k,
-            "id_col": id_col,
-        },
-        batch_format="pyarrow",
-        concurrency=_pool_size(),
-        batch_size=4096,
-    )
+    # materialization. TASK-based: the stage's per-worker state is two
+    # zero-copy plasma gets, so an actor pool (plus its spawn cost and
+    # producer-starvation sizing constraints) buys nothing here.
+    def fused_scan(batch: pa.Table) -> pa.Table:
+        return IvfFusedScanStage(cent_ref, scan_ref, wanted, k, id_col)(batch)
+
+    cand = ds.map_batches(fused_scan, batch_format="pyarrow", batch_size=4096)
     return _topk_merge(cand, k, exclude_self=True)

@@ -838,11 +838,23 @@ def embedding_centroids(sf_dir: str):
         )
 
     agg = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    out = agg.groupby(["label", "dim"]).aggregate(
-        Sum("s", alias_name="s_sum"), Sum("c", alias_name="c_sum")
-    ).to_pandas()
+
+    def fold_partials(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(["label", "dim"], as_index=False, sort=False).agg(
+            s_sum=("s", "sum"), c_sum=("c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # final fold over (label, dim) partials via the known-boundary
+    # exchange (keyed.py) — an AllToAll aggregate on a few hundred
+    # partial rows is pure coordination overhead
+    out = bucketed_groups(agg, "label", fold_partials).to_pandas()
     out["centroid"] = round_half_away(out["s_sum"] / out["c_sum"], 6)
-    return out[["label", "dim", "centroid"]]
+    return (
+        out[["label", "dim", "centroid"]]
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
 
 
 CENTROIDS_SQL = """
