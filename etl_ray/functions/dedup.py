@@ -20,7 +20,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from etl_ray.stages.keyed import bucket_ids, bucketed_groups, default_buckets
+from etl_ray.stages.keyed import (
+    bucket_ids,
+    bucketed_groups,
+    default_buckets,
+    direct_bucket_groups,
+)
+
+
+def _grouped(ds_in: rd.Dataset, col: str, n_buckets: int, fn) -> rd.Dataset:
+    """Group on a dense int bucket column: known-boundary direct exchange
+    by default (keyed.py), Ray Data AllToAll under
+    ``ETL_RAY_GROUP_EXCHANGE=sort``."""
+    import os
+
+    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
+        return direct_bucket_groups(ds_in, col, n_buckets, fn)
+    return ds_in.groupby(col).map_groups(fn, batch_format="pyarrow")
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -288,8 +304,8 @@ def minhash_dedup_pairs(
     # shuffle on the bucket (whole LSH buckets co-locate), then ONE
     # vectorized candidate pass per partition — per-bucket Python dispatch
     # would dominate (millions of tiny buckets)
-    pairs = bands.groupby("bucket").map_groups(
-        lambda t: candidate_pairs_partition(t, id_col), batch_format="pyarrow"
+    pairs = _grouped(
+        bands, "bucket", n_buckets, lambda t: candidate_pairs_partition(t, id_col)
     )
 
     # Materialized: the candidate set is the SMALL intermediate
@@ -428,10 +444,9 @@ def _verify_pairs_bucketed(
                 out[c] = out[c].astype("int64")
             return pa.Table.from_pandas(out, preserve_index=False)
 
-        return (
-            _bucketed_by(tagged, "id", n_buckets)
-            .groupby("_jbucket")
-            .map_groups(merge_partition, batch_format="pyarrow")
+        return _grouped(
+            _bucketed_by(tagged, "id", n_buckets), "_jbucket", n_buckets,
+            merge_partition,
         )
 
     with_a = join_side("a", pairs, "text_a", ["a", "b"])
@@ -577,6 +592,6 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
             }
         )
 
-    pairs = bands.groupby("bucket").map_groups(verify_partition, batch_format="pyarrow")
+    pairs = _grouped(bands, "bucket", n_buckets, verify_partition)
     res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
