@@ -356,6 +356,7 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     centroid_stride: int = 50,
+    max_centroids: int = 4096,
 ) -> pa.Table:
     """Approximate cosine top-k via an IVF coarse index.
 
@@ -366,7 +367,16 @@ def ivf_topk(
     only its ``n_probe`` nearest centroid buckets — the scan shrinks by
     ~``centroid_stride / n_probe`` at some recall cost
     (tests pin recall ≥ 0.6 vs the brute-force baseline).
+
+    ``max_centroids`` bounds the broadcast centroid matrix (the one
+    driver-side collect): at 10^10 rows a fixed stride would collect
+    n/stride vectors, so the stride is widened to keep ≤ max_centroids
+    (``ds.count()`` is parquet-metadata-cheap on source datasets; pass a
+    pre-widened stride when ``ds`` is a transformed pipeline).
     """
+    n_rows = ds.count()
+    if n_rows > centroid_stride * max_centroids:
+        centroid_stride = -(-n_rows // max_centroids)  # ceil div
     cent_rows = ds.map_batches(
         lambda t: t.filter(
             pa.array(
