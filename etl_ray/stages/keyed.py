@@ -102,7 +102,11 @@ def direct_bucket_groups(
     S = n_ranges or max(1, min(n_buckets, cluster_parallelism()))
 
     @ray.remote(num_returns=S)
-    def split(t: pa.Table):
+    def split(t):
+        if not isinstance(t, pa.Table):  # pandas-format upstream block
+            from ray.data.block import BlockAccessor
+
+            t = BlockAccessor.for_block(t).to_arrow()
         if t.num_rows == 0:
             return [None] * S if S > 1 else None
         bucket = (
