@@ -1,0 +1,202 @@
+"""Mergeable sketch operators: KMV distinct-count, histogram quantiles.
+
+Both are built from ASSOCIATIVE partials so they compose with any
+exchange tree (the same property the replay's cascaded fold exploits):
+
+- **KMV (k minimum values)**: per-batch partial = the k smallest
+  distinct 32-bit key hashes; merging two partials = union → k smallest
+  — order-free. The estimator ``(k-1) * 2^32 / kth_min`` is the classic
+  KMV distinct-count (Bar-Yossef et al.). The hash is a Knuth
+  multiplicative ``(key * 2654435761) mod 2^32`` — deliberately
+  SQL-replicable, so the DuckDB oracle recomputes the *identical sketch*
+  constant-for-constant and the driver hash-gates the full pipeline,
+  not just row counts.
+- **Histogram quantiles**: values are quantized to an integer grid
+  (milli-units, matching SQL ``round(value*1000, 0)`` half-away), then
+  (grid value → count) partials fold by value hash — ONE bounded-size
+  histogram per distinct grid value regardless of row count. Discrete
+  lower quantile: smallest grid value whose cumulative count reaches
+  ``ceil(q * total)``.
+
+Scale shape: per-batch partials are tiny (≤ k rows for KMV, ≤ distinct
+grid values per batch for the histogram); the exchange carries partials
+only; the final reduce sees ≤ k × ranges (KMV) / ≤ |grid domain| rows
+(quantiles — domain-bounded by construction, NOT row-bounded).
+Reference analog: the audit/statistics aggregates the warehouse keeps
+per load (``etl/audit/logger.py:81-103``) generalized to mergeable
+sketches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from etl_ray.functions.rounding import round_half_away
+from etl_ray.stages.keyed import bucketed_groups, direct_bucket_groups
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1 << 32)
+
+
+def _kmv_hashes(keys: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (keys.astype(np.uint64) * _KNUTH) % _MOD32
+
+
+def kmv_distinct(ds: rd.Dataset, key_col: str, k: int = 64):
+    """KMV distinct-count sketch over a NON-NEGATIVE integer key column
+    (the SQL replica's HUGEINT modulus matches uint64 wrap only for
+    keys ≥ 0).
+
+    Returns ONE row: (k_used, kth_min, est_distinct). When fewer than
+    ``k`` distinct hashes exist the estimate degrades gracefully to the
+    exact distinct-hash count (both engines apply the same rule).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"hv": pa.array([], pa.int64())})
+        hv = np.unique(
+            _kmv_hashes(t.column(key_col).to_numpy(zero_copy_only=False))
+        )
+        if len(hv) > k:
+            hv = np.partition(hv, k - 1)[:k]
+        return pa.table({"hv": pa.array(hv.astype(np.int64))})
+
+    def combine(t: pa.Table) -> pa.Table:
+        # per-bucket k-min keep: the global k smallest are a subset of
+        # the union of per-bucket k smallest, so this fold is lossless
+        # and bounds the final reduce at k × n_buckets rows
+        hv = np.unique(t.column("hv").to_numpy(zero_copy_only=False))
+        if len(hv) > k:
+            hv = np.partition(hv, k - 1)[:k]
+        return pa.table(
+            {
+                "hv": pa.array(hv.astype(np.int64)),
+                "_sb": pa.array(np.zeros(len(hv), np.int32)),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        hv = np.unique(t.column("hv").to_numpy(zero_copy_only=False))
+        hv = np.sort(hv)[:k]
+        k_used = len(hv)
+        if k_used == 0:
+            return pa.table(
+                {"k_used": pa.array([0], pa.int64()),
+                 "kth_min": pa.array([0], pa.int64()),
+                 "est_distinct": pa.array([0.0], pa.float64())}
+            )
+        kth = int(hv[-1])
+        if k_used < k:
+            est = float(k_used)  # saw every distinct hash: exact
+        else:
+            est = (k - 1) * float(_MOD32) / kth
+        return pa.table(
+            {
+                "k_used": pa.array([k_used], pa.int64()),
+                "kth_min": pa.array([kth], pa.int64()),
+                "est_distinct": pa.array(
+                    [float(round_half_away(np.array([est]), 6)[0])], pa.float64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    combined = bucketed_groups(partials, "hv", combine)
+    return direct_bucket_groups(combined, "_sb", 1, final).to_pandas()
+
+
+def kmv_sql(table: str, key_col: str, k: int = 64) -> str:
+    """The DuckDB replica of :func:`kmv_distinct` (HUGEINT arithmetic)."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT CAST((CAST({key_col} AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS hv
+  FROM {table}
+), kmin AS (
+  SELECT hv FROM h ORDER BY hv LIMIT {k}
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(hv) AS BIGINT) AS kth_min,
+       round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE ({k} - 1) * 4294967296.0 / max(hv) END, 6) AS est_distinct
+FROM kmin
+"""
+
+
+def histogram_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> pa.Table:
+    """Discrete lower quantiles of ``round(value*1000)`` milli-units.
+
+    Two-round fold: per-batch (grid value → count) partials → bucketed
+    sum per grid value (bounded by the value DOMAIN, not the row count)
+    → one final cumsum task. Returns (q, mv_q) rows sorted by q.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"mv": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mv = round_half_away(v * 1000.0, 0).astype(np.int64)
+        uniq, cnt = np.unique(mv, return_counts=True)
+        return pa.table({"mv": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        mv = t.column("mv").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(mv, kind="stable")
+        mv, n = mv[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], mv[1:] != mv[:-1])))
+        sums = np.add.reduceat(n, starts)
+        out = pa.table(
+            {
+                "mv": pa.array(mv[starts].astype(np.int64)),
+                "n": pa.array(sums.astype(np.int64)),
+                "_sb": pa.array(np.zeros(len(starts), np.int32)),
+            }
+        )
+        return out
+
+    def final(t: pa.Table) -> pa.Table:
+        mv = t.column("mv").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(mv, kind="stable")
+        mv, n = mv[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_q.append(float(q))
+            out_v.append(int(mv[idx]))
+        return pa.table(
+            {"q": pa.array(out_q, pa.float64()), "mv_q": pa.array(out_v, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = bucketed_groups(partials, "mv", fold)
+    res = direct_bucket_groups(hist, "_sb", 1, final).to_pandas()
+    return res.sort_values("q").reset_index(drop=True)
+
+
+def histogram_quantiles_sql(table: str, value_col: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT CAST(round({value_col} * 1000, 0) AS BIGINT) AS mv, count(*) AS n
+  FROM {table} GROUP BY 1
+), o AS (
+  SELECT mv, sum(n) OVER (ORDER BY mv) AS cum, sum(n) OVER () AS total FROM h
+)
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST(min(CASE WHEN cum >= CAST(ceil(q * total) AS BIGINT) THEN mv END) AS BIGINT) AS mv_q
+FROM o CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) qs(q)
+GROUP BY q
+ORDER BY q
+"""

@@ -2293,3 +2293,40 @@ QUERIES.update(
         "direction_classify": QueryDef(direction_classify, DIRECTION_CLASSIFY_SQL),
     }
 )
+
+
+# --- mergeable sketches (functions/sketch.py) --------------------------------
+
+def kmv_distinct_users(sf_dir: str):
+    """KMV distinct-count sketch over event user ids — the full sketch
+    (hash constants, k-min fold, estimator) is replayed by the SQL
+    oracle, so the gate hash-compares the sketch itself."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    return F_sketch.kmv_distinct(ds, "user_id", k=64)
+
+
+def value_quantiles(sf_dir: str):
+    """Distributed histogram quantiles of the event value (milli-unit
+    grid): domain-bounded fold, never a global sort."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    return F_sketch.histogram_quantiles(ds, "value")
+
+
+def _sketch_sqls():
+    from etl_ray.functions.sketch import histogram_quantiles_sql, kmv_sql
+
+    return kmv_sql("events", "user_id", 64), histogram_quantiles_sql("events", "value")
+
+
+_KMV_SQL, _QUANTILES_SQL = _sketch_sqls()
+
+QUERIES.update(
+    {
+        "kmv_distinct_users": QueryDef(kmv_distinct_users, _KMV_SQL),
+        "value_quantiles": QueryDef(value_quantiles, _QUANTILES_SQL),
+    }
+)

@@ -1,0 +1,46 @@
+"""Sketch operators: KMV estimate accuracy, quantile exactness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from etl_ray.functions.sketch import histogram_quantiles, kmv_distinct
+
+
+def test_kmv_estimate_within_relative_error(ray_session):
+    true_distinct = 5000
+    rng = np.random.default_rng(3)
+    keys = rng.choice(
+        np.arange(10_000, 10_000 + true_distinct, dtype=np.int64),
+        size=40_000,
+    )
+    ds = rd.from_arrow(pa.table({"uid": pa.array(keys)})).repartition(8)
+    out = kmv_distinct(ds, "uid", k=256)
+    est = float(out["est_distinct"].iloc[0])
+    # KMV relative stderr ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est - true_distinct) / true_distinct < 0.25
+    assert int(out["k_used"].iloc[0]) == 256
+
+
+def test_kmv_small_domain_is_exact(ray_session):
+    keys = np.arange(20, dtype=np.int64).repeat(30)
+    ds = rd.from_arrow(pa.table({"uid": pa.array(keys)})).repartition(4)
+    out = kmv_distinct(ds, "uid", k=64)
+    # fewer distinct hashes than k → exact count (modulo hash collisions,
+    # none in a 20-key domain)
+    assert int(out["k_used"].iloc[0]) == 20
+    assert float(out["est_distinct"].iloc[0]) == 20.0
+
+
+def test_histogram_quantiles_match_numpy_disc(ray_session):
+    rng = np.random.default_rng(9)
+    v = rng.normal(50, 10, size=20_000)
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(6)
+    out = histogram_quantiles(ds, "value")
+    mv = np.sign(v * 1000.0) * np.floor(np.abs(v * 1000.0) + 0.5)
+    mv = np.sort(mv.astype(np.int64))
+    for _, row in out.iterrows():
+        rank = int(np.ceil(row["q"] * len(mv)))
+        assert int(row["mv_q"]) == int(mv[rank - 1]), row["q"]
