@@ -134,6 +134,18 @@ class ReplayEngine:
         self.ensure_actors = ensure_actors or int(
             os.environ.get("ETL_RAY_ENSURE_ACTORS", "0")
         )
+        #: merge-on-read delta chains (ETL_RAY_DELTA_CHAIN=1): windows
+        #: append O(delta) chain files instead of rewriting O(state)
+        #: partition files; compaction folds a chain back into its base
+        #: every ETL_RAY_CHAIN_MAX windows (stages/merge.py docstring).
+        #: Not combined with the ensure-actor path (the actor cache is an
+        #: alternative answer to the same prior-state cost).
+        self.delta_chain = (
+            os.environ.get("ETL_RAY_DELTA_CHAIN", "0") == "1"
+            and not self.ensure_actors
+        )
+        self.chain_max = int(os.environ.get("ETL_RAY_CHAIN_MAX", "3"))
+        self.compact_ratio = float(os.environ.get("ETL_RAY_COMPACT_RATIO", "0.25"))
 
     @contextmanager
     def _parallelism_scope(self):
@@ -570,6 +582,14 @@ class ReplayEngine:
 
             from etl_ray.stages.ensure import get_or_create_actors, make_actor_merge_fn
 
+            if any(info.get("deltas") for info in prior.partitions.values()):
+                raise RuntimeError(
+                    "this lake has merge-on-read delta chains; the ensure-"
+                    "actor path reads base files only — run once with "
+                    "ETL_RAY_DELTA_CHAIN=1 ETL_RAY_CHAIN_MAX=0 (forces "
+                    "compaction) before enabling ETL_RAY_ENSURE_ACTORS"
+                )
+
             tag = _hl.md5(os.path.abspath(self.lake_dir).encode()).hexdigest()[:10]
             actors = get_or_create_actors(self.ensure_actors, tag)
             prior_ckpts = {
@@ -579,7 +599,21 @@ class ReplayEngine:
                 actors, staging, prior_files, prior_ckpts, payload_types, ckpt_id
             )
         else:
-            merge = make_merge_fn(staging, prior_files, payload_types, ckpt_id)
+            prior_deltas = {
+                int(p): [self.store.abs_path(d) for d in info.get("deltas", [])]
+                for p, info in prior.partitions.items()
+                if info.get("deltas")
+            }
+            prior_sizes = {
+                int(p): int(info.get("rows", 0)) + int(info.get("tombstones", 0))
+                for p, info in prior.partitions.items()
+            }
+            merge = make_merge_fn(
+                staging, prior_files, payload_types, ckpt_id,
+                prior_deltas=prior_deltas, prior_sizes=prior_sizes,
+                delta_chain=self.delta_chain, chain_max=self.chain_max,
+                compact_ratio=self.compact_ratio,
+            )
         # NOTE: pipelines are built inside the parallelism/shuffle scopes
         # — Ray snapshots DataContext at Dataset creation, so settings
         # applied after dataset construction would not apply.
@@ -644,8 +678,24 @@ class ReplayEngine:
                 part = str(row["part"])
                 prev = prior.partitions.get(part, {})
                 prev_wm = prev.get("watermark", -1)
-                m.partitions[part] = {
-                    "file": self.store.rel_path(row["staged_file"]),
+                mode = row.get("mode") or "rewrite"
+                if mode == "delta":
+                    # merge-on-read append: base file unchanged, chain grows
+                    file_rel = prev["file"]
+                    chain_rels = list(prev.get("deltas", [])) + [
+                        self.store.rel_path(row["staged_file"])
+                    ]
+                elif mode == "none":
+                    # untouched partition: keep base AND its existing chain
+                    file_rel = prev.get(
+                        "file", self.store.rel_path(row["staged_file"])
+                    )
+                    chain_rels = list(prev.get("deltas", []))
+                else:  # rewrite / compaction: chain folded into a new base
+                    file_rel = self.store.rel_path(row["staged_file"])
+                    chain_rels = []
+                entry = {
+                    "file": file_rel,
                     "rows": row["state_rows"],
                     "tombstones": row["tombstones"],
                     "watermark": max(prev_wm, row["watermark"]),
@@ -653,6 +703,9 @@ class ReplayEngine:
                     # the ensure-actor cache key (stages/ensure.py)
                     "ckpt": ckpt_id if row["changed"] else prev.get("ckpt", -1),
                 }
+                if chain_rels:
+                    entry["deltas"] = chain_rels
+                m.partitions[part] = entry
                 for k in ("events_in", "applied", "inserts", "updates",
                           "deletes", "stale", "invalid"):
                     agg[k] += row[k] or 0
@@ -709,13 +762,74 @@ class ReplayEngine:
         requested columns + the tombstone flag leave storage).
         """
         m = self._require_manifest()
-        files = [self.store.abs_path(p["file"]) for p in m.partitions.values()]
-        if not files:
+        flat_files = [
+            self.store.abs_path(p["file"])
+            for p in m.partitions.values()
+            if not p.get("deltas")
+        ]
+        chained = [
+            [self.store.abs_path(p["file"])]
+            + [self.store.abs_path(d) for d in p["deltas"]]
+            for p in m.partitions.values()
+            if p.get("deltas")
+        ]
+        if not flat_files and not chained:
             raise ValueError("empty lake: no partitions committed yet")
         read_cols = None
         if columns:
             read_cols = list(dict.fromkeys([*columns, "deleted"]))
-        ds = rd.read_parquet(files, columns=read_cols)
+        parts_ds = []
+        if flat_files:
+            parts_ds.append(rd.read_parquet(flat_files, columns=read_cols))
+        if chained:
+            # merge-on-read: fold each chained partition's [base, deltas]
+            # to one row per key — one raw task per partition (keys
+            # co-locate by construction, so no shuffle). Chain-fold needs
+            # the LWW columns even when the caller pruned them away.
+            import pyarrow.parquet as _pq
+
+            from etl_ray.stages.merge import fold_state_chain
+
+            fold_cols = (
+                list(dict.fromkeys(
+                    [*read_cols, "repo", "path", "commit_seq", "seq"]
+                ))
+                if read_cols
+                else None
+            )
+
+            @ray.remote
+            def fold_part(files: list[str]) -> pa.Table:
+                tabs = [
+                    _pq.read_table(
+                        f,
+                        columns=[
+                            c for c in (fold_cols or _pq.read_schema(f).names)
+                            if c in _pq.read_schema(f).names
+                        ],
+                    )
+                    for f in files
+                ]
+                # union of columns across the chain: a delta written after
+                # a schema evolution can carry columns the base lacks
+                cols, seen = [], set()
+                for tab in tabs:
+                    for f in tab.schema:
+                        if f.name not in seen:
+                            seen.add(f.name)
+                            cols.append((f.name, f.type))
+                folded = fold_state_chain(tabs, cols)
+                if read_cols:
+                    folded = folded.select(
+                        [c for c in read_cols if c in folded.column_names]
+                    )
+                return folded
+
+            refs = [fold_part.remote(files) for files in chained]
+            parts_ds.append(rd.from_arrow_refs(refs))
+        ds = parts_ds[0]
+        for extra in parts_ds[1:]:
+            ds = ds.union(extra)
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(pc.fill_null(t.column("deleted"), False))),
             batch_format="pyarrow",

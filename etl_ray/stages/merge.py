@@ -69,12 +69,15 @@ STATS_SCHEMA = pa.schema(
         ("d_files", pa.int64()),
         ("d_bytes", pa.int64()),
         ("w_cs", pa.int64()),
+        # 'rewrite' (full base file) | 'delta' (merge-on-read chain append)
+        # | 'none' (partition unchanged, prior file reused)
+        ("mode", pa.string()),
     ]
 )
 
 _STATE_CORE = [
     "repo", "path", "commit", "commit_seq", "seq", "lang", "content",
-    "content_sha256", "deleted", "part",
+    "content_sha256", "deleted", "part", "content_bytes",
 ]
 
 
@@ -91,8 +94,48 @@ def _empty_state(part_type: pa.DataType = pa.int32()) -> pa.Table:
             "content_sha256": pa.array([], pa.string()),
             "deleted": pa.array([], pa.bool_()),
             "part": pa.array([], part_type),
+            "content_bytes": pa.array([], pa.int64()),
         }
     )
+
+
+def fold_state_chain(tabs: list[pa.Table], columns: list[tuple[str, pa.DataType]]) -> pa.Table:
+    """Fold a partition's [base, delta1, delta2, ...] chain to one row per
+    key (merge-on-read). A later chain file's row always carries a
+    strictly greater (commit_seq, seq) for its key — delta files contain
+    only APPLIED rows — so keep-max-per-key is exact; the chain index is
+    a pure safety tie-breaker (earlier file wins, matching the write-time
+    'prior wins ties' rule)."""
+    if len(tabs) == 1:
+        return _align_columns(tabs[0], columns)
+    parts = []
+    for i, t in enumerate(tabs):
+        parts.append(
+            _align_columns(t, columns).append_column(
+                "_chain", pa.nulls(t.num_rows, pa.int16()).fill_null(i)
+            )
+        )
+    t = pa.concat_tables(parts)
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("repo", "ascending"), ("path", "ascending"),
+            ("commit_seq", "ascending"), ("seq", "ascending"),
+            ("_chain", "descending"),
+        ],
+    )
+    t = t.take(idx)
+    n = t.num_rows
+    repo_a = t.column("repo").combine_chunks()
+    path_a = t.column("path").combine_chunks()
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        same_next = pc.and_(
+            pc.equal(repo_a.slice(0, n - 1), repo_a.slice(1)),
+            pc.equal(path_a.slice(0, n - 1), path_a.slice(1)),
+        )
+        last[: n - 1] = np.invert(same_next.to_numpy(zero_copy_only=False))
+    return t.filter(pa.array(last)).drop_columns(["_chain"])
 
 
 def _align_columns(t: pa.Table, columns: list[tuple[str, pa.DataType]]) -> pa.Table:
@@ -119,11 +162,21 @@ def _group_counts(t: pa.Table) -> pa.Table:
                 "bytes": pa.array([], pa.int64()),
             }
         )
+    # content_bytes is authoritative when present (merge-on-read meta
+    # tables carry it INSTEAD of content); fall back to measuring content
+    # for pre-upgrade base files
+    measured = pc.cast(
+        pc.binary_length(pc.fill_null(t.column("content"), "")), pa.int64()
+    )
+    if "content_bytes" in t.column_names:
+        b = pc.coalesce(pc.cast(t.column("content_bytes"), pa.int64()), measured)
+    else:
+        b = measured
     tb = pa.table(
         {
             "repo": t.column("repo"),
             "lang": pc.fill_null(t.column("lang"), ""),
-            "b": pc.cast(pc.binary_length(pc.fill_null(t.column("content"), "")), pa.int64()),
+            "b": b,
         }
     )
     g = tb.group_by(["repo", "lang"]).aggregate([("b", "count"), ("b", "sum")])
@@ -143,6 +196,11 @@ def make_merge_fn(
     ckpt_id: int,
     prior_override: pa.Table | None = None,
     prior_override_path: str | None = None,
+    prior_deltas: dict[int, list[str]] | None = None,
+    prior_sizes: dict[int, int] | None = None,
+    delta_chain: bool = False,
+    chain_max: int = 3,
+    compact_ratio: float = 0.25,
 ):
     """Build the map_groups merge fn for one checkpoint window.
 
@@ -154,6 +212,19 @@ def make_merge_fn(
     ``prior_files``; ``prior_override_path`` is the manifest file it
     corresponds to (reused when the window leaves the partition
     unchanged).
+
+    ``delta_chain=True`` enables MERGE-ON-READ output (the Hudi/Iceberg
+    MOR shape; `ETL_RAY_DELTA_CHAIN=1` at the engine): instead of
+    rewriting a partition's full state file every window (O(state) read
+    AND write per window — ruinous for small windows over a large lake),
+    the window writes only its APPLIED rows as a chained delta file and
+    the prior is read WITHOUT the content column (content_bytes carries
+    the rollup arithmetic). A partition falls back to a full rewrite
+    (compaction) when its chain would exceed ``chain_max`` files or the
+    incoming delta is ≥ ``compact_ratio`` of its state rows — the write
+    amplification is then amortized over ≥chain_max windows.
+    ``prior_deltas``: part -> existing chain (abs paths, oldest first);
+    ``prior_sizes``: part -> state rows+tombstones (compaction trigger).
     """
 
     extra_cols = [(n, pa.type_for_alias(t)) for n, t in payload_types.items()]
@@ -162,7 +233,9 @@ def make_merge_fn(
         ("commit_seq", pa.int64()), ("seq", pa.int64()), ("lang", pa.string()),
         ("content", pa.string()), ("content_sha256", pa.string()),
         ("deleted", pa.bool_()), ("part", pa.int32()),
+        ("content_bytes", pa.int64()),
     ] + extra_cols
+    meta_cols = [c for c, _ in state_cols if c != "content"]
 
     def merge_delta(
         part: int, delta: pa.Table, events_in: int, invalid: int
@@ -173,12 +246,47 @@ def make_merge_fn(
         streaming exchange, replay.py) report identical audit metrics to
         the one-shot group path below."""
         _pin_arrow_once()
+        chain = (prior_deltas or {}).get(part, [])
+        delta_mode = False
         if prior_override is not None:
             prior_path = prior_override_path
             prior = prior_override
         else:
             prior_path = prior_files.get(part)
-            prior = pq.read_table(prior_path) if prior_path else _empty_state()
+            if delta_chain and prior_path is not None:
+                psize = (prior_sizes or {}).get(part, 0)
+                compact_due = (
+                    len(chain) + 1 > chain_max
+                    or delta.num_rows >= compact_ratio * max(1, psize)
+                )
+                # meta-only prior reads need the base to carry
+                # content_bytes (additive upgrade; first rewrite adds it)
+                delta_mode = (
+                    not compact_due
+                    and "content_bytes" in pq.read_schema(prior_path).names
+                )
+            if prior_path is None:
+                prior = _empty_state()
+            elif delta_mode:
+                # merge-on-read: prior = base + chain WITHOUT the content
+                # column — the only O(state) cost left is the metadata
+                # columns, ~10x smaller than content
+                tabs = [
+                    pq.read_table(
+                        f,
+                        columns=[
+                            c for c in meta_cols if c in pq.read_schema(f).names
+                        ],
+                    )
+                    for f in [prior_path, *chain]
+                ]
+                prior = fold_state_chain(tabs, state_cols)
+            elif chain:
+                prior = fold_state_chain(
+                    [pq.read_table(f) for f in [prior_path, *chain]], state_cols
+                )
+            else:
+                prior = pq.read_table(prior_path)
 
         # --- align prior + delta onto the (possibly evolved) state schema ---
         delta_deleted = pc.equal(delta.column("op"), OP_DELETE)
@@ -268,6 +376,18 @@ def make_merge_fn(
                 pc.if_else(dead, pa.nulls(new_state.num_rows, pa.string()),
                            new_state.column("content")),
             )
+        # content_bytes: preserve prior values (the merge-on-read meta
+        # read carries them WITHOUT content); measure for newly applied
+        # rows / pre-upgrade bases
+        measured = pc.cast(
+            pc.binary_length(pc.fill_null(new_state.column("content"), "")),
+            pa.int64(),
+        )
+        new_state = new_state.set_column(
+            new_state.column_names.index("content_bytes"),
+            "content_bytes",
+            pc.coalesce(pc.cast(new_state.column("content_bytes"), pa.int64()), measured),
+        )
 
         # --- metrics -------------------------------------------------------
         applied_rows = new_state.filter(applied_mask)
@@ -288,12 +408,23 @@ def make_merge_fn(
 
         # --- stage the new partition file (or reuse prior when unchanged) ---
         changed = applied > 0 or prior_path is None
-        if changed:
+        if changed and delta_mode and applied > 0:
+            # merge-on-read append: ONLY the applied rows leave this task
+            # — write cost is O(delta), not O(state)
+            out = new_state.filter(applied_mask).drop_columns(["_src"])
+            staged = os.path.join(
+                staging_dir, f"part-{part:05d}-d{len(chain) + 1:03d}.parquet"
+            )
+            write_atomic_parquet(out, staged)
+            mode = "delta"
+        elif changed:
             out = new_state.drop_columns(["_src"])
             staged = os.path.join(staging_dir, f"part-{part:05d}.parquet")
             write_atomic_parquet(out, staged)
+            mode = "rewrite"
         else:
             staged = prior_path
+            mode = "none"
 
         # --- per-(repo,lang) deltas for the incremental rollups -------------
         gp = _group_counts(prior_live)
@@ -350,6 +481,7 @@ def make_merge_fn(
                 "repo": pa.nulls(1, pa.string()), "lang": pa.nulls(1, pa.string()),
                 "d_files": pa.nulls(1, pa.int64()), "d_bytes": pa.nulls(1, pa.int64()),
                 "w_cs": pa.nulls(1, pa.int64()),
+                "mode": [mode],
             },
             schema=STATS_SCHEMA,
         )
@@ -376,6 +508,7 @@ def make_merge_fn(
                 "d_files": pc.fill_null(dtab.column("d_files"), 0).cast(pa.int64()),
                 "d_bytes": pc.fill_null(dtab.column("d_bytes"), 0).cast(pa.int64()),
                 "w_cs": dtab.column("w_cs").cast(pa.int64()),
+                "mode": pa.nulls(nd, pa.string()),
             },
             schema=STATS_SCHEMA,
         )

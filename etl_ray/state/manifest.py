@@ -137,6 +137,11 @@ class ManifestStore:
             rel
             for rel in (
                 [info["file"] for info in m.partitions.values()]
+                + [
+                    d
+                    for info in m.partitions.values()
+                    for d in info.get("deltas", [])
+                ]
                 + list(m.summaries.values())
             )
             if not os.path.exists(self.abs_path(rel))
@@ -167,6 +172,8 @@ class ManifestStore:
         for m in manifests:
             for info in m.partitions.values():
                 keep.add(os.path.normpath(self.abs_path(info["file"])))
+                for d in info.get("deltas", []):
+                    keep.add(os.path.normpath(self.abs_path(d)))
             for rel in m.summaries.values():
                 keep.add(os.path.normpath(self.abs_path(rel)))
         deleted = []
