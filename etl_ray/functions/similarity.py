@@ -181,20 +181,37 @@ def lsh_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 10,
     id_col: str = "vec_id",
+    n_tables: int = 1,
 ) -> pa.Table:
     """Embedding near-dup pairs (cosine ≥ threshold) via LSH buckets.
 
-    NOTE: approximate — pairs split across buckets are missed; raise
-    recall by repeating with multiple plane seeds and unioning (the
-    multi-probe path), or verify against the brute-force baseline on a
-    sample. The bucket groupby is the only shuffle.
+    Approximate: pairs split across every table's buckets are missed.
+    ``n_tables > 1`` is the MULTI-TABLE recall path — each row hashes
+    into ``n_tables`` independent plane sets (distinct seeds) and a pair
+    is found if ANY table co-buckets it (miss probability decays
+    exponentially in n_tables). All tables ride the SAME single shuffle:
+    rows are exploded ×n_tables with a composite (table, bucket) key, so
+    recall costs bandwidth, not extra exchanges. Duplicated findings
+    across tables are dropped at the tiny pair set, never recomputed
+    against the corpus.
     """
     dim = len(ds.take(1)[0]["embedding"])
 
     # task-based: plane generation from a fixed seed is microseconds —
     # an actor pool's spawn cost dwarfs the state it would keep
     def lsh_bucket(batch: pa.Table) -> pa.Table:
-        return LshBucketStage(dim=dim, n_planes=n_planes)(batch)
+        outs = []
+        for ti in range(n_tables):
+            t = LshBucketStage(dim=dim, n_planes=n_planes, seed=7 + ti)(batch)
+            bkt = t.column("bucket").to_numpy(zero_copy_only=False)
+            outs.append(
+                t.set_column(
+                    t.column_names.index("bucket"),
+                    "bucket",
+                    pa.array(bkt + (ti << n_planes)),
+                )
+            )
+        return pa.concat_tables(outs)
 
     b = ds.map_batches(lsh_bucket, batch_format="pyarrow", batch_size=4096)
 

@@ -89,6 +89,46 @@ def test_lsh_near_duplicates_finds_planted_pair(ray_session):
     assert (0, 5) in {(p["a"], p["b"]) for p in pairs}
 
 
+def test_lsh_multi_table_recall_dominates_single(ray_session):
+    """Multi-table LSH recall ≥ single-table recall vs the brute-force
+    truth, and a near-dup pair missed by table 0 alone is recoverable."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(21)
+    base = rng.normal(size=(40, 16))
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+        ids.append(2 * i)
+        vecs.append(v + rng.normal(scale=0.02, size=16))  # planted near-dup
+        ids.append(2 * i + 1)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    truth = {
+        (r["a"], r["b"])
+        for r in S.brute_force_near_duplicates(ds, threshold=0.98).to_pylist()
+    }
+    assert truth, "no planted pairs above threshold — fixture broken"
+    one = {
+        (r["a"], r["b"])
+        for r in S.lsh_near_duplicates(ds, threshold=0.98, n_planes=8,
+                                       n_tables=1).to_pylist()
+    }
+    many = {
+        (r["a"], r["b"])
+        for r in S.lsh_near_duplicates(ds, threshold=0.98, n_planes=8,
+                                       n_tables=4).to_pylist()
+    }
+    assert one <= many <= truth
+    assert len(many & truth) / len(truth) >= 0.9
+    assert len(many) >= len(one)
+
+
 def test_multimodal_feature_plumbing(ray_session):
     docs = rd.from_arrow(_corpus())
     media = docs.map_batches(M.documents_as_media, batch_format="pyarrow")
