@@ -70,20 +70,31 @@ def cmd_status(args) -> int:
     if m is None:
         print(json.dumps({"lake": args.lake, "status": "empty"}))
         return 1
-    print(
-        json.dumps(
-            {
-                "lake": args.lake,
-                "checkpoint_id": m.checkpoint_id,
-                "windows_done": m.windows_done,
-                "partitions": len(m.partitions),
-                "rows": sum(p["rows"] for p in m.partitions.values()),
-                "tombstones": sum(p["tombstones"] for p in m.partitions.values()),
-                "watermark": max((p["watermark"] for p in m.partitions.values()), default=-1),
-                "metrics": m.metrics,
-            }
-        )
-    )
+    out = {
+        "lake": args.lake,
+        "checkpoint_id": m.checkpoint_id,
+        "windows_done": m.windows_done,
+        "partitions": len(m.partitions),
+        "rows": sum(p["rows"] for p in m.partitions.values()),
+        "tombstones": sum(p["tombstones"] for p in m.partitions.values()),
+        "watermark": max((p["watermark"] for p in m.partitions.values()), default=-1),
+        "chained_partitions": sum(
+            1 for p in m.partitions.values() if p.get("deltas")
+        ),
+        "metrics": m.metrics,
+    }
+    if getattr(args, "events", None):
+        # replay lag vs the change log: how far behind the committed
+        # cursor is (parquet footer counts only — no data read)
+        import pyarrow.parquet as pq
+
+        from etl_ray.sources.events import list_segments
+
+        files = list_segments(args.events)
+        behind = files[m.log_files_done:]
+        out["lag_files"] = len(behind)
+        out["lag_events"] = sum(pq.read_metadata(f).num_rows for f in behind)
+    print(json.dumps(out))
     return 0
 
 
@@ -109,6 +120,9 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("status", help="show lake manifest status")
     s.add_argument("--lake", required=True)
+    s.add_argument("--events", default=None,
+                   help="change-log dir: also report replay lag "
+                        "(lag_files / lag_events vs the committed cursor)")
     s.set_defaults(fn=cmd_status)
 
     args = p.parse_args(argv)
