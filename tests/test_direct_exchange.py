@@ -128,6 +128,24 @@ def test_all_invalid_partition_still_reports_metrics(
     assert out_d["metrics"]["events_in"] == 3
 
 
+def test_entirely_invalid_window(ray_session, tmp_path, monkeypatch):
+    """A window with ZERO valid events still commits: empty delta, full
+    audit metrics, no partition files beyond the metrics rows."""
+    t = mklog(
+        [
+            (1, "X", 1, "r1", "a.py", "BAD"),
+            (2, "I", 2, None, "b.py", "BAD"),
+            (3, "U", 3, "r2", "", "BAD"),
+        ]
+    )
+    eng_d, out_d = _replay(tmp_path, [t], "direct", monkeypatch, "inv_d")
+    eng_s, out_s = _replay(tmp_path, [t], "sort", monkeypatch, "inv_s")
+    for k in _METRIC_KEYS:
+        assert out_d["metrics"][k] == out_s["metrics"][k], k
+    assert out_d["metrics"]["invalid"] == 3
+    assert out_d["metrics"]["applied"] == 0
+
+
 @pytest.mark.parametrize("scenario", ["mixed", "ooo", "dup"])
 def test_direct_exchange_scenario_parity_with_fold_tree(
     ray_session, tmp_path, monkeypatch, scenario
