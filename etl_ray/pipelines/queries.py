@@ -976,13 +976,13 @@ def _derive_doc_events(t: pa.Table) -> pa.Table:
     )
 
 
-def _run_doc_replay(sf_dir: str):
+def _run_doc_replay(sf_dir: str, variant: str = ""):
     """Derive events from documents, replay through the FULL engine
     (validate → shuffle → LWW merge → manifest lake → incremental
     summaries) in a fresh /tmp lake; return the engine."""
     from etl_ray.pipelines.replay import ReplayEngine
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + variant
     root = f"/tmp/etl_ray_gate/{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/log", exist_ok=True)
@@ -1026,6 +1026,40 @@ def cdc_replay_docs(sf_dir: str):
         eng.final_state(columns=["repo", "path", "commit_seq", "lang", "content_sha256"])
         .to_pandas()
     )
+
+
+def cdc_replay_docs_mor(sf_dir: str):
+    """The flagship replay with MERGE-ON-READ delta chains forced on
+    (ETL_RAY_DELTA_CHAIN; ratio>1 so the second checkpoint window
+    APPENDS chain files instead of rewriting bases) — gated against the
+    SAME oracle as cdc_replay_docs, proving the chained write path and
+    the chain-folding read path produce the identical lake state. Fails
+    loudly if no chain actually formed (a silent fallback to rewrite
+    mode would make this gate vacuous)."""
+    saved = {
+        k: os.environ.get(k)
+        for k in ("ETL_RAY_DELTA_CHAIN", "ETL_RAY_CHAIN_MAX", "ETL_RAY_COMPACT_RATIO")
+    }
+    os.environ.update(
+        {"ETL_RAY_DELTA_CHAIN": "1", "ETL_RAY_CHAIN_MAX": "4",
+         "ETL_RAY_COMPACT_RATIO": "1.1"}
+    )
+    try:
+        eng = _run_doc_replay(sf_dir, variant="-mor")
+        m = eng.store.current()
+        if not any(p.get("deltas") for p in m.partitions.values()):
+            raise RuntimeError("delta-chain gate: no chain file was written")
+        return (
+            eng.final_state(
+                columns=["repo", "path", "commit_seq", "lang", "content_sha256"]
+            ).to_pandas()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 CDC_REPLAY_DOCS_SQL = """
@@ -1092,6 +1126,7 @@ FROM fin GROUP BY lang
 QUERIES: dict[str, QueryDef] = {
     # CDC engine (flagship)
     "cdc_replay_docs": QueryDef(cdc_replay_docs, CDC_REPLAY_DOCS_SQL),
+    "cdc_replay_docs_mor": QueryDef(cdc_replay_docs_mor, CDC_REPLAY_DOCS_SQL),
     "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
     "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
     # event-stream operators
