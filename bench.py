@@ -117,7 +117,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q1_pricing_summary", "revenue_by_nation", "cdc_lww_latest",
         "cdc_sessionize", "text_token_stats", "dedup_exact_docs",
         "knn_cosine_topk", "embedding_centroids", "cdc_segments",
-        "heatmap_tiles", "join_order_lineitem",
+        "heatmap_tiles", "join_order_lineitem", "dedup_minhash_pairs",
+        "value_quantiles",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
