@@ -123,3 +123,63 @@ def test_replayed_window_is_idempotent(tmp_path_factory, stream, dup_at):
     got = fold_windows([w1, w2, w1, w2], tmpdir)  # both windows re-delivered
     res = oracle.reduce_events(table)
     assert got == {k_: v["content_sha256"] for k_, v in res.state.items()}
+
+
+def fold_windows_chain(tables, tmpdir, chain_max=2, ratio=1.1):
+    """The same chained fold but in MERGE-ON-READ mode (delta_chain=True,
+    ratio>1 so every non-compaction window appends a chain file), with
+    the driver's manifest bookkeeping mimicked inline. Final state =
+    fold_state_chain over [base, deltas]."""
+    from etl_ray.stages.merge import fold_state_chain
+
+    validate = make_validate_fn(num_partitions=1)
+    base, chain, size = None, [], 0
+    for i, t in enumerate(tables):
+        staging = os.path.join(tmpdir, f"ckpt{i}")
+        os.makedirs(staging, exist_ok=True)
+        v = validate(t)
+        if v.num_rows == 0:
+            continue
+        fn = make_merge_fn(
+            staging, ({0: base} if base else {}), {}, i,
+            prior_deltas={0: list(chain)}, prior_sizes={0: size},
+            delta_chain=True, chain_max=chain_max, compact_ratio=ratio,
+        )
+        stats = fn(v)
+        met = stats.slice(0, 1).to_pylist()[0]
+        if met["mode"] == "delta":
+            chain.append(met["staged_file"])
+        elif met["mode"] == "rewrite":
+            base, chain = met["staged_file"], []
+        size = met["state_rows"] + met["tombstones"]
+    files = ([base] if base else []) + chain
+    if not files:
+        return {}
+    tabs = [pq.read_table(f) for f in files]
+    cols, seen = [], set()
+    for tab in tabs:
+        for f in tab.schema:
+            if f.name not in seen:
+                seen.add(f.name)
+                cols.append((f.name, f.type))
+    folded = fold_state_chain(tabs, cols)
+    live = folded.filter(
+        pa.compute.invert(pa.compute.fill_null(folded.column("deleted"), False))
+    )
+    return {
+        (r["repo"], r["path"]): r["content_sha256"] for r in live.to_pylist()
+    }
+
+
+@given(stream=stream_st, cut=st.integers(0, 25), cut2=st.integers(0, 25))
+@settings(max_examples=60, deadline=None)
+def test_delta_chain_fold_equals_oracle(tmp_path_factory, stream, cut, cut2):
+    """Merge-on-read windows (chain appends + periodic compaction) land
+    on the oracle state for EVERY stream and window-cut placement."""
+    tmpdir = str(tmp_path_factory.mktemp("foldc"))
+    table = to_table(stream)
+    a, b = sorted((min(cut, len(stream)), min(cut2, len(stream))))
+    windows = [table.slice(0, a), table.slice(a, b - a), table.slice(b)]
+    got = fold_windows_chain(windows, tmpdir)
+    res = oracle.reduce_events(table)
+    assert got == {k: v["content_sha256"] for k, v in res.state.items()}
