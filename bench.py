@@ -184,6 +184,12 @@ def run_scaling(sf_dir: str) -> dict:
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
 
     def wait_ray_teardown(timeout_s: float = 30.0) -> None:
+        # ASSUMES an exclusive benchmark host: it matches ANY Ray process
+        # and force-stops stragglers after the timeout. On a shared
+        # machine with Ray clusters the bench does not own, disable with
+        # GRAFT_SCALING_TEARDOWN=0 (and accept dirtier numbers).
+        if os.environ.get("GRAFT_SCALING_TEARDOWN", "1") == "0":
+            return
         deadline = time.perf_counter() + timeout_s
         while time.perf_counter() < deadline:
             alive = subprocess.run(

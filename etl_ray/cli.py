@@ -62,6 +62,18 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    print(json.dumps(ReplayEngine(args.lake).compact()))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_status(args) -> int:
     from etl_ray.state.manifest import ManifestStore
 
@@ -117,6 +129,11 @@ def main(argv=None) -> int:
     g.add_argument("--scenario", default="mixed")
     g.add_argument("--n-files", type=int, default=8)
     g.set_defaults(fn=cmd_generate)
+
+    c = sub.add_parser("compact", help="fold all delta chains into base files")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("status", help="show lake manifest status")
     s.add_argument("--lake", required=True)

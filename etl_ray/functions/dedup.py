@@ -24,19 +24,18 @@ from etl_ray.stages.keyed import (
     bucket_ids,
     bucketed_groups,
     default_buckets,
-    direct_bucket_groups,
+    grouped_by_bucket as _grouped,
+    to_pandas_typed,
 )
 
-
-def _grouped(ds_in: rd.Dataset, col: str, n_buckets: int, fn) -> rd.Dataset:
-    """Group on a dense int bucket column: known-boundary direct exchange
-    by default (keyed.py), Ray Data AllToAll under
-    ``ETL_RAY_GROUP_EXCHANGE=sort``."""
-    import os
-
-    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
-        return direct_bucket_groups(ds_in, col, n_buckets, fn)
-    return ds_in.groupby(col).map_groups(fn, batch_format="pyarrow")
+_EMPTY_JACCARD = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "jaccard": pa.array([], pa.float64())}
+)
+_EMPTY_HAMMING = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "hamming": pa.array([], pa.int64())}
+)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -316,7 +315,9 @@ def minhash_dedup_pairs(
     # dropped in-partition there, saving a dedicated shuffle.
     pairs = pairs.materialize()
     verified = _verify_pairs_bucketed(ds, pairs, k, threshold, id_col, n_buckets)
-    res = verified.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    res = to_pandas_typed(verified, _EMPTY_JACCARD).sort_values(
+        ["a", "b"]
+    ).reset_index(drop=True)
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
@@ -593,5 +594,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
         )
 
     pairs = _grouped(bands, "bucket", n_buckets, verify_partition)
-    res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    res = to_pandas_typed(pairs, _EMPTY_HAMMING).drop_duplicates(
+        subset=["a", "b"]
+    ).sort_values(["a", "b"])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)

@@ -17,7 +17,7 @@ import ray
 import ray.data as rd
 
 from etl_ray.functions.rounding import round_half_away
-from etl_ray.stages.keyed import bucketed_groups
+from etl_ray.stages.keyed import bucketed_groups, to_pandas_typed
 
 
 def _topk_merge(cand: rd.Dataset, k: int, exclude_self: bool) -> pa.Table:
@@ -39,12 +39,15 @@ def _topk_merge(cand: rd.Dataset, k: int, exclude_self: bool) -> pa.Table:
         df = df.groupby("query_id", sort=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    res = (
-        bucketed_groups(cand, "query_id", topk_partition)
-        .to_pandas()
-        .sort_values(["query_id", "sim", "neighbor_id"],
-                     ascending=[True, False, True])
+    empty_topk = pa.table(
+        {"query_id": pa.array([], pa.int64()),
+         "neighbor_id": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
     )
+    res = to_pandas_typed(
+        bucketed_groups(cand, "query_id", topk_partition), empty_topk
+    ).sort_values(["query_id", "sim", "neighbor_id"],
+                  ascending=[True, False, True])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
 
@@ -258,7 +261,13 @@ def lsh_near_duplicates(
         )
 
     pairs = bucketed_groups(b, "bucket", pairs_partition)
-    res = pairs.to_pandas().drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
+    empty_pairs = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    res = to_pandas_typed(pairs, empty_pairs).drop_duplicates(
+        subset=["a", "b"]
+    ).sort_values(["a", "b"])
     return pa.Table.from_pandas(res.reset_index(drop=True), preserve_index=False)
 
 

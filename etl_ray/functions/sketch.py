@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from etl_ray.functions.rounding import round_half_away
-from etl_ray.stages.keyed import bucketed_groups, direct_bucket_groups
+from etl_ray.stages.keyed import bucketed_groups, grouped_by_bucket
 
 _KNUTH = np.uint64(2654435761)
 _MOD32 = np.uint64(1 << 32)
@@ -106,7 +106,7 @@ def kmv_distinct(ds: rd.Dataset, key_col: str, k: int = 64):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     combined = bucketed_groups(partials, "hv", combine)
-    return direct_bucket_groups(combined, "_sb", 1, final).to_pandas()
+    return grouped_by_bucket(combined, "_sb", 1, final).to_pandas()
 
 
 def kmv_sql(table: str, key_col: str, k: int = 64) -> str:
@@ -182,7 +182,7 @@ def histogram_quantiles(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     hist = bucketed_groups(partials, "mv", fold)
-    res = direct_bucket_groups(hist, "_sb", 1, final).to_pandas()
+    res = grouped_by_bucket(hist, "_sb", 1, final).to_pandas()
     return res.sort_values("q").reset_index(drop=True)
 
 

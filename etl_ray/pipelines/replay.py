@@ -585,9 +585,10 @@ class ReplayEngine:
             if any(info.get("deltas") for info in prior.partitions.values()):
                 raise RuntimeError(
                     "this lake has merge-on-read delta chains; the ensure-"
-                    "actor path reads base files only — run once with "
-                    "ETL_RAY_DELTA_CHAIN=1 ETL_RAY_CHAIN_MAX=0 (forces "
-                    "compaction) before enabling ETL_RAY_ENSURE_ACTORS"
+                    "actor path reads base files only — run "
+                    "ReplayEngine(lake).compact() (CLI: `python -m "
+                    "etl_ray.cli compact --lake ...`) before enabling "
+                    "ETL_RAY_ENSURE_ACTORS"
                 )
 
             tag = _hl.md5(os.path.abspath(self.lake_dir).encode()).hexdigest()[:10]
@@ -755,6 +756,67 @@ class ReplayEngine:
 
     # ------------------------------------------------------------- reading
 
+    def compact(self) -> dict[str, Any]:
+        """Fold EVERY partition's delta chain back into its base file and
+        commit a new checkpoint (the maintenance OPTIMIZE — reference
+        analog: the explicit month-partition maintenance scripts,
+        ``etl/init/single_statement_sql/98_rollback.sql`` discipline).
+        Untouched-by-any-window partitions are compacted too, which the
+        per-window compaction trigger can never reach. One raw task per
+        chained partition; the driver sees row counts only. Required
+        before enabling the ensure-actor path on a chained lake."""
+        import pyarrow.parquet as _pq
+
+        from etl_ray.stages.merge import fold_state_chain, write_atomic_parquet
+
+        m = self._require_manifest()
+        chained = {p: i for p, i in m.partitions.items() if i.get("deltas")}
+        if not chained:
+            return {"compacted": 0, "checkpoint_id": m.checkpoint_id}
+        ckpt_id = m.checkpoint_id + 1
+        staging = self.store.staging_dir(ckpt_id)
+
+        @ray.remote
+        def compact_part(files: list[str], out_path: str) -> int:
+            tabs = [_pq.read_table(f) for f in files]
+            cols, seen = [], set()
+            for tab in tabs:
+                for f in tab.schema:
+                    if f.name not in seen:
+                        seen.add(f.name)
+                        cols.append((f.name, f.type))
+            folded = fold_state_chain(tabs, cols)
+            write_atomic_parquet(folded, out_path)
+            return folded.num_rows
+
+        refs = {}
+        for p, info in chained.items():
+            files = [self.store.abs_path(info["file"])] + [
+                self.store.abs_path(d) for d in info["deltas"]
+            ]
+            out = os.path.join(staging, f"part-{int(p):05d}.parquet")
+            refs[p] = (compact_part.remote(files, out), out)
+        new_m = Manifest(
+            checkpoint_id=ckpt_id,
+            num_partitions=m.num_partitions,
+            partitions=dict(m.partitions),
+            summaries=dict(m.summaries),
+            payload_types=dict(m.payload_types),
+            windows_done=m.windows_done,
+            log_files_done=m.log_files_done,
+            log_fingerprint=m.log_fingerprint,
+            metrics={**m.metrics, "compacted_partitions": len(chained)},
+        )
+        for p, (ref, out) in refs.items():
+            ray.get(ref)
+            entry = dict(m.partitions[p])
+            entry.pop("deltas", None)
+            entry["file"] = self.store.rel_path(out)
+            entry["ckpt"] = ckpt_id
+            new_m.partitions[p] = entry
+        self.store.commit(new_m)
+        return {"compacted": len(chained), "checkpoint_id": ckpt_id}
+
     def final_state(self, columns: list[str] | None = None) -> rd.Dataset:
         """The lake's current live rows as a streaming Dataset.
 
@@ -800,16 +862,19 @@ class ReplayEngine:
 
             @ray.remote
             def fold_part(files: list[str]) -> pa.Table:
-                tabs = [
-                    _pq.read_table(
-                        f,
-                        columns=[
-                            c for c in (fold_cols or _pq.read_schema(f).names)
-                            if c in _pq.read_schema(f).names
-                        ],
+                tabs = []
+                for f in files:
+                    file_names = _pq.read_schema(f).names  # one footer read
+                    present = set(file_names)
+                    tabs.append(
+                        _pq.read_table(
+                            f,
+                            columns=[
+                                c for c in (fold_cols or file_names)
+                                if c in present
+                            ],
+                        )
                     )
-                    for f in files
-                ]
                 # union of columns across the chain: a delta written after
                 # a schema evolution can carry columns the base lacks
                 cols, seen = [], set()

@@ -148,42 +148,12 @@ def make_actor_merge_fn(
 
     num_actors = len(actors)
 
-    def route(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return merge_mod.STATS_SCHEMA.empty_table()
-        part = int(group.column("part")[0].as_py())
-        actor = actors[part % num_actors]
-        last_err: Exception | None = None
-        for attempt in range(4):
-            try:
-                return ray.get(
-                    actor.merge_window.remote(
-                        part,
-                        group,
-                        prior_ckpts.get(part, -1),
-                        prior_files.get(part),
-                        staging_dir,
-                        payload_types,
-                        ckpt_id,
-                    )
-                )
-            except (ray.exceptions.ActorUnavailableError,
-                    ray.exceptions.ActorDiedError) as e:
-                # transient restart (max_restarts=4): a restarted actor
-                # comes back with an empty cache and reloads from the
-                # manifest — correctness unaffected; retry with backoff
-                last_err = e
-                import time as _t
-
-                _t.sleep(0.5 * (attempt + 1))  # same handle: Ray re-binds
-                # to the restarted actor instance automatically
-        raise last_err
-
-    def delta_fn(
-        part: int, delta: pa.Table, events_in: int, invalid: int
-    ) -> pa.Table:
-        """Precombined-delta entry (cascaded exchange) — same actor
-        routing/retry discipline as ``route``."""
+    def _call_owner(part: int, delta: pa.Table, counts) -> pa.Table:
+        """ONE retry discipline for both entry points: transient actor
+        restarts (max_restarts=4) come back with an empty cache and
+        reload from the manifest — correctness unaffected; retry with
+        backoff on the SAME handle (Ray re-binds it to the restarted
+        instance automatically)."""
         actor = actors[part % num_actors]
         last_err: Exception | None = None
         for attempt in range(4):
@@ -192,7 +162,7 @@ def make_actor_merge_fn(
                     actor.merge_window.remote(
                         part, delta, prior_ckpts.get(part, -1),
                         prior_files.get(part), staging_dir, payload_types,
-                        ckpt_id, counts=(events_in, invalid),
+                        ckpt_id, counts=counts,
                     )
                 )
             except (ray.exceptions.ActorUnavailableError,
@@ -202,6 +172,18 @@ def make_actor_merge_fn(
 
                 _t.sleep(0.5 * (attempt + 1))
         raise last_err
+
+    def route(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return merge_mod.STATS_SCHEMA.empty_table()
+        part = int(group.column("part")[0].as_py())
+        return _call_owner(part, group, None)
+
+    def delta_fn(
+        part: int, delta: pa.Table, events_in: int, invalid: int
+    ) -> pa.Table:
+        """Precombined-delta entry (cascaded exchange)."""
+        return _call_owner(part, delta, (events_in, invalid))
 
     route.delta_fn = delta_fn
     return route

@@ -248,14 +248,13 @@ def shuffle_join(
                 out[c] = out[c].astype("Int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    import os
+    from etl_ray.stages.keyed import grouped_by_bucket
 
-    from etl_ray.stages.keyed import direct_bucket_groups
-
-    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
-        # known-boundary exchange on our dense _jbucket — no sampling,
-        # no sort (stages/keyed.py:direct_bucket_groups)
-        return direct_bucket_groups(tagged, "_jbucket", b, merge_partition)
-    return tagged.groupby("_jbucket").map_groups(
-        merge_partition, batch_format="pyarrow"
+    # known-boundary exchange on our dense _jbucket (stages/keyed.py);
+    # ETL_RAY_GROUP_EXCHANGE=sort selects the AllToAll path. The typed
+    # empty (merge of the empty tagged layout) keeps a zero-match join's
+    # output schema intact for downstream groupby/select.
+    return grouped_by_bucket(
+        tagged, "_jbucket", b, merge_partition,
+        empty_table=merge_partition(empty_tagged),
     )

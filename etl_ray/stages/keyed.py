@@ -73,6 +73,7 @@ def direct_bucket_groups(
     n_buckets: int,
     group_fn,
     n_ranges: int | None = None,
+    empty_table: pa.Table | None = None,
 ) -> rd.Dataset:
     """Known-boundary group exchange: apply ``group_fn`` once per bucket
     without Ray Data's AllToAll.
@@ -112,6 +113,13 @@ def direct_bucket_groups(
         bucket = (
             t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
         )
+        if len(bucket) and (bucket.min() < 0 or bucket.max() >= n_buckets):
+            # loud failure beats silent row loss: an out-of-range bucket
+            # would fall outside every reduce range and simply vanish
+            raise ValueError(
+                f"bucket column {bucket_col!r} outside [0, {n_buckets}): "
+                f"min={bucket.min()} max={bucket.max()}"
+            )
         rng = bucket * S // n_buckets
         order = np.argsort(rng, kind="stable")
         st = t.take(pa.array(order))
@@ -132,24 +140,36 @@ def direct_bucket_groups(
         bs = bucket[order]
         starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
         ends = np.append(starts[1:], len(bs))
-        outs = []
+        outs, empty_proto = [], None
         for s, e in zip(starts, ends):
             r = group_fn(t.slice(s, e - s))
             if isinstance(r, pd.DataFrame):  # map_groups tolerated pandas
                 r = pa.Table.from_pandas(r, preserve_index=False)
             if r.num_rows:
                 outs.append(r)
-        if not outs:
-            return False, pa.table({})
-        return True, pa.concat_tables(outs, promote_options="default")
+            elif empty_proto is None:
+                empty_proto = r  # schema-bearing empty output
+        if outs:
+            return True, pa.concat_tables(outs, promote_options="default")
+        if empty_proto is not None:
+            # an all-empty result must still carry group_fn's OUTPUT
+            # schema — downstream column access on a zero-column dataset
+            # crashes (parity with groupby().map_groups, which emits the
+            # fn's empty tables)
+            return True, empty_proto.slice(0, 0)
+        return False, pa.table({})
 
+    #: zero-input results: a caller-supplied typed empty beats a
+    #: zero-column dataset (Ray's to_pandas() drops ALL columns from an
+    #: empty dataset, so downstream column access would crash)
+    degenerate = empty_table if empty_table is not None else pa.table({})
     slice_refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
             r = split.remote(block_ref)
             slice_refs.append([r] if S == 1 else r)
     if not slice_refs:
-        return rd.from_arrow(pa.table({}))
+        return rd.from_arrow(degenerate)
     flag_refs, table_refs = [], []
     for i in range(S):
         f, t = apply_range.remote(*[row[i] for row in slice_refs])
@@ -158,7 +178,7 @@ def direct_bucket_groups(
     # only the 1-byte flags come to the driver; row data stays in plasma
     keep = [t for t, f in zip(table_refs, ray.get(flag_refs)) if f]
     if not keep:
-        return rd.from_arrow(pa.table({}))
+        return rd.from_arrow(degenerate)
     return rd.from_arrow_refs(keep)
 
 
@@ -172,6 +192,26 @@ def cluster_parallelism() -> int:
     return cpus
 
 
+def grouped_by_bucket(
+    ds: rd.Dataset, bucket_col: str, n_buckets: int, group_fn,
+    empty_table: pa.Table | None = None,
+) -> rd.Dataset:
+    """THE exchange selector for dense-int-bucket groupbys: the
+    known-boundary direct exchange by default, Ray Data's AllToAll under
+    ``ETL_RAY_GROUP_EXCHANGE=sort``. Every caller (bucketed_groups, the
+    shuffle join, the dedup pipelines, the sketches) routes through here
+    so the A/B lever has one owner. ``empty_table``: a typed empty to
+    return when the input has no rows at all (see direct_bucket_groups).
+    """
+    import os
+
+    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
+        return direct_bucket_groups(
+            ds, bucket_col, n_buckets, group_fn, empty_table=empty_table
+        )
+    return ds.groupby(bucket_col).map_groups(group_fn, batch_format="pyarrow")
+
+
 def bucketed_groups(
     ds: rd.Dataset,
     key_col: str,
@@ -183,12 +223,8 @@ def bucketed_groups(
     ``partition_fn(table) -> table`` receives one bucket's rows (many
     whole key-groups, pyarrow) and must be fully vectorized inside.
     The ``_bucket`` column is added here and NOT passed to
-    ``partition_fn``. Routed via the known-boundary direct exchange
-    (``direct_bucket_groups``) by default; ``ETL_RAY_GROUP_EXCHANGE=sort``
-    selects Ray Data's AllToAll instead.
+    ``partition_fn``. Exchange selection: :func:`grouped_by_bucket`.
     """
-    import os
-
     b = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -198,9 +234,18 @@ def bucketed_groups(
         return partition_fn(t.drop_columns(["_bucket"]))
 
     mapped = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    if os.environ.get("ETL_RAY_GROUP_EXCHANGE", "direct") == "direct":
-        return direct_bucket_groups(mapped, "_bucket", b, run)
-    return mapped.groupby("_bucket").map_groups(run, batch_format="pyarrow")
+    return grouped_by_bucket(mapped, "_bucket", b, run)
+
+
+def to_pandas_typed(ds: rd.Dataset, empty_like: pa.Table) -> pd.DataFrame:
+    """``ds.to_pandas()`` that survives empty results: Ray drops ALL
+    columns from an empty dataset's frame (even when the blocks carry a
+    schema), so downstream column access crashes — substitute the typed
+    empty frame instead."""
+    df = ds.to_pandas()
+    if df.empty and not set(empty_like.column_names) <= set(df.columns):
+        return empty_like.to_pandas()
+    return df
 
 
 def sorted_pandas(t: pa.Table, sort_cols: list[str]) -> pd.DataFrame:

@@ -271,15 +271,12 @@ def make_merge_fn(
                 # merge-on-read: prior = base + chain WITHOUT the content
                 # column — the only O(state) cost left is the metadata
                 # columns, ~10x smaller than content
-                tabs = [
-                    pq.read_table(
-                        f,
-                        columns=[
-                            c for c in meta_cols if c in pq.read_schema(f).names
-                        ],
+                tabs = []
+                for f in [prior_path, *chain]:
+                    names = set(pq.read_schema(f).names)  # one footer read
+                    tabs.append(
+                        pq.read_table(f, columns=[c for c in meta_cols if c in names])
                     )
-                    for f in [prior_path, *chain]
-                ]
                 prior = fold_state_chain(tabs, state_cols)
             elif chain:
                 prior = fold_state_chain(

@@ -165,3 +165,23 @@ def test_ivf_topk_recall_vs_brute_force(ray_session):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert abs(r["sim"] - exact_sims[key]) < 1e-9
+
+
+def test_simhash_no_pairs_returns_empty_with_schema(ray_session):
+    """Regression: an all-empty direct-exchange result must keep the
+    group fn's output schema (a zero-column dataset made downstream
+    drop_duplicates crash with KeyError 'a')."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["completely unrelated alpha beta gamma delta",
+                 "zzz qqq www eee rrr ttt yyy uuu"],
+                pa.string(),
+            ),
+        }
+    )
+    out = D.simhash_near_pairs(rd.from_arrow(t)).to_pylist()
+    assert out == []

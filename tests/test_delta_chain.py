@@ -123,3 +123,25 @@ def test_gc_keeps_chain_files_and_rollback_works(ray_session, tmp_path, monkeypa
     eng2 = ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
     eng2.replay(str(tmp_path / "log"), window_events=log.table.num_rows // 4)
     assert_parity(eng2, log.table)
+
+
+def test_maintenance_compact_clears_all_chains(ray_session, tmp_path, monkeypatch):
+    """ReplayEngine.compact() folds EVERY chained partition (including
+    ones no recent window touched), after which the ensure-actor guard
+    clears and the state is unchanged."""
+    _chain_env(monkeypatch, chain_max="6", ratio="1.1")
+    log = generate_events(n_keys=150, seed=17, scenario="mixed")
+    write_event_log(log, str(tmp_path / "log"), n_files=6)
+    eng = ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(str(tmp_path / "log"), window_events=log.table.num_rows // 4)
+    before = engine_state_map(eng)
+    assert any(p.get("deltas") for p in eng.store.current().partitions.values())
+    out = eng.compact()
+    assert out["compacted"] >= 1
+    m = eng.store.current()
+    assert not any(p.get("deltas") for p in m.partitions.values())
+    after = engine_state_map(eng)
+    assert set(before) == set(after)
+    for k in before:
+        assert before[k]["content_sha256"] == after[k]["content_sha256"], k
+    assert_parity(eng, log.table)
