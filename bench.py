@@ -235,21 +235,29 @@ def run_scaling(sf_dir: str) -> dict:
             r = json.loads(out.strip().splitlines()[-1])
             results[ncpu] = r
             times[ncpu].extend(r["runs"])
-    # median per level: hypervisor bursts SLOW the CPU-bound high side
-    # but can speed the low side (num_cpus caps task slots, not host
-    # threads — a "2-CPU" run sometimes bursts), so best-of is biased
-    # against the measurement; the interleaved median is neutral
-    t_lo = sorted(times[lo])[len(times[lo]) // 2]
-    t_hi = sorted(times[hi])[len(times[hi]) // 2]
+    # Headline = MIN per level (same convention as the headline replay
+    # bench): with hard pinning, host noise is strictly ADDITIVE — a
+    # contaminated sample is only ever slower — so the min pair is the
+    # least-contaminated measurement of the same deterministic
+    # computation. The interleaved medians are reported alongside; when
+    # the host is quiet the two agree (observed spread documented in
+    # BASELINE.md §"Scaling evidence").
+    t_lo = min(times[lo])
+    t_hi = min(times[hi])
+    t_lo_med = sorted(times[lo])[len(times[lo]) // 2]
+    t_hi_med = sorted(times[hi])[len(times[hi]) // 2]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "efficiency_median": round((t_lo_med / t_hi_med) / (hi / lo), 3),
         "cpus_lo": lo,
         "cpus_hi": hi,
         f"sec_{lo}cpu": t_lo,
         f"sec_{hi}cpu": t_hi,
+        f"sec_{lo}cpu_median": t_lo_med,
+        f"sec_{hi}cpu_median": t_hi_med,
         f"runs_{lo}cpu": times[lo],
         f"runs_{hi}cpu": times[hi],
         f"events_per_sec_{lo}cpu": round(results[lo]["events"] / t_lo, 1),
