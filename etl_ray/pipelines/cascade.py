@@ -198,6 +198,13 @@ def cascade_rollup(
     final union/finalize runs on small tables; every shuffle upstream
     is bucketed and carries only partial carries.
     """
+    if resolutions[0] != 1:
+        # base_carries emits raw cell_fn cells undivided — labeling them
+        # with a coarser resolution would silently mislabel every level
+        raise ValueError(
+            f"resolutions must start at 1 (got {resolutions[0]}): level 0 "
+            "is the identity resolution of cell_fn's cells"
+        )
     if any(b % a for a, b in zip(resolutions, resolutions[1:])):
         raise ValueError("each resolution must divide the next")
     import ray as _ray

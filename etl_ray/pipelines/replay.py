@@ -619,6 +619,11 @@ class ReplayEngine:
         # — Ray snapshots DataContext at Dataset creation, so settings
         # applied after dataset construction would not apply.
         window_bytes = sum(os.path.getsize(f) for f in window.files)
+        # exec_sec measures the PIPELINE (read -> exchange -> merge) only;
+        # driver-side setup above (manifest load, merge-fn construction,
+        # actor spawn in ensure mode) belongs to wall_sec, not exec_sec —
+        # profile_window.py's phase attribution depends on the split
+        t_pipe = time.perf_counter()
         with self._parallelism_scope(), self._shuffle_scope():
             ds = (
                 validated
@@ -647,7 +652,7 @@ class ReplayEngine:
                 blocks = [
                     t for t in ray.get(stats_ds.to_arrow_refs()) if t.num_rows
                 ]
-        t_exec = time.perf_counter() - t0
+        t_exec = time.perf_counter() - t_pipe
         if os.environ.get("ETL_RAY_PROFILE") and stats_ds is not None:
             print(stats_ds.stats())
         stats_t = (

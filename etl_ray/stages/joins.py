@@ -75,7 +75,11 @@ def detect_hot_keys(
         .groupby(on)
         .aggregate(Sum("_hn", alias_name="_hn"))
         .map_batches(
-            lambda t: t.filter(pc.greater_equal(t.column("_hn"), threshold)),
+            lambda t: (
+                t
+                if t.num_rows == 0  # columnless empty blocks: engine rule
+                else t.filter(pc.greater_equal(t.column("_hn"), threshold))
+            ),
             batch_format="pyarrow",
         )
         .take_all()
@@ -147,7 +151,11 @@ def shuffle_join(
     if salt_threshold is not None:
         kt = _arrow_type(dict(zip(ls.names, ls.types))[on])
         hot = detect_hot_keys(left, on, salt_threshold, kt)
-        hot = {k: s for k, s in hot.items() if s > 1}
+        # cap the fan at n_buckets: salts s1 != s2 collide into the same
+        # bucket exactly when s1 ≡ s2 (mod b), so fans beyond b replicate
+        # right rows into buckets that ALREADY hold a congruent replica —
+        # duplicated join output. Spread cannot exceed b anyway.
+        hot = {k: min(s, b) for k, s in hot.items() if s > 1}
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     if on not in l_fields or on not in r_fields:
@@ -170,7 +178,9 @@ def shuffle_join(
     if hot:
         import ray as _ray
 
-        hot_ref = _ray.put(hot)
+        hot_ref = _ray.put(
+            {"fan": hot, "keys": np.array(list(hot.keys()))}
+        )
 
     def tag(side_rest, other_rest, other_fields, is_right: bool):
         def fn(t: pa.Table) -> pa.Table:
@@ -182,19 +192,33 @@ def shuffle_join(
 
                 h = _ray.get(hot_ref)
                 keys = t.column(on).to_pandas().to_numpy()
-                ways = _salt_ways(keys, h)
-                if is_right:
-                    # replicate hot rows S× — one copy per salt value, so
-                    # every salted left bucket sees the full right side
-                    idx = np.repeat(np.arange(n), ways)
-                    salt = np.arange(len(idx)) - np.repeat(
-                        np.cumsum(ways) - ways, ways
-                    )
-                    t = t.take(pa.array(idx))
+                hot_mask = np.isin(keys, h["keys"])
+                if not hot_mask.any():
+                    # cold batch: keep the SALTED bucket formula (salt 0)
+                    # so co-location with salted batches holds, but skip
+                    # the per-row dict map and the full-batch take()
+                    salt = np.zeros(n, dtype=np.int64)
                 else:
-                    # spread hot left rows: batch position mod the key's
-                    # salt fan — deterministic, vectorized, ~uniform
-                    salt = np.arange(n) % ways
+                    ways = _salt_ways(keys, h["fan"])
+                    if is_right:
+                        # replicate hot rows S× — one copy per salt value,
+                        # so every salted left bucket sees the full right
+                        # side
+                        idx = np.repeat(np.arange(n), ways)
+                        salt = np.arange(len(idx)) - np.repeat(
+                            np.cumsum(ways) - ways, ways
+                        )
+                        t = t.take(pa.array(idx))
+                    else:
+                        # spread hot left rows by their PER-KEY arrival
+                        # index (cumcount), not the global batch position
+                        # — a periodic layout (hot key on every 2nd row)
+                        # would otherwise map every hot row to one salt
+                        # and defeat the memory bound
+                        salt = np.zeros(n, dtype=np.int64)
+                        hk = pd.Series(keys[hot_mask])
+                        within = hk.groupby(hk, sort=False).cumcount().to_numpy()
+                        salt[hot_mask] = within % ways[hot_mask]
                 n = t.num_rows
             out = {on: t.column(on)}
             for c in side_rest:

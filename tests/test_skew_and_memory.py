@@ -186,3 +186,57 @@ def test_salted_left_join_parity(ray_session):
     assert len(out) == len(left)  # every left row exactly once
     assert out[out["k"] == 5]["rv"].isna().all()
     assert (out[out["k"] == 1]["rv"] == 10).all()
+
+
+def test_salt_fan_beyond_bucket_count_no_duplicates(ray_session):
+    """Regression: salts s1 != s2 collide into one bucket when
+    s1 ≡ s2 (mod b); an uncapped fan S > b then pairs a left row with
+    2+ congruent right replicas and DUPLICATES join output. The fan is
+    now capped at n_buckets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.stages.joins import shuffle_join
+
+    n = 3000
+    rng = np.random.default_rng(11)
+    keys = np.where(rng.random(n) < 0.6, 5, rng.integers(100, 140, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 150, dtype=np.int64),
+                          "rv": np.arange(0, 150, dtype=np.int64) * 7})
+    # threshold 20 -> S = ceil(~1800/20) = 90 >> n_buckets=16
+    got = (
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     salt_threshold=20, n_buckets=16)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+    )
+
+
+def test_salt_spreads_periodic_hot_layout(ray_session):
+    """Regression: left-side salt by GLOBAL batch position degenerated to
+    one salt when the hot key occupied every 2nd row; per-key cumcount
+    spreads it regardless of layout."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.stages.joins import shuffle_join
+
+    n = 2000
+    keys = np.where(np.arange(n) % 2 == 0, 9, 100 + (np.arange(n) % 37)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 150, dtype=np.int64),
+                          "rv": np.arange(0, 150, dtype=np.int64)})
+    got = (
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                     salt_threshold=250, n_buckets=16)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]], check_dtype=False
+    )

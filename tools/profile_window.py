@@ -1,9 +1,12 @@
 """Profile one replay window: phase wall times + Ray Data stats.
 
 Usage: python tools/profile_window.py [num_cpus] [n_keys]
-Prints driver-phase timings (init, plan, pipeline, rollup+commit) and
-the window pipeline's ds.stats() so the fixed per-window cost can be
-attributed (BASELINE.md scaling work).
+Prints driver-phase timings (init, plan, pipeline, rollup+commit) and —
+because ds.stats() only exists for Ray Data operators — forces the
+AllToAll window path (ETL_RAY_SHUFFLE=sort + ETL_RAY_PROFILE=1) so the
+per-stage stats table actually prints. The default direct-exchange path
+has no Dataset stats; its phase split is exec_sec (pipeline) vs
+wall_sec (driver) in the window metrics.
 """
 
 from __future__ import annotations
@@ -19,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     num_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # stats require the Ray Data AllToAll path (the direct exchange is
+    # raw tasks — no Dataset operator to report on)
+    os.environ.setdefault("ETL_RAY_SHUFFLE", "sort")
+    os.environ.setdefault("ETL_RAY_PROFILE", "1")
 
     import ray
 
