@@ -75,6 +75,18 @@ def _p(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _buckets_for(sf_dir: str, *tables: str, per_bucket_mb: int = 64) -> int:
+    """Data-aware exchange width: one bucket per ~64 MB of input, floor 8,
+    capped at the CPU-derived default. Sizing buckets to CPUs alone makes
+    small-table joins pay 100+ per-bucket task dispatches (measured ~5 s
+    on a 1.5k-row join); sizing to bytes keeps the 100-TB shape (buckets
+    grow with data) without the small-input tax."""
+    from etl_ray.stages.keyed import default_buckets
+
+    bytes_total = sum(os.path.getsize(_p(sf_dir, t)) for t in tables)
+    return max(8, min(default_buckets(), bytes_total // (per_bucket_mb << 20)))
+
+
 # =============================================================== relational
 
 def q1_pricing_summary(sf_dir: str):
@@ -643,7 +655,10 @@ def dedup_minhash_pairs(sf_dir: str):
     return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_cte() -> str:
+    """The MinHash+LSH pair pipeline as a WITH-clause body ending in the
+    ``mh_pairs(a, b, jaccard)`` CTE — shared by the pair gate and the
+    duplicate-cluster gate (which builds a recursive CTE on top)."""
     a, b = F_dedup.minhash_params()
     n_perm, n_bands = len(a), 6
     r = n_perm // n_bands
@@ -662,8 +677,7 @@ def _minhash_sql() -> str:
             f"SELECT doc_id, {bnd} AS band_id, CAST({expr} AS BIGINT) AS bh FROM sig"
         )
     bands_sql = "\n  UNION ALL ".join(band_selects)
-    return f"""
-WITH all_docs AS (
+    return f"""all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 100000, text || ' trailing copy marker tokens'
@@ -699,22 +713,24 @@ WITH all_docs AS (
   SELECT p.a, p.b,
     list_distinct(xa.sh) AS da, list_distinct(xb.sh) AS db
   FROM p JOIN sgl xa ON xa.doc_id = p.a JOIN sgl xb ON xb.doc_id = p.b
-)
-SELECT a, b,
-  round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
-             WHEN len(da) = 0 OR len(db) = 0 THEN 0.0
-             ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
-                  / (len(da) + len(db)
-                     - len(list_filter(da, x -> list_contains(db, x))))
-        END, 6) AS jaccard
-FROM v
-WHERE round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
+), mh_pairs AS (
+  SELECT a, b, jaccard FROM (
+    SELECT a, b,
+      round(CASE WHEN len(da) = 0 AND len(db) = 0 THEN 1.0
                  WHEN len(da) = 0 OR len(db) = 0 THEN 0.0
                  ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
                       / (len(da) + len(db)
                          - len(list_filter(da, x -> list_contains(db, x))))
-            END, 6) >= 0.5
-ORDER BY a, b
+            END, 6) AS jaccard
+    FROM v
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()}
+SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b
 """
 
 
@@ -2363,5 +2379,217 @@ QUERIES.update(
     {
         "kmv_distinct_users": QueryDef(kmv_distinct_users, _KMV_SQL),
         "value_quantiles": QueryDef(value_quantiles, _QUANTILES_SQL),
+    }
+)
+
+# --- duplicate-cluster resolution (functions/graph.py) -----------------------
+
+def dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTER assignment: MinHash pairs → connected components
+    → one canonical doc per component (cluster min). The step between
+    pair discovery and a deduplicated corpus; the oracle recomputes the
+    pair pipeline constant-for-constant and resolves components with a
+    recursive CTE, so the distributed Pregel loop itself is hash-gated.
+    Reference semantic: one-winner-per-duplicate-group ensure discipline
+    (etl/insert/bulk_inserter.py:59-113) generalized to a pair graph."""
+    from etl_ray.functions import graph as F_graph
+
+    ds = _docs_with_dups(sf_dir)
+    pairs = F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    cc = F_graph.connected_components(
+        pairs.select(["a", "b"]),
+        n_buckets=_buckets_for(sf_dir, "documents"),
+    )
+    df = cc.to_pandas()
+    df = df.rename(columns={"id": "doc_id"})
+    df["keep"] = (df["doc_id"] == df["cluster_id"]).astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+nodes AS (
+  SELECT a AS id FROM mh_pairs UNION SELECT b FROM mh_pairs
+), edges AS (
+  SELECT a AS s, b AS t FROM mh_pairs UNION SELECT b, a FROM mh_pairs
+), reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(min(lbl) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+# --- shuffle semi/anti joins (stages/joins.py) -------------------------------
+
+def anti_join_customers(sf_dir: str):
+    """Distributed ANTI join: customers with no big-ticket order
+    (o_totalprice > 300k), counted per nation — both sides
+    hash-partitioned, right side pruned to keys before the exchange
+    (SURVEY J-family; the reference's NOT-IN ensure scans,
+    etl/insert/bulk_inserter.py:59-113). TPC-H Q22 shape."""
+    from etl_ray.stages.joins import shuffle_join
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    ords = rd.read_parquet(_p(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"])
+    ords = ords.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(
+                pc.greater(t.column("o_totalprice"), 300000.0)
+            ).column("o_custkey")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cs = pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32()),
+                    ("c_acctbal", pa.float64())])
+    os_ = pa.schema([("c_custkey", pa.int64())])
+    no_orders = shuffle_join(cust, ords, on="c_custkey", how="anti",
+                             schemas=(cs, os_),
+                             n_buckets=_buckets_for(sf_dir, "customer", "orders"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_nationkey": pa.array([], pa.int32()),
+                             "n_customers": pa.array([], pa.int64()),
+                             "total_acctbal": pa.array([], pa.float64())})
+        g = (
+            t.select(["c_nationkey", "c_acctbal"]).to_pandas()
+            .groupby("c_nationkey", as_index=False)
+            .agg(n_customers=("c_acctbal", "size"),
+                 total_acctbal=("c_acctbal", "sum"))
+        )
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        no_orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("total_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    if out.empty:  # Ray drops columns from a zero-row to_pandas
+        out = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int32"),
+                            "n_customers": pd.Series([], dtype="int64"),
+                            "total_acctbal": pd.Series([], dtype="float64")})
+    out["total_acctbal"] = out["total_acctbal"].round(4)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def semi_join_customers(sf_dir: str):
+    """Distributed SEMI join (membership, key-pruned right side):
+    customers WITH at least one 'F' order, per market segment."""
+    from etl_ray.stages.joins import shuffle_join
+
+    cust = rd.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    ords = rd.read_parquet(_p(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderstatus"])
+    ords = ords.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(
+                pc.equal(t.column("o_orderstatus"), "F")
+            ).column("o_custkey")}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cs = pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())])
+    os_ = pa.schema([("c_custkey", pa.int64())])
+    with_f = shuffle_join(cust, ords, on="c_custkey", how="semi",
+                          schemas=(cs, os_),
+                          n_buckets=_buckets_for(sf_dir, "customer", "orders"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "n_customers": pa.array([], pa.int64())})
+        g = (
+            t.select(["c_mktsegment"]).to_pandas()
+            .groupby("c_mktsegment", as_index=False).size()
+            .rename(columns={"size": "n_customers"})
+        )
+        g["n_customers"] = g["n_customers"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        with_f.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SEMI_JOIN_CUST_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- ranked window (ROW_NUMBER analog) ---------------------------------------
+
+def rank_events(sf_dir: str):
+    """Per-key ranked window: each user's 3 most recent events with a
+    rank column — the ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ts
+    DESC, id) analog as a bucketed whole-partition pass (one exchange,
+    one vectorized sort + cython cumcount per partition; SURVEY O-family
+    top-k discipline, keyed.py pattern)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id"])
+
+    def topn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, True], kind="stable",
+        )
+        df["rnk"] = df.groupby("user_id", sort=False).cumcount() + 1
+        df = df[df["rnk"] <= 3][["user_id", "event_id", "rnk"]]
+        df["rnk"] = df["rnk"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    res = bucketed_groups(
+        ds, "user_id", topn, n_buckets=_buckets_for(sf_dir, "events")
+    ).to_pandas()
+    return res.sort_values(["user_id", "rnk"]).reset_index(drop=True)
+
+
+RANK_EVENTS_SQL = """
+SELECT user_id, event_id, rnk FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY user_id, rnk
+"""
+
+
+QUERIES.update(
+    {
+        "dedup_clusters": QueryDef(dedup_clusters, _dedup_clusters_sql()),
+        "anti_join_customers": QueryDef(anti_join_customers, ANTI_JOIN_SQL),
+        "semi_join_customers": QueryDef(semi_join_customers, SEMI_JOIN_CUST_SQL),
+        "rank_events": QueryDef(rank_events, RANK_EVENTS_SQL),
     }
 )

@@ -126,9 +126,16 @@ def shuffle_join(
 ) -> rd.Dataset:
     """Distributed hash join of two large Datasets on column ``on``.
 
-    ``how``: "inner" or "left". Non-key column names must be disjoint.
-    Schemas are read from dataset metadata once to build the unified
-    tagged layout (null-filled columns for the other side).
+    ``how``: "inner", "left", "semi" or "anti". Non-key column names must
+    be disjoint. Schemas are read from dataset metadata once to build the
+    unified tagged layout (null-filled columns for the other side).
+
+    "semi" keeps left rows whose key appears on the right; "anti" keeps
+    left rows whose key does NOT (the reference's NOT-IN backfill scans,
+    ``etl/insert/bulk_inserter.py:59-113`` ensure discipline). For both,
+    the right side is pruned to the key column BEFORE the exchange —
+    membership needs no payload, so the shuffle carries left bytes +
+    right keys only, and the output schema is exactly the left schema.
 
     Dtype note: the tagged union makes every non-key column nullable;
     integer columns transiently widen to float64 in the per-bucket pandas
@@ -156,10 +163,17 @@ def shuffle_join(
         # right rows into buckets that ALREADY hold a congruent replica —
         # duplicated join output. Spread cannot exceed b anyway.
         hot = {k: min(s, b) for k, s in hot.items() if s > 1}
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     if on not in l_fields or on not in r_fields:
         raise ValueError(f"join key {on!r} missing from a side")
+    if how in ("semi", "anti"):
+        # membership-only join: ship right KEYS, nothing else
+        right = right.select_columns([on])
+        r_fields = {on: r_fields[on]}
+        rs = pa.schema([pa.field(on, r_fields[on])])
     l_rest = [n for n in ls.names if n != on]
     r_rest = [n for n in rs.names if n != on]
     overlap = set(l_rest) & set(r_rest)
@@ -256,7 +270,13 @@ def shuffle_join(
         is_r = df["_side"].to_numpy()
         ldf = df[~is_r][[on, *l_rest]]
         rdf = df[is_r][[on, *r_rest]]
-        out = ldf.merge(rdf, on=on, how=how)
+        if how in ("semi", "anti"):
+            # vectorized membership — never a cartesian merge; duplicate
+            # right keys (or salt replicas) cannot duplicate left rows
+            member = ldf[on].isin(rdf[on].to_numpy())
+            out = ldf[member if how == "semi" else ~member].copy()
+        else:
+            out = ldf.merge(rdf, on=on, how=how)
         # the tagged union null-fills widened integer columns to float64
         # in pandas — restore the declared integer types here (nullable
         # Int64 handles the genuine nulls a LEFT join introduces), so
