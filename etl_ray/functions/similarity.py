@@ -281,12 +281,16 @@ def brute_force_near_duplicates(
     restricting the pair domain. Suitable when the filtered side fits in
     memory; for symmetric all-pairs at scale use ``lsh_near_duplicates``.
     """
-    side = ds
-    if predicate is not None:
-        side = ds.map_batches(
-            lambda t: t.filter(predicate(t)), batch_format="pyarrow"
-        )
-    rows = side.select_columns([id_col, "embedding"]).take_all()
+    # fuse filter + projection into ONE map: a separate select_columns
+    # stage downstream of the filter would receive the filter's 0-row
+    # blocks as INPUT, and Ray forwards empty input blocks as schemaless
+    # RefBundles (warning noise + schema instability)
+    def prune(t: pa.Table) -> pa.Table:
+        if predicate is not None:
+            t = t.filter(predicate(t))
+        return t.select([id_col, "embedding"])
+
+    rows = ds.map_batches(prune, batch_format="pyarrow").take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     m = _normalize(np.stack([np.asarray(r["embedding"], np.float64) for r in rows]))
     order = np.argsort(ids)

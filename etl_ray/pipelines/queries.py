@@ -34,7 +34,13 @@ from etl_ray.functions import similarity as F_sim
 from etl_ray.functions import text as F_text
 from etl_ray.functions.rounding import round_half_away
 from etl_ray.functions.scalar import smart_date_id
-from etl_ray.stages.keyed import bucketed_groups, pool_size, sorted_pandas
+from etl_ray.stages import agg as F_agg
+from etl_ray.stages.keyed import (
+    bucketed_groups,
+    pool_size,
+    sorted_pandas,
+    to_pandas_typed,
+)
 
 
 def _prev_same_key(keys: np.ndarray) -> np.ndarray:
@@ -103,18 +109,37 @@ def q1_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount", "l_shipdate"],
     )
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.less_equal(t.column("l_shipdate"), cutoff)),
-        batch_format="pyarrow", zero_copy_batch=True,
+    keys = ["l_returnflag", "l_linestatus"]
+    empty = pa.table(
+        {"l_returnflag": pa.array([], pa.string()),
+         "l_linestatus": pa.array([], pa.string()),
+         "sum_qty": pa.array([], pa.float64()),
+         "sum_base_price": pa.array([], pa.float64()),
+         "sum_disc": pa.array([], pa.float64()),
+         "count_order": pa.array([], pa.int64())}
     )
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
-    )
-    t = out.to_pandas()
-    for c in ("sum_qty", "sum_base_price", "avg_disc"):
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.select([*keys, "l_quantity", "l_extendedprice", "l_discount"])
+            .to_pandas()
+            .groupby(keys, sort=False, as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"),
+                 sum_base_price=("l_extendedprice", "sum"),
+                 sum_disc=("l_discount", "sum"),
+                 count_order=("l_discount", "size"))
+        )
+        g["count_order"] = g["count_order"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = F_agg.grouped_sum(parts, keys, empty)
+    t["avg_disc"] = round_half_away(t["sum_disc"] / t["count_order"], 2)
+    t = t.drop(columns=["sum_disc"])
+    for c in ("sum_qty", "sum_base_price"):
         t[c] = round_half_away(t[c], 2)
     return t
 
@@ -159,10 +184,26 @@ def revenue_by_nation(sf_dir: str):
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("n_name").aggregate(
-        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    empty = pa.table(
+        {"n_name": pa.array([], pa.string()),
+         "revenue": pa.array([], pa.float64()),
+         "n_orders": pa.array([], pa.int64())}
     )
-    t = out.to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.select(["n_name", "o_totalprice"]).to_pandas()
+            .groupby("n_name", sort=False, as_index=False)
+            .agg(revenue=("o_totalprice", "sum"),
+                 n_orders=("o_totalprice", "size"))
+        )
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = F_agg.grouped_sum(parts, ["n_name"], empty)
     t["revenue"] = round_half_away(t["revenue"], 2)
     return t
 
@@ -202,9 +243,24 @@ ORDER BY total_spent DESC, custkey ASC LIMIT 10
 
 def distinct_priorities(sf_dir: str):
     """Distinct values (SURVEY A2/D1 natural-key dedup,
-    drop_duplicates before ensure)."""
+    drop_duplicates before ensure): per-batch unique combiner, then a
+    bucketed distinct — one exchange over ≤ blocks × distinct rows."""
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority"])
-    return pa.table({"o_orderpriority": pa.array(sorted(ds.unique("o_orderpriority")))})
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string())})
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table(
+            {"o_orderpriority":
+             pc.unique(t.column("o_orderpriority").combine_chunks())}
+        )
+
+    parts = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
+    out = to_pandas_typed(bucketed_groups(parts, "o_orderpriority", uniq), empty)
+    return pa.table(
+        {"o_orderpriority": pa.array(sorted(out["o_orderpriority"]))}
+    )
 
 
 DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
@@ -217,11 +273,28 @@ def parts_by_brand(sf_dir: str):
         lambda t: t.filter(pc.less(t.column("p_size"), 25)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    t = ds.groupby("p_brand").aggregate(
-        Count(alias_name="n_parts"), Mean("p_retailprice", alias_name="avg_price")
-    ).to_pandas()
-    t["avg_price"] = round_half_away(t["avg_price"], 2)
-    return t
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "n_parts": pa.array([], pa.int64()),
+                      "sum_price": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas().groupby("p_brand", sort=False, as_index=False)
+            .agg(n_parts=("p_retailprice", "size"),
+                 sum_price=("p_retailprice", "sum"))
+        )
+        g["n_parts"] = g["n_parts"].astype("int64")
+        return pa.Table.from_pandas(g[["p_brand", "n_parts", "sum_price"]],
+                                    preserve_index=False)
+
+    t = F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_brand"], empty,
+    )
+    t["avg_price"] = round_half_away(t["sum_price"] / t["n_parts"], 2)
+    return t.drop(columns=["sum_price"])
 
 
 PARTS_BY_BRAND_SQL = """
@@ -291,9 +364,24 @@ SELECT user_id, ts, event_type, value FROM (
 def cdc_event_counts(sf_dir: str):
     """Grouped counts + sums with Ray's partial pre-aggregation (SURVEY A4)."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
-    t = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="total_value")
-    ).to_pandas()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "total_value": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.to_pandas().groupby("event_type", sort=False, as_index=False)
+            .agg(n=("value", "size"), total_value=("value", "sum"))
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], empty,
+    )
     t["total_value"] = round_half_away(t["total_value"], 3)
     return t
 
@@ -473,23 +561,36 @@ def text_token_stats(sf_dir: str):
     """Per-lang token statistics (token counting op; vectorized re2
     kernel in Arrow — no Python loop)."""
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
-    ds = ds.map_batches(
-        lambda t: pa.table(
-            {
-                "lang": t.column("lang"),
-                "n_tokens": F_text.token_count_column(t.column("text")),
-                "n_chars": t.column("n_chars"),
-            }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "n_docs": pa.array([], pa.int64()),
+         "total_tokens": pa.array([], pa.int64()),
+         "sum_chars": pa.array([], pa.int64())}
     )
-    t = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tokens", alias_name="total_tokens"),
-        Mean("n_chars", alias_name="avg_chars"),
-    ).to_pandas()
-    t["avg_chars"] = round_half_away(t["avg_chars"], 2)
-    return t
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            pa.table(
+                {"lang": t.column("lang"),
+                 "n_tokens": F_text.token_count_column(t.column("text")),
+                 "n_chars": t.column("n_chars")}
+            )
+            .to_pandas()
+            .groupby("lang", sort=False, as_index=False)
+            .agg(n_docs=("n_tokens", "size"),
+                 total_tokens=("n_tokens", "sum"),
+                 sum_chars=("n_chars", "sum"))
+        )
+        for c in ("n_docs", "total_tokens", "sum_chars"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = F_agg.grouped_sum(parts, ["lang"], empty)
+    t["avg_chars"] = round_half_away(t["sum_chars"] / t["n_docs"], 2)
+    return t.drop(columns=["sum_chars"])
 
 
 TEXT_TOKEN_STATS_SQL = """
@@ -576,7 +677,20 @@ FROM all_docs GROUP BY sha256(text)
 
 def lang_distribution(sf_dir: str):
     ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
-    return ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t.to_pandas().groupby("lang", sort=False, as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"].to_numpy()),
+                         "n_docs": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    return F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], empty,
+    )
 
 
 LANG_DISTRIBUTION_SQL = "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
@@ -1195,8 +1309,23 @@ def semi_join_orders(sf_dir: str):
         return batch.filter(mask)
 
     ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
-    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    return out.groupby("o_orderpriority").aggregate(Count(alias_name="n")).to_pandas()
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = keep(t)
+        if t.num_rows == 0:
+            return empty
+        g = t.select(["o_orderpriority"]).to_pandas().groupby(
+            "o_orderpriority", sort=False, as_index=False
+        ).size()
+        return pa.table({"o_orderpriority": pa.array(g["o_orderpriority"].to_numpy()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    return F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"], empty,
+    )
 
 
 SEMI_JOIN_ORDERS_SQL = """
@@ -1880,11 +2009,26 @@ def join_order_lineitem(sf_dir: str):
             pa.schema([("okey", pa.int64()), ("o_orderpriority", pa.string())]),
         ),
     )
-    t = joined.groupby("o_orderpriority").aggregate(
-        Sum("li_n", alias_name="n_items"),
-        Sum("li_sum", alias_name="total_price"),
-    ).to_pandas()
-    t["n_items"] = t["n_items"].astype("int64")
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "total_price": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (
+            t.select(["o_orderpriority", "li_n", "li_sum"]).to_pandas()
+            .groupby("o_orderpriority", sort=False, as_index=False)
+            .agg(n_items=("li_n", "sum"), total_price=("li_sum", "sum"))
+        )
+        g["n_items"] = g["n_items"].astype("int64")
+        g["total_price"] = g["total_price"].astype("float64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = F_agg.grouped_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"], empty,
+    )
     t["total_price"] = round_half_away(t["total_price"], 2)
     return t
 
@@ -2469,17 +2613,13 @@ def anti_join_customers(sf_dir: str):
         g["n_customers"] = g["n_customers"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        no_orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_nationkey")
-        .aggregate(Sum("n_customers", alias_name="n_customers"),
-                   Sum("total_acctbal", alias_name="total_acctbal"))
-        .to_pandas()
+    empty = pa.table({"c_nationkey": pa.array([], pa.int32()),
+                      "n_customers": pa.array([], pa.int64()),
+                      "total_acctbal": pa.array([], pa.float64())})
+    out = F_agg.grouped_sum(
+        no_orders.map_batches(partial, batch_format="pyarrow"),
+        ["c_nationkey"], empty,
     )
-    if out.empty:  # Ray drops columns from a zero-row to_pandas
-        out = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int32"),
-                            "n_customers": pd.Series([], dtype="int64"),
-                            "total_acctbal": pd.Series([], dtype="float64")})
     out["total_acctbal"] = out["total_acctbal"].round(4)
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
@@ -2531,11 +2671,11 @@ def semi_join_customers(sf_dir: str):
         g["n_customers"] = g["n_customers"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        with_f.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("n_customers", alias_name="n_customers"))
-        .to_pandas()
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "n_customers": pa.array([], pa.int64())})
+    out = F_agg.grouped_sum(
+        with_f.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"], empty,
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
@@ -2593,3 +2733,68 @@ QUERIES.update(
         "rank_events": QueryDef(rank_events, RANK_EVENTS_SQL),
     }
 )
+
+# --- space-filling-curve clustering key (lake layout) ------------------------
+
+def zorder_cells(sf_dir: str):
+    """Z-order (Morton) clustering key over two event dimensions — the
+    space-filling-curve analog of the reference's KD-tree spatial
+    partition layout (etl/partition_builder/02_kd_tree_construction.sql):
+    interleave the bits of two bounded grid coordinates so lake files
+    sorted by zcell co-locate 2-D-adjacent rows. 10 bits per axis,
+    vectorized numpy bit ops; the oracle recomputes the interleave
+    bit-for-bit. Output: rows + value mass per z-cell."""
+    ds = rd.read_parquet(_p(sf_dir, "events"),
+                         columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"zcell": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        x = (t.column("user_id").to_numpy(zero_copy_only=False) % 1024).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        y = (np.abs(np.floor(v * 10.0)).astype(np.int64)) % 1024
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        g = (
+            pd.DataFrame({"zcell": z, "value": v})
+            .groupby("zcell", as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table({"zcell": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_value": pa.array([], pa.float64())})
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = F_agg.grouped_sum(parts, ["zcell"], empty,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    out["sum_value"] = round_half_away(out["sum_value"], 4)
+    return out.sort_values("zcell").reset_index(drop=True)
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for i in range(10):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+    return f"""
+WITH g AS (
+  SELECT CAST(user_id % 1024 AS BIGINT) AS x,
+         CAST(abs(floor(value * 10.0)) AS BIGINT) % 1024 AS y,
+         value
+  FROM events
+)
+SELECT CAST({interleave} AS BIGINT) AS zcell,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM g GROUP BY zcell ORDER BY zcell
+"""
+
+
+QUERIES.update({"zorder_cells": QueryDef(zorder_cells, _zorder_sql())})

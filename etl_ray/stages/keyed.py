@@ -150,14 +150,17 @@ def direct_bucket_groups(
             elif empty_proto is None:
                 empty_proto = r  # schema-bearing empty output
         if outs:
-            return True, pa.concat_tables(outs, promote_options="default")
+            return 2, pa.concat_tables(outs, promote_options="default")
         if empty_proto is not None:
-            # an all-empty result must still carry group_fn's OUTPUT
-            # schema — downstream column access on a zero-column dataset
-            # crashes (parity with groupby().map_groups, which emits the
-            # fn's empty tables)
-            return True, empty_proto.slice(0, 0)
-        return False, pa.table({})
+            # flag 1: a schema-bearing EMPTY proto. Kept only when NO
+            # range produced rows (the driver then emits exactly one,
+            # so downstream column access still works) — a 0-row block
+            # mixed among row-bearing ones makes every downstream map
+            # operator emit a schemaless RefBundle (Ray skips the UDF
+            # on empty input blocks), the "RefBundle with a different
+            # schema" warning class
+            return 1, empty_proto.slice(0, 0)
+        return 0, pa.table({})
 
     #: zero-input results: a caller-supplied typed empty beats a
     #: zero-column dataset (Ray's to_pandas() drops ALL columns from an
@@ -176,8 +179,14 @@ def direct_bucket_groups(
         flag_refs.append(f)
         table_refs.append(t)
     # only the 1-byte flags come to the driver; row data stays in plasma
-    keep = [t for t, f in zip(table_refs, ray.get(flag_refs)) if f]
+    flags = ray.get(flag_refs)
+    keep = [t for t, f in zip(table_refs, flags) if f == 2]
     if not keep:
+        # no range produced rows: one schema-bearing empty proto (if any
+        # group_fn ran) beats the caller degenerate, which beats nothing
+        protos = [t for t, f in zip(table_refs, flags) if f == 1]
+        if protos:
+            return rd.from_arrow_refs(protos[:1])
         return rd.from_arrow(degenerate)
     return rd.from_arrow_refs(keep)
 
@@ -228,6 +237,14 @@ def bucketed_groups(
     b = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # typed 0-row output keeps the bundle schema (a generator
+            # yielding nothing emits a SCHEMALESS bundle — the
+            # "RefBundle with a different schema" warning class); the
+            # downstream raw-task exchange drops empty slices anyway
+            if key_col in t.column_names:
+                return t.append_column("_bucket", pa.array([], pa.int32()))
+            return t
         return t.append_column("_bucket", bucket_ids(t.column(key_col), b))
 
     def run(t: pa.Table) -> pa.Table:
