@@ -118,7 +118,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cdc_sessionize", "text_token_stats", "dedup_exact_docs",
         "knn_cosine_topk", "embedding_centroids", "cdc_segments",
         "heatmap_tiles", "join_order_lineitem", "dedup_minhash_pairs",
-        "value_quantiles",
+        "value_quantiles", "dedup_clusters", "anti_join_customers",
+        "zorder_cells",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -54,8 +54,11 @@ def bucketed_groups_multi(
 ) -> rd.Dataset:
     """:func:`etl_ray.stages.keyed.bucketed_groups` for COMPOSITE keys —
     rows sharing the full key tuple land in one partition task.
-    ``empty``: typed zero-row layout emitted for empty/columnless input
-    blocks so every block leaving ``add_bucket`` shares one schema."""
+    ``empty``: typed zero-row table in the INPUT-block layout; it is
+    emitted (bucketed) for empty/columnless input blocks so every block
+    leaving ``add_bucket`` shares one schema, and ``partition_fn(empty)``
+    supplies the typed OUTPUT empty for an all-empty result —
+    ``partition_fn`` must therefore handle a zero-row input."""
     b = n_buckets or default_buckets()
 
     empty_bucketed = (

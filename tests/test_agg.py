@@ -1,0 +1,86 @@
+"""grouped_sum / bucketed_groups_multi (stages/agg.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from etl_ray.stages.agg import bucketed_groups_multi, grouped_sum
+
+
+def _partials(df: pd.DataFrame, keys: list[str], empty: pa.Table):
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t.to_pandas().groupby(keys, sort=False, as_index=False).sum()
+        for c in empty.column_names:
+            if c not in keys and pa.types.is_integer(empty.schema.field(c).type):
+                g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g[empty.column_names], preserve_index=False)
+
+    return rd.from_pandas(df).map_batches(partial, batch_format="pyarrow")
+
+
+def test_grouped_sum_single_key(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 500).astype(np.int64),
+                       "v": rng.normal(size=500),
+                       "n": np.ones(500, dtype=np.int64)})
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64()),
+                      "n": pa.array([], pa.int64())})
+    got = grouped_sum(_partials(df, ["k"], empty), ["k"], empty, n_buckets=4)
+    want = df.groupby("k", as_index=False).sum()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert (got["k"] == want["k"]).all()
+    assert np.allclose(got["v"], want["v"])
+    assert (got["n"] == want["n"]).all()
+    assert str(got["n"].dtype) == "int64"
+
+
+def test_grouped_sum_composite_key(ray_session):
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], 300),
+                       "b": rng.integers(0, 4, 300).astype(np.int64),
+                       "v": rng.normal(size=300)})
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+    got = grouped_sum(_partials(df, ["a", "b"], empty), ["a", "b"], empty,
+                      n_buckets=4)
+    want = df.groupby(["a", "b"], as_index=False).sum()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    assert (got["a"] == want["a"]).all() and (got["b"] == want["b"]).all()
+    assert np.allclose(got["v"], want["v"])
+
+
+def test_grouped_sum_all_empty_partials_keeps_schema(ray_session):
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+    ds = rd.from_arrow(empty)
+    got = grouped_sum(ds, ["k"], empty, n_buckets=4)
+    assert list(got.columns) == ["k", "v"]
+    assert len(got) == 0
+
+
+def test_bucketed_groups_multi_colocates_full_key_tuple(ray_session):
+    df = pd.DataFrame({"a": ["x"] * 4 + ["y"] * 4,
+                       "b": [1, 1, 2, 2] * 2,
+                       "v": range(8)})
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty is the INPUT layout by contract
+            return pa.table({"n": pa.array([], pa.int64())})
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    out = bucketed_groups_multi(
+        rd.from_pandas(df), ["a", "b"], check, n_buckets=3,
+        empty=pa.table({"a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64())}),
+    ).to_pandas()
+    # every row accounted for, regardless of how tuples spread buckets
+    assert out["n"].sum() == 8
