@@ -52,12 +52,38 @@ def _as_dataset(edges) -> rd.Dataset:
     return edges
 
 
+def _cc_single_task(tables: list[pa.Table], src: str, dst: str) -> pa.Table:
+    """Whole-graph min-label with path halving — runs inside ONE remote
+    task (numpy, O(E) per round, ~log(diameter) rounds)."""
+    s = np.concatenate(
+        [t.column(src).to_numpy(zero_copy_only=False) for t in tables]
+    ).astype(np.int64)
+    d = np.concatenate(
+        [t.column(dst).to_numpy(zero_copy_only=False) for t in tables]
+    ).astype(np.int64)
+    nodes = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    lbl = nodes.copy()
+    for _ in range(64):
+        new = lbl.copy()
+        np.minimum.at(new, di, lbl[si])
+        np.minimum.at(new, si, lbl[di])
+        # path halving: a label is itself a node id — jump to ITS label
+        new = np.minimum(new, new[np.searchsorted(nodes, new)])
+        if (new == lbl).all():
+            break
+        lbl = new
+    return pa.table({"id": pa.array(nodes), "cluster_id": pa.array(lbl)})
+
+
 def connected_components(
     edges,
     src: str = "a",
     dst: str = "b",
     max_supersteps: int = 64,
     n_buckets: int | None = None,
+    single_task_max_edges: int = 1 << 22,
 ) -> pa.Table:
     """Component label per node of the undirected graph ``edges``.
 
@@ -72,6 +98,15 @@ def connected_components(
     size it to the EDGE count (~edge_bytes / 64 MB), not the cluster CPU
     count: a near-dup pair graph is orders of magnitude smaller than its
     corpus, and per-bucket task dispatch dominates when buckets ≫ data.
+
+    ``single_task_max_edges``: a pair graph at or below this edge count
+    (default 4M edges ≈ 64 MB — one Ray block) runs as ONE remote
+    union-find task over the plasma-resident edge blocks instead of the
+    superstep loop — the broadcast-small-side analog for graphs
+    (near-dup pair sets are ≪ their corpus; each superstep otherwise
+    pays ~4 streaming-execution fixed costs). The distributed loop is
+    the ≥-threshold path and stays under test via
+    ``single_task_max_edges=0``.
     """
     ds = _as_dataset(edges)
 
@@ -85,7 +120,29 @@ def connected_components(
              "dst": pa.array(np.concatenate([d, s]))}
         )
 
-    e = ds.map_batches(
+    import ray
+
+    raw = ds.materialize()
+    if raw.count() <= single_task_max_edges:
+        block_refs = [
+            r for b in raw.iter_internal_ref_bundles() for r in b.block_refs
+        ]
+        if not block_refs:
+            return _EMPTY_LABELS.rename_columns(["id", "cluster_id"])
+
+        @ray.remote
+        def uf(*tables):
+            ts = [
+                t for t in tables
+                if t.num_rows and {src, dst} <= set(t.column_names)
+            ]
+            if not ts:
+                return _EMPTY_LABELS.rename_columns(["id", "cluster_id"])
+            return _cc_single_task(ts, src, dst)
+
+        return ray.get(uf.remote(*block_refs))
+
+    e = raw.map_batches(
         both_ways, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 

@@ -200,3 +200,100 @@ FROM o CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) qs(q)
 GROUP BY q
 ORDER BY q
 """
+
+
+def grouped_histogram_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    n_buckets: int | None = None,
+):
+    """Per-KEY discrete lower quantiles of ``round(value*1000)`` —
+    :func:`histogram_quantiles` with a composite (key, grid-value) fold.
+
+    Shape: per-batch (key, mv, n) partials (≤ keys × grid values per
+    batch) → composite-key bucketed sum (bucketed_groups_multi — bounded
+    by keys × |grid domain|, never rows) → ONE per-key pass computing
+    every requested quantile with cython cumsum/first (no per-key Python
+    dispatch). Returns (key, q, mv_q) rows.
+    """
+    import pandas as pd
+
+    from etl_ray.stages.agg import bucketed_groups_multi
+    from etl_ray.stages.keyed import to_pandas_typed
+
+    empty_h = pa.table({key_col: pa.array([], pa.string()),
+                        "mv": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_h
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {key_col: t.column(key_col).to_pandas().to_numpy(),
+             "mv": round_half_away(v * 1000.0, 0).astype(np.int64)}
+        )
+        g = df.groupby([key_col, "mv"], sort=False, as_index=False).size()
+        return pa.table({key_col: pa.array(g[key_col].to_numpy()),
+                         "mv": pa.array(g["mv"].to_numpy()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_h
+        g = t.to_pandas().groupby([key_col, "mv"], sort=False, as_index=False)["n"].sum()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "q": pa.array([], pa.float64()),
+                             "mv_q": pa.array([], pa.int64())})
+        df = t.to_pandas().sort_values([key_col, "mv"], kind="stable")
+        df["cum"] = df.groupby(key_col, sort=False)["n"].cumsum()
+        df["total"] = df.groupby(key_col, sort=False)["n"].transform("sum")
+        outs = []
+        for q in qs:  # loops over the CONSTANT quantile list, not keys
+            sel = (
+                df[df["cum"] >= np.ceil(q * df["total"])]
+                .groupby(key_col, sort=False, as_index=False)
+                .first()[[key_col, "mv"]]
+                .rename(columns={"mv": "mv_q"})
+            )
+            sel["q"] = float(q)
+            outs.append(sel)
+        out = pd.concat(outs, ignore_index=True)[[key_col, "q", "mv_q"]]
+        out["mv_q"] = out["mv_q"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = bucketed_groups_multi(partials, [key_col, "mv"], fold,
+                                 n_buckets=n_buckets, empty=empty_h)
+    res = to_pandas_typed(
+        bucketed_groups(hist, key_col, final, n_buckets=n_buckets),
+        final(empty_h),
+    )
+    return res.sort_values([key_col, "q"]).reset_index(drop=True)
+
+
+def grouped_histogram_quantiles_sql(table: str, key_col: str, value_col: str) -> str:
+    return f"""
+WITH h AS (
+  SELECT {key_col}, CAST(round({value_col} * 1000, 0) AS BIGINT) AS mv,
+         count(*) AS n
+  FROM {table} GROUP BY 1, 2
+), o AS (
+  SELECT {key_col}, mv,
+         sum(n) OVER (PARTITION BY {key_col} ORDER BY mv) AS cum,
+         sum(n) OVER (PARTITION BY {key_col}) AS total
+  FROM h
+)
+SELECT {key_col}, CAST(q AS DOUBLE) AS q,
+       CAST(min(CASE WHEN cum >= CAST(ceil(q * total) AS BIGINT) THEN mv END) AS BIGINT) AS mv_q
+FROM o CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) qs(q)
+GROUP BY {key_col}, q
+ORDER BY {key_col}, q
+"""

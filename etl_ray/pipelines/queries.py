@@ -2798,3 +2798,111 @@ FROM g GROUP BY zcell ORDER BY zcell
 
 
 QUERIES.update({"zorder_cells": QueryDef(zorder_cells, _zorder_sql())})
+
+# --- exploded-token grouped top-k (flat_map + composite-key combiner) --------
+
+def top_tokens_per_lang(sf_dir: str):
+    """Top-5 tokens per language by count — the explode (flat_map) +
+    composite-key aggregate + grouped top-k composition every corpus
+    pipeline needs (vocabulary building). Scale shape: per-batch explode
+    + (lang, token) combiner shrinks each block to its local vocabulary;
+    ONE composite-key exchange merges counts IN-CLUSTER
+    (bucketed_groups_multi — the full vocabulary never reaches the
+    driver); a per-lang bucketed top-k ships only 5 rows per language.
+    Ties rank by token ascending, mirroring ROW_NUMBER order."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    empty_cnt = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+    def explode_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_cnt
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        langs = np.repeat(t.column("lang").to_pandas().to_numpy(), lens)
+        df = pd.DataFrame({"lang": langs, "token": flat})
+        df = df[df["token"] != ""]  # split artifacts at string edges
+        g = df.groupby(["lang", "token"], sort=False, as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"].to_numpy()),
+                         "token": pa.array(g["token"].to_numpy()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_cnt
+        g = (
+            t.to_pandas().groupby(["lang", "token"], sort=False, as_index=False)["n"].sum()
+        )
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(explode_count, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = F_agg.bucketed_groups_multi(
+        parts, ["lang", "token"], merge_counts,
+        n_buckets=_buckets_for(sf_dir, "documents"), empty=empty_cnt,
+    )
+
+    def topn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["lang", "n", "token"], ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rnk"] = df.groupby("lang", sort=False).cumcount() + 1
+        df = df[df["rnk"] <= 5]
+        df["rnk"] = df["rnk"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = to_pandas_typed(
+        bucketed_groups(counts, "lang", topn, n_buckets=8),
+        empty_cnt.append_column("rnk", pa.array([], pa.int64())),
+    )
+    return out.sort_values(["lang", "rnk"]).reset_index(drop=True)
+
+
+TOP_TOKENS_SQL = """
+WITH tok AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY lang, token
+), ranked AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+  FROM cnt
+)
+SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+
+QUERIES.update(
+    {"top_tokens_per_lang": QueryDef(top_tokens_per_lang, TOP_TOKENS_SQL)}
+)
+
+
+def value_quantiles_by_type(sf_dir: str):
+    """Per-event-type histogram quantiles (grouped mergeable sketch —
+    composite-key fold, never a sort; functions/sketch.py)."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    return F_sketch.grouped_histogram_quantiles(
+        ds, "event_type", "value",
+        n_buckets=_buckets_for(sf_dir, "events"),
+    )
+
+
+QUERIES.update(
+    {
+        "value_quantiles_by_type": QueryDef(
+            value_quantiles_by_type,
+            __import__("etl_ray.functions.sketch", fromlist=["x"])
+            .grouped_histogram_quantiles_sql("events", "event_type", "value"),
+        )
+    }
+)

@@ -30,6 +30,13 @@ def _reference_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+import pytest as _pytest
+
+# 0 forces the distributed superstep loop; default takes the
+# single-task union-find fast path — both must agree everywhere
+_PATHS = [{"single_task_max_edges": 0}, {}]
+
+
 def _cc_table(edges, **kw):
     t = pa.table(
         {"a": pa.array([e[0] for e in edges], pa.int64()),
@@ -39,30 +46,34 @@ def _cc_table(edges, **kw):
     return dict(zip(got["id"], got["cluster_id"]))
 
 
-def test_cc_two_components(ray_session):
-    got = _cc_table([(1, 2), (2, 3), (10, 11)])
+@_pytest.mark.parametrize("path", _PATHS)
+def test_cc_two_components(ray_session, path):
+    got = _cc_table([(1, 2), (2, 3), (10, 11)], **path)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_cc_chain_needs_many_supersteps(ray_session):
+@_pytest.mark.parametrize("path", _PATHS)
+def test_cc_chain_needs_many_supersteps(ray_session, path):
     # a 12-node path: min-label propagation needs ~diameter supersteps
     edges = [(i, i + 1) for i in range(100, 112)]
-    got = _cc_table(edges)
+    got = _cc_table(edges, **path)
     assert set(got.values()) == {100}
     assert len(got) == 13
 
 
-def test_cc_random_graph_matches_union_find(ray_session):
+@_pytest.mark.parametrize("path", _PATHS)
+def test_cc_random_graph_matches_union_find(ray_session, path):
     rng = np.random.default_rng(5)
     edges = [tuple(sorted(map(int, rng.integers(0, 60, 2)))) for _ in range(80)]
     edges = [(a, b) for a, b in edges if a != b]
-    assert _cc_table(edges) == _reference_components(edges)
+    assert _cc_table(edges, **path) == _reference_components(edges)
 
 
-def test_cc_empty_edges(ray_session):
+@_pytest.mark.parametrize("path", _PATHS)
+def test_cc_empty_edges(ray_session, path):
     got = connected_components(
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}),
-        n_buckets=4,
+        n_buckets=4, **path,
     )
     assert got.num_rows == 0
     assert got.column_names == ["id", "cluster_id"]
@@ -70,10 +81,11 @@ def test_cc_empty_edges(ray_session):
 
 def test_cc_superstep_cap_is_a_backstop(ray_session):
     # with max_supersteps=1 a long chain must NOT silently converge
+    # (distributed path only — the cap governs supersteps)
     edges = [(i, i + 1) for i in range(6)]
-    got = _cc_table(edges, max_supersteps=1)
+    got = _cc_table(edges, max_supersteps=1, single_task_max_edges=0)
     assert set(got.values()) != {0}  # not fully propagated
-    got_full = _cc_table(edges)
+    got_full = _cc_table(edges, single_task_max_edges=0)
     assert set(got_full.values()) == {0}
 
 
