@@ -297,3 +297,62 @@ FROM o CROSS JOIN (VALUES (0.25), (0.50), (0.75), (0.90)) qs(q)
 GROUP BY {key_col}, q
 ORDER BY {key_col}, q
 """
+
+
+_BLOOM_H1 = np.uint64(2654435761)
+_BLOOM_H2 = np.uint64(2246822519)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int):
+    with np.errstate(over="ignore"):
+        h1 = (keys.astype(np.uint64) * _BLOOM_H1) % _MOD32 % np.uint64(m_bits)
+        h2 = (keys.astype(np.uint64) * _BLOOM_H2) % _MOD32 % np.uint64(m_bits)
+    return h1.astype(np.int64), h2.astype(np.int64)
+
+
+def bloom_build(ds: rd.Dataset, key_col: str, m_bits: int = 1 << 16,
+                n_buckets: int | None = None) -> np.ndarray:
+    """Bloom bitmap over a non-negative integer key column.
+
+    Per-batch partial = the batch's bit positions (two Knuth-style
+    hashes, deliberately SQL-replicable); the fold is a bitwise OR —
+    fully associative, so partials merge in any exchange tree. The
+    driver receives ONE m_bits/8-byte bitmap (8 KB at the default),
+    never keys. Reference analog: the ensure-scan membership pre-filter
+    (etl/insert/bulk_inserter.py NOT-IN discipline) made approximate +
+    constant-size for broadcast.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_positions(k, m_bits)
+        return pa.table({"pos": pa.array(np.unique(np.concatenate([h1, h2])))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        pos = np.unique(t.column("pos").to_numpy(zero_copy_only=False))
+        return pa.table({"pos": pa.array(pos),
+                         "_sb": pa.array(np.zeros(len(pos), np.int32))})
+
+    def final(t: pa.Table) -> pa.Table:
+        pos = np.unique(t.column("pos").to_numpy(zero_copy_only=False))
+        return pa.table({"pos": pa.array(pos.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # the position domain is m_bits (8 KB default): a handful of fold
+    # buckets suffices regardless of input rows — CPU-derived widths
+    # only add per-task dispatch on a domain-bounded sketch
+    folded = bucketed_groups(parts, "pos", fold, n_buckets=n_buckets or 8)
+    pos_t = grouped_by_bucket(folded, "_sb", 1, final)
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for block in pos_t.iter_batches(batch_format="pyarrow"):
+        if block.num_rows and "pos" in block.column_names:
+            bitmap[block.column("pos").to_numpy(zero_copy_only=False)] = True
+    return bitmap
+
+
+def bloom_contains(bitmap: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership mask (true ⇒ maybe-member; false ⇒ not)."""
+    h1, h2 = _bloom_positions(keys, len(bitmap))
+    return bitmap[h1] & bitmap[h2]

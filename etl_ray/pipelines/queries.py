@@ -93,6 +93,20 @@ def _buckets_for(sf_dir: str, *tables: str, per_bucket_mb: int = 64) -> int:
     return max(8, min(default_buckets(), bytes_total // (per_bucket_mb << 20)))
 
 
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          per_block_mb: int = 32) -> rd.Dataset:
+    """Bytes-aware parquet read for the query surface: Ray's default
+    block heuristic targets ~2x CPUs blocks, which turns a kilobyte
+    dimension table into 64 blocks of ~20 rows — measured 1.5 s of pure
+    per-task dispatch for a 0.06 s read. One block per ~32 MB with a
+    floor of 8 keeps small tables cheap and big tables parallel (the
+    floor preserves map-stage parallelism at test scale; at 100 TB the
+    bytes term dominates)."""
+    path = _p(sf_dir, table)
+    nb = max(8, os.path.getsize(path) // (per_block_mb << 20))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=int(nb))
+
+
 # =============================================================== relational
 
 def q1_pricing_summary(sf_dir: str):
@@ -103,8 +117,7 @@ def q1_pricing_summary(sf_dir: str):
     Arrow filter; Ray pre-aggregates partial groups per block before the
     shuffle automatically.
     """
-    ds = rd.read_parquet(
-        _p(sf_dir, "lineitem"),
+    ds = _read(sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -182,7 +195,7 @@ def revenue_by_nation(sf_dir: str):
         names = lookup.reindex(keys).to_numpy()
         return batch.append_column("n_name", pa.array(names, pa.string()))
 
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
     empty = pa.table(
         {"n_name": pa.array([], pa.string()),
@@ -222,7 +235,7 @@ def top_customers(sf_dir: str):
     """Top-10 by spend: grouped aggregate → global sort → limit (SURVEY
     O4 top-k; ordering ties broken by custkey AFTER rounding so selection
     matches the oracle)."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = ds.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
     )
@@ -245,7 +258,7 @@ def distinct_priorities(sf_dir: str):
     """Distinct values (SURVEY A2/D1 natural-key dedup,
     drop_duplicates before ensure): per-batch unique combiner, then a
     bucketed distinct — one exchange over ≤ blocks × distinct rows."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderpriority"])
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
     empty = pa.table({"o_orderpriority": pa.array([], pa.string())})
 
     def uniq(t: pa.Table) -> pa.Table:
@@ -268,7 +281,7 @@ DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
 
 def parts_by_brand(sf_dir: str):
     """Filter + groupby over part (SURVEY M3 + A4)."""
-    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_size", "p_retailprice"])
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("p_size"), 25)),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -308,7 +321,7 @@ def grid_cells(sf_dir: str):
     """Analytic grid-cell assignment + count (SURVEY J7: cell ids from
     coordinates by integer division — no join needed when the grid is
     analytic; fact_cell_rollup.sql:133 analog)."""
-    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"])
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
 
     def cells(t: pa.Table) -> pa.Table:
         cx = pc.cast(pc.floor(t.column("l_quantity")), pa.int64())
@@ -335,7 +348,7 @@ def cdc_lww_latest(sf_dir: str):
     winner). Bucketed: hash(user) % B co-locates whole users, then ONE
     Arrow lexsort + run-boundary pass per partition — B tasks total, not
     one per key (stages/keyed.py; the merge.py:191 pattern)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["user_id", "ts", "event_id", "event_type", "value"])
 
     def last_per_user(t: pa.Table) -> pa.Table:
@@ -363,7 +376,7 @@ SELECT user_id, ts, event_type, value FROM (
 
 def cdc_event_counts(sf_dir: str):
     """Grouped counts + sums with Ray's partial pre-aggregation (SURVEY A4)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
     empty = pa.table({"event_type": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64()),
                       "total_value": pa.array([], pa.float64())})
@@ -397,7 +410,7 @@ def cdc_sessionize(sf_dir: str):
     """Gap-based sessionization — the reference's trajectory gap-split
     (SURVEY K5/K6: new segment when Δt ≥ threshold,
     builder.py:102-115) as a per-user fold. Gap: strict > 30 min."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def sess_partition(t: pa.Table) -> pa.Table:
         df = sorted_pandas(t, ["user_id", "ts", "event_id"])
@@ -434,7 +447,7 @@ def cdc_value_delta(sf_dir: str):
     """Σ|Δvalue| per user over time order — the reference's
     calculate_delta UDF (SURVEY F1, calculate_delta.sql:1-20) as a
     per-key vectorized fold."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def delta_partition(t: pa.Table) -> pa.Table:
         df = sorted_pandas(t, ["user_id", "ts", "event_id"])
@@ -468,7 +481,7 @@ def cdc_mode_event_type(sf_dir: str):
     """Most-frequent value per key, ties → smallest (SURVEY A1/O2: the
     13-column mode aggregation of trajectory finalize,
     builder.py:204-273)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
 
     def mode_partition(t: pa.Table) -> pa.Table:
         # count per (user, value), then one lexsort (count desc, value asc)
@@ -504,7 +517,7 @@ SELECT user_id, mode_event_type FROM (
 def smart_date_counts(sf_dir: str):
     """Smart integer date keys YYYYMMDD (SURVEY M9/F5,
     helper_functions.py:167-176) + count per day."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+    ds = _read(sf_dir, "events", columns=["ts"])
     out = ds.map_batches(
         lambda t: pa.table({"date_id": smart_date_id(t.column("ts"))}),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -522,7 +535,7 @@ FROM events GROUP BY 1
 def cdc_changes_compressed(sf_dir: str):
     """Consecutive-duplicate compression count per user (SURVEY D3/K9:
     tfloat compression, builder.py:346-375)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def changes_partition(t: pa.Table) -> pa.Table:
         df = sorted_pandas(t, ["user_id", "ts", "event_id"])
@@ -560,7 +573,7 @@ SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_changes FROM o GROUP BY user_id
 def text_token_stats(sf_dir: str):
     """Per-lang token statistics (token counting op; vectorized re2
     kernel in Arrow — no Python loop)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
     empty = pa.table(
         {"lang": pa.array([], pa.string()),
          "n_docs": pa.array([], pa.int64()),
@@ -604,7 +617,7 @@ FROM documents GROUP BY lang
 def text_quality(sf_dir: str):
     """Per-doc quality signals (length/whitespace/digit/upper ratios) —
     the standard training-corpus quality pre-filter."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(
         lambda t: F_text.quality_metrics(t).drop_columns(["text"]),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -627,7 +640,7 @@ def _docs_with_dups(sf_dir: str) -> rd.Dataset:
     """documents ∪ deterministic near-verbatim copies (doc_id+100000 for
     doc_id % 10 == 0) — gives the dedup operators real duplicates to find
     (the raw synthetic corpus has none)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def copies(t: pa.Table) -> pa.Table:
         # deterministic: every doc_id % 10 == 0 gets a copy with a tail
@@ -676,7 +689,7 @@ FROM all_docs GROUP BY sha256(text)
 
 
 def lang_distribution(sf_dir: str):
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+    ds = _read(sf_dir, "documents", columns=["lang"])
     empty = pa.table({"lang": pa.array([], pa.string()),
                       "n_docs": pa.array([], pa.int64())})
 
@@ -700,7 +713,7 @@ def langid_heuristic(sf_dir: str):
     """Language-ID actor-pool stage (stopword heuristic, vectorized
     isin+grouped-sum scoring) — the SQL oracle replays the same stopword
     counts and first-max tie-break."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(F_text.LangIdStage, batch_format="pandas",
                          concurrency=pool_size(), batch_size=1024)
     return out.select_columns(["doc_id", "pred_lang"]).to_pandas()
@@ -734,7 +747,7 @@ FROM s
 def fingerprint_docs(sf_dir: str):
     """Rolling-hash document fingerprints (codepoint FNV-Horner mod 2^64;
     the SQL oracle folds the identical Horner with UHUGEINT arithmetic)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: F_text.fingerprint_batch(t).drop_columns(["text"]),
                          batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas()
@@ -920,7 +933,7 @@ def knn_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors vec_id<5 — broadcast
     query matrix, one matmul per batch; sims rounded to 6 dp before
     ranking on BOTH sides."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return F_sim.knn_cosine(ds, query_ids=[0, 1, 2, 3, 4], k=10).select(
         ["query_id", "neighbor_id", "sim"]
     )
@@ -946,7 +959,7 @@ def embedding_centroids(sf_dir: str):
     """Per-label centroid via partial (sum, count) per batch →
     groupby(label, dim) — the pre-aggregate-before-shuffle discipline
     (SURVEY A4 + guide 'Aggregation at scale')."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["label", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         labels = t.column("label").to_numpy(zero_copy_only=False)
@@ -1002,7 +1015,7 @@ def embedding_neardup(sf_dir: str):
     """Exact cosine near-dup pairs within label=0 (threshold 0.25 —
     synthetic vectors are near-orthogonal, so higher thresholds return
     nothing). Brute-force on the small filtered side."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
     return F_sim.brute_force_near_duplicates(
         ds, threshold=0.25, predicate=lambda t: pc.equal(t.column("label"), 0)
     )
@@ -1023,7 +1036,7 @@ def media_metadata(sf_dir: str):
     """Multimodal plumbing: documents→opaque binary payloads, typed
     metadata extracted per batch (byte length); SQL-checkable half of the
     media path."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
 
     def meta(t: pa.Table) -> pa.Table:
@@ -1051,7 +1064,7 @@ def multimodal_features(sf_dir: str):
     decode CHECKSUM invariant (sum of the decoded byte window / 255),
     which the SQL oracle reproduces; the random-projection feature vector
     itself stays engine-side (model output, not SQL-expressible)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
     out = F_mm.extract_features(ds, concurrency=pool_size(), batch_size=256)
     return out.select_columns(["media_id", "decode_checksum"]).to_pandas()
@@ -1116,7 +1129,7 @@ def _run_doc_replay(sf_dir: str, variant: str = ""):
     root = f"/tmp/etl_ray_gate/{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/log", exist_ok=True)
-    docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     # 4 log segment files split DETERMINISTICALLY by commit_seq % 4 so the
     # window plan (files {0,1} → checkpoint 0, files {2,3} → checkpoint 1)
     # is reproducible by the SQL audit oracle. The derived-log fixture is
@@ -1308,7 +1321,7 @@ def semi_join_orders(sf_dir: str):
         mask = pc.is_in(batch.column("o_custkey"), value_set=keyset)
         return batch.filter(mask)
 
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64())})
 
@@ -1340,11 +1353,11 @@ def distinct_dates_union(sf_dir: str):
     """Union + distinct across tables (SURVEY D4: dates stacked from 3
     columns then uniqued, date_dimension.py:26-32): smart date ids from
     orders ∪ lineitem."""
-    o = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"]).map_batches(
+    o = _read(sf_dir, "orders", columns=["o_orderdate"]).map_batches(
         lambda t: pa.table({"date_id": smart_date_id(t.column("o_orderdate"))}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    l = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_shipdate"]).map_batches(
+    l = _read(sf_dir, "lineitem", columns=["l_shipdate"]).map_batches(
         lambda t: pa.table({"date_id": smart_date_id(t.column("l_shipdate"))}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -1366,7 +1379,7 @@ def angular_delta(sf_dir: str):
     """Upper-bounded angular total variation per key (SURVEY F2,
     calculate_delta_upperbounded.sql — the delta_heading kernel):
     events.value taken mod 360, folded per user in time order."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def fold_partition(t: pa.Table) -> pa.Table:
         # elementwise form of scalar.calculate_delta_upperbounded, with
@@ -1413,7 +1426,7 @@ FROM s GROUP BY user_id
 def date_dimension(sf_dir: str):
     """Date-dimension enrichment (SURVEY F7: dim_date attribute derivation,
     date_dimension.py:34-78): distinct order dates → smart key + parts."""
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderdate"])
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
 
     # distributed distinct over the (bounded-domain) smart key — a
     # calendar has O(10^4) days regardless of fact volume, so the
@@ -1590,7 +1603,7 @@ def cdc_attribution(sf_dir: str):
     Composed as groupby(user) → per-group ordered forward-fill — the
     bucketed merge_asof pattern; partitioning assumption: one user's
     events fit one group."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["user_id", "ts", "event_id", "event_type"])
 
     def asof_partition(t: pa.Table) -> pa.Table:
@@ -1638,7 +1651,7 @@ def tumbling_window(sf_dir: str):
     windows per user — window id computed analytically (epoch // 21600),
     then an ordinary pre-aggregated groupby; no watermark machinery
     needed for a bounded replay (SURVEY §2.10)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def win(t: pa.Table) -> pa.Table:
         epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
@@ -1690,7 +1703,7 @@ def ngram_jaccard_pairs(sf_dir: str):
 
     # pair domain needs only the id column of the RAW documents read —
     # not the text-carrying dup-planting lineage
-    pairs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"]).map_batches(
+    pairs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
         planted, batch_format="pyarrow", zero_copy_batch=True
     )
     out = F_dedup._verify_pairs_bucketed(
@@ -1747,7 +1760,7 @@ def sliding_window(sf_dir: str):
     over the current + immediately-preceding 6-hour window. The lag is a
     whole-partition vectorized pass over the bucketed tumbling counts —
     no watermark machinery needed for a bounded replay."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def win(t: pa.Table) -> pa.Table:
         epoch = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
@@ -1802,7 +1815,7 @@ def cdc_repair_fold(sf_dir: str):
     replays the fold with a recursive CTE stepping row-by-row."""
     from etl_ray.stages.repair import repair_hold_last
 
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["user_id", "ts", "event_id", "value"])
 
     def run(t: pa.Table) -> pa.Table:
@@ -1862,7 +1875,7 @@ def heatmap_tiles(sf_dir: str):
     16-cell count grid (zeros for empty cells), serialized row-major for
     engine-agnostic hashing. Child counts pre-aggregate BEFORE the tile
     shuffle (the combiner discipline)."""
-    ds = rd.read_parquet(_p(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"])
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
 
     def cells(t: pa.Table) -> pa.Table:
         cx = pc.cast(pc.floor(t.column("l_quantity")), pa.int64())
@@ -1947,7 +1960,7 @@ def simplify_events_path(sf_dir: str):
     DuckDB oracle — the driver records the rows-only check)."""
     from etl_ray.functions.geometry import douglas_peucker_mask
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
 
     def simplify_partition(t: pa.Table) -> pa.Table:
         df = sorted_pandas(t, ["user_id", "ts", "event_id"])
@@ -1974,7 +1987,7 @@ def join_order_lineitem(sf_dir: str):
     then a grouped rollup per order priority."""
     from etl_ray.stages.joins import shuffle_join
 
-    li = rd.read_parquet(_p(sf_dir, "lineitem"),
+    li = _read(sf_dir, "lineitem",
                          columns=["l_orderkey", "l_extendedprice"])
 
     def partial_per_okey(t: pa.Table) -> pa.Table:
@@ -1996,7 +2009,7 @@ def join_order_lineitem(sf_dir: str):
         )
 
     li = li.map_batches(partial_per_okey, batch_format="pyarrow", zero_copy_batch=True)
-    orders = rd.read_parquet(_p(sf_dir, "orders"),
+    orders = _read(sf_dir, "orders",
                              columns=["o_orderkey", "o_orderpriority"])
     orders = orders.map_batches(
         lambda t: t.rename_columns(["okey", "o_orderpriority"]),
@@ -2051,8 +2064,7 @@ def cdc_segments(sf_dir: str):
     v_milli@epoch_us pieces. Fully SQL-gated."""
     from etl_ray.stages.segments import ModeSpec, materialize_segments
 
-    ds = rd.read_parquet(
-        _p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
         columns=["user_id", "ts", "event_id", "event_type", "value"],
     )
 
@@ -2156,7 +2168,7 @@ def knn_cosine_ivf(sf_dir: str):
     ranking — so the DuckDB oracle replays the exact IVF algorithm, not
     just a rows count. Recall vs brute force stays pinned in
     tests/test_dedup_similarity.py."""
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return F_sim.ivf_topk(ds, query_ids=[0, 1, 2, 3, 4], k=10,
                           n_probe=4, centroid_stride=25)
 
@@ -2208,7 +2220,7 @@ def sampled_docs(sf_dir: str):
     """Deterministic systematic sample (SURVEY O5: the reference's random
     ids are replaced by deterministic selection — replayable sampling):
     every 20th doc_id, with token counts."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def pick(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2269,7 +2281,7 @@ def _make_cascade_query(agg):
     def fn(sf_dir: str):
         from etl_ray.pipelines.cascade import cascade_rollup
 
-        ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "value"])
+        ds = _read(sf_dir, "events", columns=["ts", "value"])
         return cascade_rollup(ds, _cascade_cells, [agg], (1, 4, 16))
 
     fn.__name__ = f"cascade_{agg.kind}"
@@ -2339,7 +2351,7 @@ def smart_time_roundtrip(sf_dir: str):
     days, never by fact volume)."""
     from etl_ray.functions.scalar import smart_time_id, timestamp_from_date_time_id
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["ts", "event_id"])
+    ds = _read(sf_dir, "events", columns=["ts", "event_id"])
 
     def partial(t: pa.Table) -> pa.Table:
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
@@ -2398,7 +2410,7 @@ def direction_classify(sf_dir: str):
     its unit cell is classified by nearest edge (N,S,E,W in argmin tie
     order, 'Unknown' beyond 0.2), then (entry, exit) maps through the
     25-entry direction dict to direction_id = entry_idx*5 + exit_idx."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["user_id", "ts", "event_id", "value"])
 
     def classify_partition(t: pa.Table) -> pa.Table:
@@ -2498,7 +2510,7 @@ def kmv_distinct_users(sf_dir: str):
     oracle, so the gate hash-compares the sketch itself."""
     from etl_ray.functions import sketch as F_sketch
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    ds = _read(sf_dir, "events", columns=["user_id"])
     return F_sketch.kmv_distinct(ds, "user_id", k=64)
 
 
@@ -2507,7 +2519,7 @@ def value_quantiles(sf_dir: str):
     grid): domain-bounded fold, never a global sort."""
     from etl_ray.functions import sketch as F_sketch
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    ds = _read(sf_dir, "events", columns=["value"])
     return F_sketch.histogram_quantiles(ds, "value")
 
 
@@ -2579,10 +2591,9 @@ def anti_join_customers(sf_dir: str):
     etl/insert/bulk_inserter.py:59-113). TPC-H Q22 shape."""
     from etl_ray.stages.joins import shuffle_join
 
-    cust = rd.read_parquet(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
-    ords = rd.read_parquet(_p(sf_dir, "orders"),
+    ords = _read(sf_dir, "orders",
                            columns=["o_custkey", "o_totalprice"])
     ords = ords.map_batches(
         lambda t: pa.table(
@@ -2640,10 +2651,9 @@ def semi_join_customers(sf_dir: str):
     customers WITH at least one 'F' order, per market segment."""
     from etl_ray.stages.joins import shuffle_join
 
-    cust = rd.read_parquet(
-        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
     )
-    ords = rd.read_parquet(_p(sf_dir, "orders"),
+    ords = _read(sf_dir, "orders",
                            columns=["o_custkey", "o_orderstatus"])
     ords = ords.map_batches(
         lambda t: pa.table(
@@ -2696,7 +2706,7 @@ def rank_events(sf_dir: str):
     DESC, id) analog as a bucketed whole-partition pass (one exchange,
     one vectorized sort + cython cumcount per partition; SURVEY O-family
     top-k discipline, keyed.py pattern)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["event_id", "ts", "user_id"])
 
     def topn(t: pa.Table) -> pa.Table:
@@ -2744,7 +2754,7 @@ def zorder_cells(sf_dir: str):
     sorted by zcell co-locate 2-D-adjacent rows. 10 bits per axis,
     vectorized numpy bit ops; the oracle recomputes the interleave
     bit-for-bit. Output: rows + value mass per z-cell."""
-    ds = rd.read_parquet(_p(sf_dir, "events"),
+    ds = _read(sf_dir, "events",
                          columns=["user_id", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2810,7 +2820,7 @@ def top_tokens_per_lang(sf_dir: str):
     (bucketed_groups_multi — the full vocabulary never reaches the
     driver); a per-lang bucketed top-k ships only 5 rows per language.
     Ties rank by token ascending, mirroring ROW_NUMBER order."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
     empty_cnt = pa.table({"lang": pa.array([], pa.string()),
                           "token": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
@@ -2890,7 +2900,7 @@ def value_quantiles_by_type(sf_dir: str):
     composite-key fold, never a sort; functions/sketch.py)."""
     from etl_ray.functions import sketch as F_sketch
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
     return F_sketch.grouped_histogram_quantiles(
         ds, "event_type", "value",
         n_buckets=_buckets_for(sf_dir, "events"),
@@ -2905,4 +2915,72 @@ QUERIES.update(
             .grouped_histogram_quantiles_sql("events", "event_type", "value"),
         )
     }
+)
+
+
+def bloom_semi_orders(sf_dir: str):
+    """Bloom-filter semi-join pre-filter: a constant-size (8 KB) bitmap
+    over high-balance customer keys replaces the exact broadcast key set
+    of semi_join_orders — the standard big-join bandwidth saver (filter
+    the probe side BEFORE any exchange at a bounded false-positive
+    rate). The bitmap is an associative OR-fold of per-batch partials;
+    the SQL oracle rebuilds the identical two-hash bloom position set,
+    so the gate hash-compares the sketch SEMANTICS, false positives
+    included."""
+    from etl_ray.functions import sketch as F_sketch
+
+    cust = _read(sf_dir, "customer",
+                           columns=["c_custkey", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), 5000.0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bitmap = F_sketch.bloom_build(cust, "c_custkey", n_buckets=8)
+    bm_ref = ray.put(bitmap)
+
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_maybe": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        from etl_ray.functions import sketch as S
+
+        bm = ray.get(bm_ref)
+        keys = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(S.bloom_contains(bm, keys)))
+        if t.num_rows == 0:
+            return empty
+        g = t.select(["o_orderpriority"]).to_pandas().groupby(
+            "o_orderpriority", sort=False, as_index=False
+        ).size()
+        return pa.table({"o_orderpriority": pa.array(g["o_orderpriority"].to_numpy()),
+                         "n_maybe": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    ds = _read(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderpriority"])
+    return F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"], empty,
+    )
+
+
+BLOOM_SEMI_SQL = """
+WITH members AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+), bits AS (
+  SELECT CAST((CAST(k AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) % 65536 AS p FROM members
+  UNION
+  SELECT CAST((CAST(k AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) % 65536 AS p FROM members
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_maybe
+FROM orders
+WHERE CAST((CAST(o_custkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) % 65536
+        IN (SELECT p FROM bits)
+  AND CAST((CAST(o_custkey AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) % 65536
+        IN (SELECT p FROM bits)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES.update(
+    {"bloom_semi_orders": QueryDef(bloom_semi_orders, BLOOM_SEMI_SQL)}
 )
