@@ -119,6 +119,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
     DataContext.get_current().enable_progress_bars = False
+    ray.get([_warm.remote() for _ in range(num_cpus)])  # untimed worker spawn
     from etl_ray.pipelines.queries import QUERIES
 
     q_names = [

@@ -2984,3 +2984,85 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 QUERIES.update(
     {"bloom_semi_orders": QueryDef(bloom_semi_orders, BLOOM_SEMI_SQL)}
 )
+
+
+def funnel_users(sf_dir: str):
+    """Ordered funnel detection per key: for each user, did a 'view'
+    precede a 'click' which preceded a 'purchase' (strict event-time
+    order, ties broken by event_id)? The order-DEPENDENT per-key pattern
+    scan every product-analytics pipeline needs — one bucketed
+    whole-partition pass (vectorized cummax of stage-reach positions,
+    no per-user Python dispatch). Output: one row per funnel stage with
+    the count of users who reached it."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    stages = ["view", "click", "purchase"]
+    empty = pa.table({"stage": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable"
+        )
+        # reached_k: cumulative flag that stages[0..k] occurred in order.
+        # reach_0 = cummax(is_stage0); reach_k = cummax(reach_{k-1} AND
+        # is_stage_k at a row no earlier than the prior reach) — the
+        # strict ordering holds because cummax propagates only forward
+        # within the sorted per-user frame. All cython groupby kernels,
+        # never a per-user Python call.
+        reached = (df["event_type"] == stages[0]).groupby(
+            df["user_id"], sort=False
+        ).cummax()
+        flags = {stages[0]: reached}
+        for k in range(1, len(stages)):
+            prev = flags[stages[k - 1]]
+            # shift prev by one event so the NEXT stage must be strictly
+            # later than the event that completed the previous stage
+            prev_before = prev.groupby(df["user_id"], sort=False).shift(
+                1, fill_value=False
+            )
+            cur = (prev_before & (df["event_type"] == stages[k]))
+            flags[stages[k]] = cur.groupby(df["user_id"], sort=False).cummax()
+        out_rows = []
+        for st in stages:
+            per_user = flags[st].groupby(df["user_id"], sort=False).max()
+            out_rows.append((st, int(per_user.sum())))
+        return pa.table(
+            {"stage": pa.array([r[0] for r in out_rows]),
+             "n_users": pa.array([r[1] for r in out_rows], pa.int64())}
+        )
+
+    parts = bucketed_groups(ds, "user_id", scan,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    out = F_agg.grouped_sum(parts, ["stage"], empty)
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), v AS (
+  SELECT user_id, min(rn) AS r FROM ordered WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT o.user_id, min(o.rn) AS r
+  FROM ordered o JOIN v ON v.user_id = o.user_id AND o.rn > v.r
+  WHERE o.event_type = 'click' GROUP BY o.user_id
+), p AS (
+  SELECT o.user_id, min(o.rn) AS r
+  FROM ordered o JOIN c ON c.user_id = o.user_id AND o.rn > c.r
+  WHERE o.event_type = 'purchase' GROUP BY o.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+  UNION ALL
+  SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+) ORDER BY stage
+"""
+
+
+QUERIES.update({"funnel_users": QueryDef(funnel_users, FUNNEL_SQL)})
