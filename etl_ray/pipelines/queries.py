@@ -270,7 +270,9 @@ def distinct_priorities(sf_dir: str):
         )
 
     parts = ds.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
-    out = to_pandas_typed(bucketed_groups(parts, "o_orderpriority", uniq), empty)
+    out = to_pandas_typed(
+        bucketed_groups(parts, "o_orderpriority", uniq, n_buckets=8), empty
+    )
     return pa.table(
         {"o_orderpriority": pa.array(sorted(out["o_orderpriority"]))}
     )
@@ -363,7 +365,7 @@ def cdc_lww_latest(sf_dir: str):
         return t.filter(pa.array(last)).select(
             ["user_id", "ts", "event_type", "value"])
 
-    return bucketed_groups(ds, "user_id", last_per_user).to_pandas()
+    return bucketed_groups(ds, "user_id", last_per_user, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_LWW_LATEST_SQL = """
@@ -426,7 +428,7 @@ def cdc_sessionize(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", sess_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", sess_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_SESSIONIZE_SQL = """
@@ -465,7 +467,7 @@ def cdc_value_delta(sf_dir: str):
         out["total_delta"] = round_half_away(out["total_delta"], 3)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", delta_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", delta_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_VALUE_DELTA_SQL = """
@@ -502,7 +504,7 @@ def cdc_mode_event_type(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", mode_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", mode_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_MODE_SQL = """
@@ -553,7 +555,7 @@ def cdc_changes_compressed(sf_dir: str):
         out["n_changes"] = out["n_changes"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", changes_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", changes_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_CHANGES_SQL = """
@@ -672,7 +674,7 @@ def dedup_exact_docs(sf_dir: str):
         out["n_copies"] = out["n_copies"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "content_sha256", first_partition).to_pandas()
+    return bucketed_groups(ds, "content_sha256", first_partition, n_buckets=_buckets_for(sf_dir, "documents")).to_pandas()
 
 
 DEDUP_EXACT_SQL = """
@@ -991,7 +993,7 @@ def embedding_centroids(sf_dir: str):
     # final fold over (label, dim) partials via the known-boundary
     # exchange (keyed.py) — an AllToAll aggregate on a few hundred
     # partial rows is pure coordination overhead
-    out = bucketed_groups(agg, "label", fold_partials).to_pandas()
+    out = bucketed_groups(agg, "label", fold_partials, n_buckets=_buckets_for(sf_dir, "embeddings")).to_pandas()
     out["centroid"] = round_half_away(out["s_sum"] / out["c_sum"], 6)
     return (
         out[["label", "dim", "centroid"]]
@@ -1401,7 +1403,7 @@ def angular_delta(sf_dir: str):
         out["angular_delta"] = round_half_away(out["angular_delta"], 3)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", fold_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", fold_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 ANGULAR_DELTA_SQL = """
@@ -1629,7 +1631,7 @@ def cdc_attribution(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", asof_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", asof_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_ATTRIBUTION_SQL = """
@@ -1789,7 +1791,7 @@ def sliding_window(sf_dir: str):
             df[["user_id", "window_id", "n_sliding"]], preserve_index=False
         )
 
-    out = bucketed_groups(tumbling, "user_id", add_lag).to_pandas()
+    out = bucketed_groups(tumbling, "user_id", add_lag, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
     out["n_sliding"] = out["n_sliding"].astype("int64")
     return out
 
@@ -1840,7 +1842,7 @@ def cdc_repair_fold(sf_dir: str):
         g["sum_repaired"] = round_half_away(g["sum_repaired"], 3)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", run).to_pandas()
+    return bucketed_groups(ds, "user_id", run, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 CDC_REPAIR_FOLD_SQL = """
@@ -1923,7 +1925,8 @@ def heatmap_tiles(sf_dir: str):
     from etl_ray.stages.keyed import bucketed_groups
 
     out = bucketed_groups(tiles, "tkey",
-                          lambda t: dense_partition(t.drop_columns(["tkey"])))
+                          lambda t: dense_partition(t.drop_columns(["tkey"])),
+                          n_buckets=_buckets_for(sf_dir, "events"))
     return out.to_pandas()
 
 
@@ -1977,7 +1980,7 @@ def simplify_events_path(sf_dir: str):
         out = pd.DataFrame(rows, columns=["user_id", "n_points", "n_kept", "kept_value_sum"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", simplify_partition).to_pandas()
+    return bucketed_groups(ds, "user_id", simplify_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
 
 
 def join_order_lineitem(sf_dir: str):
@@ -2442,7 +2445,7 @@ def direction_classify(sf_dir: str):
             }
         )
 
-    per_user = bucketed_groups(ds, "user_id", classify_partition)
+    per_user = bucketed_groups(ds, "user_id", classify_partition, n_buckets=_buckets_for(sf_dir, "events"))
     out = (
         per_user.groupby(["entry_dir", "exit_dir", "direction_id"])
         .aggregate(Count(alias_name="n_users"))
