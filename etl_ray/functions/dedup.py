@@ -46,7 +46,8 @@ def add_sha256(batch: pa.Table, text_col: str = "text", out: str = "content_sha2
     return batch.append_column(out, pa.array(hashes, pa.string()))
 
 
-def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int | None = None) -> rd.Dataset:
     """Keep the min-id row per identical content hash.
 
     hash column via map_batches → ``groupby(hash(sha) % B)`` — BUCKETED,
@@ -63,7 +64,8 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         df = df.drop_duplicates(subset="content_sha256", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return bucketed_groups(ds, "content_sha256", first_per_hash)
+    return bucketed_groups(ds, "content_sha256", first_per_hash,
+                           n_buckets=n_buckets)
 
 
 # --- shingles + MinHash ------------------------------------------------------
@@ -268,6 +270,7 @@ def minhash_dedup_pairs(
     n_bands: int = 6,
     k: int = 3,
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> pa.Table:
     """Full MinHash-LSH near-dup pipeline:
 
@@ -289,7 +292,10 @@ def minhash_dedup_pairs(
         return MinHashStage(n_perm=n_perm, k=k)(b)
 
     sigs = ds.map_batches(minhash, batch_format="pyarrow", batch_size=1024)
-    n_buckets = default_buckets()
+    # size the exchange to the DATA when the caller knows it (bytes/64MB
+    # floor 8 — per-bucket dispatch dominates tiny corpora); CPU-derived
+    # width otherwise
+    n_buckets = n_buckets or default_buckets()
 
     def explode_with_bucket(b: pa.Table) -> pa.Table:
         rows = lsh_band_rows(b, n_bands=n_bands, id_col=id_col)
@@ -511,7 +517,9 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(vals.astype(np.int64)))
 
 
-def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_id") -> pa.Table:
+def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       n_buckets: int | None = None) -> pa.Table:
     """Near-dup pairs by SimHash Hamming distance ≤ k.
 
     Bucket by the 4×8-bit bands of the 32-bit signature (pigeonhole: any
@@ -521,7 +529,7 @@ def simhash_near_pairs(ds: rd.Dataset, max_hamming: int = 3, id_col: str = "doc_
     """
     sig = ds.map_batches(lambda b: SimHashStage()(b), batch_format="pyarrow",
                          batch_size=2048)
-    n_buckets = default_buckets()
+    n_buckets = n_buckets or default_buckets()
 
     def explode(batch: pa.Table) -> pa.Table:
         s = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)

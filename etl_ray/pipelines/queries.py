@@ -781,7 +781,9 @@ def dedup_minhash_pairs(sf_dir: str):
     exactly — the LSH pipeline itself is the thing under test, not just
     its row count."""
     ds = _docs_with_dups(sf_dir)
-    return F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    return F_dedup.minhash_dedup_pairs(
+        ds, threshold=0.5, n_buckets=_buckets_for(sf_dir, "documents")
+    )
 
 
 def _minhash_pairs_cte() -> str:
@@ -869,7 +871,9 @@ def dedup_simhash_pairs(sf_dir: str):
     8-bit bands), so the full pipeline is SQL-gated: the oracle
     recomputes the 32-bit bit-majority signature and the band join."""
     ds = _docs_with_dups(sf_dir)
-    return F_dedup.simhash_near_pairs(ds, max_hamming=3)
+    return F_dedup.simhash_near_pairs(
+        ds, max_hamming=3, n_buckets=_buckets_for(sf_dir, "documents")
+    )
 
 
 def _simhash_sql() -> str:
@@ -1710,7 +1714,7 @@ def ngram_jaccard_pairs(sf_dir: str):
     )
     out = F_dedup._verify_pairs_bucketed(
         docs, pairs.materialize(), k=3, threshold=-1.0, id_col="doc_id",
-        n_buckets=F_dedup.default_buckets(),
+        n_buckets=_buckets_for(sf_dir, "documents"),
     )
     res = out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     return res
@@ -2554,7 +2558,9 @@ def dedup_clusters(sf_dir: str):
     from etl_ray.functions import graph as F_graph
 
     ds = _docs_with_dups(sf_dir)
-    pairs = F_dedup.minhash_dedup_pairs(ds, threshold=0.5)
+    pairs = F_dedup.minhash_dedup_pairs(
+        ds, threshold=0.5, n_buckets=_buckets_for(sf_dir, "documents")
+    )
     cc = F_graph.connected_components(
         pairs.select(["a", "b"]),
         n_buckets=_buckets_for(sf_dir, "documents"),
