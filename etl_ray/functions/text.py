@@ -158,3 +158,33 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             bn = powers[-1] * _B  # lead * B^n
             out[i] = (lead * bn + acc) & _MASK
     return batch.append_column("fingerprint", pa.array(out.astype(np.int64)))
+
+
+# --- PII redaction (vectorized regex scrub) ----------------------------------
+
+#: RE2-safe patterns shared verbatim with the DuckDB oracle (both engines
+#: compile RE2 — identical match semantics by construction).
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+LONGNUM_RE = r"[0-9]{6,}"
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scrub email-shaped and long-digit-run substrings — the PII pass of
+    a web-scale training-data pipeline. Vectorized end to end: pyarrow's
+    re2 kernels (`count_substring_regex`, `replace_substring_regex`), no
+    Python row loop. Emits per-doc match counts and the redacted length
+    so downstream quality filters can gate on redaction density.
+
+    Reference analog: the sentinel-value scrub of clean_data.py (M1/M12
+    class) applied to text; order matters — emails first so their digit
+    runs are not double-counted as long numbers.
+    """
+    text = pc.fill_null(batch.column(text_col), "")
+    n_emails = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+    red = pc.replace_substring_regex(text, EMAIL_RE, "<EMAIL>")
+    n_longnums = pc.cast(pc.count_substring_regex(red, LONGNUM_RE), pa.int64())
+    red = pc.replace_substring_regex(red, LONGNUM_RE, "<NUM>")
+    out = batch.append_column("n_emails", n_emails)
+    out = out.append_column("n_longnums", n_longnums)
+    out = out.append_column("red_len", pc.cast(pc.utf8_length(red), pa.int64()))
+    return out

@@ -3075,3 +3075,406 @@ SELECT stage, n_users FROM (
 
 
 QUERIES.update({"funnel_users": QueryDef(funnel_users, FUNNEL_SQL)})
+
+
+# ==================== training-data pipeline ops: decontam / pack / redact
+
+#: k-token shingle size shared by the dedup family and decontamination.
+_DECON_K = 3
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the eval-leak guard every pretraining
+    corpus pipeline runs: flag corpus documents sharing any k-token
+    shingle with a (small, fixed) benchmark set. Two passes, broadcast
+    shape: (1) shingle-hash the benchmark docs (``doc_id % 29 == 0``
+    stands in for the eval suite) and collect the DISTINCT hash set
+    driver-side — sound at 100 TB because eval suites are fixed-size
+    (~10^5-10^6 shingles) regardless of corpus size; (2) ``ray.put`` the
+    sorted set once and scan the corpus with a task-pool ``map_batches``,
+    per-doc overlap via ``np.isin`` against the broadcast array. No
+    shuffle at all — the corpus-side pass is embarrassingly parallel.
+
+    Reference semantic: the trajectory-vs-static-layer semi-join filter
+    (etl/cleaning/clean_data.py:123-148) recast for text; shingle hashing
+    identical to the MinHash family (functions/dedup.py:token_hashes) so
+    the DuckDB oracle recomputes it constant-for-constant.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"sh": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(ids % 29 == 0))
+        hs = [
+            F_dedup._shingle_hashes(txt or "", _DECON_K)
+            for txt in kept.column("text").to_pylist()
+        ]
+        vals = (
+            np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"sh": pa.array(vals.astype(np.int64))})
+
+    bench_parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                bench_shingles, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    bench_set = (
+        np.unique(np.concatenate([t.column("sh").to_numpy() for t in bench_parts]))
+        if bench_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    bench_ref = ray.put(bench_set)  # broadcast ONCE; zero-copy per task
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        bench = ray.get(bench_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(ids % 29 != 0))
+        out_ids, out_n = [], []
+        for did, txt in zip(
+            kept.column("doc_id").to_pylist(), kept.column("text").to_pylist()
+        ):
+            sh = np.unique(F_dedup._shingle_hashes(txt or "", _DECON_K)).astype(
+                np.int64
+            )
+            n = int(np.isin(sh, bench, assume_unique=True).sum())
+            if n:
+                out_ids.append(did)
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "n_overlap": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values("doc_id", ignore_index=True)
+
+
+DECONTAMINATE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM documents
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS h FROM sgl WHERE doc_id % 29 = 0
+), cand AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS h FROM sgl WHERE doc_id % 29 <> 0
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM cand c JOIN bench b ON b.h = c.h
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+#: fixed token budget per training shard (tokens, not docs).
+_PACK_BUDGET = 2048
+
+
+def pack_sequences(sf_dir: str):
+    """Sequence packing — assign every document a global token offset and
+    a fixed-budget training-shard id (concat-and-chunk, the standard LLM
+    pretraining layout: ``shard = offset // budget`` where offset is the
+    exclusive prefix sum of token counts in deterministic doc_id order).
+
+    The distributed-prefix-sum shape: (1) one embarrassingly-parallel
+    pass computes per-RANGE token subtotals (range = contiguous doc_id
+    block sized so one range ≈ one exchange bucket); the range-subtotal
+    table is tiny (#buckets rows) so the driver folds the exclusive
+    prefix and broadcasts it; (2) a bucketed whole-partition pass sorts
+    each range, cumsums within it, and adds the broadcast base — every
+    doc gets its exact global offset with ONE small collect and ONE
+    bucketed exchange, never a global sort. At 100 TB the per-range
+    table grows as data/64 MB — still driver-trivial (10^6 rows).
+
+    Reference semantic: the partition-assignment pass
+    (etl/partition_builder/02_kd_tree_construction.sql:36-60) — ranges
+    here are the static analog of its density-balanced cells.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata only — no scan
+    nb = _buckets_for(sf_dir, "documents")
+    rng_w = max(1, -(-n_docs // nb))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table(
+                {"range_id": pa.array([], pa.int64()), "tok": pa.array([], pa.int64())}
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = F_text.token_count_column(t.column("text")).to_numpy(
+            zero_copy_only=False
+        )
+        rid = ids // rng_w
+        u, inv = np.unique(rid, return_inverse=True)
+        sums = np.bincount(inv, weights=ntok).astype(np.int64)
+        return pa.table(
+            {"range_id": pa.array(u.astype(np.int64)), "tok": pa.array(sums)}
+        )
+
+    empty_p = pa.table(
+        {"range_id": pa.array([], pa.int64()), "tok": pa.array([], pa.int64())}
+    )
+    per_range = F_agg.grouped_sum(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["range_id"],
+        empty_p,
+    ).sort_values("range_id")
+    csum = per_range["tok"].cumsum().to_numpy()
+    base = {
+        int(r): int(off)
+        for r, off in zip(
+            per_range["range_id"], np.concatenate([[0], csum[:-1]])
+        )
+    }
+    base_ref = ray.put(base)
+
+    empty_out = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "tok_offset": pa.array([], pa.int64()),
+            "shard_id": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "range_id": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("range_id", pa.array((ids // rng_w).astype(np.int64)))
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        bases = ray.get(base_ref)
+        df = pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+                "range_id": t.column("range_id").to_numpy(zero_copy_only=False),
+                "n_tokens": F_text.token_count_column(t.column("text")).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).sort_values("doc_id", kind="stable")
+        within = (
+            df.groupby("range_id", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        )
+        off = within.to_numpy() + df["range_id"].map(bases).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+                "tok_offset": pa.array(off.astype(np.int64)),
+                "shard_id": pa.array((off // _PACK_BUDGET).astype(np.int64)),
+            }
+        )
+
+    withr = docs.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_groups(withr, "range_id", pack, n_buckets=nb)
+    return to_pandas_typed(out, empty_out).sort_values("doc_id", ignore_index=True)
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // {_PACK_BUDGET} AS BIGINT) AS shard_id
+FROM o ORDER BY doc_id
+"""
+
+
+def redact_docs(sf_dir: str):
+    """PII redaction scan: plant deterministic contact strings (derived
+    from doc_id only — no external data) on every 7th doc, then scrub
+    email-shaped and long-digit-run substrings with pyarrow's re2
+    kernels. Fully vectorized, zero-shuffle, zero-copy read; emits match
+    counts + redacted length per doc. See functions/text.py:redact_pii.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_emails": pa.array([], pa.int64()),
+            "n_longnums": pa.array([], pa.int64()),
+            "red_len": pa.array([], pa.int64()),
+        }
+    )
+
+    def scrub(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids = t.column("doc_id")
+        text = pc.fill_null(t.column("text"), "")
+        suffix = pc.binary_join_element_wise(
+            pa.array(["contact user"] * t.num_rows),
+            ids.cast(pa.string()),
+            pa.array(["@example.com ref 1234567890"] * t.num_rows),
+            "",
+        )
+        mask = pa.array(ids.to_numpy(zero_copy_only=False) % 7 == 0)
+        planted = pc.if_else(
+            mask, pc.binary_join_element_wise(text, suffix, " "), text
+        )
+        red = F_text.redact_pii(
+            pa.table({"doc_id": ids, "text": planted}), text_col="text"
+        )
+        return red.select(["doc_id", "n_emails", "n_longnums", "red_len"])
+
+    out = docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values("doc_id", ignore_index=True)
+
+
+REDACT_DOCS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN coalesce(text, '') || ' contact user' ||
+                   CAST(doc_id AS VARCHAR) || '@example.com ref 1234567890'
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+), e AS (
+  SELECT doc_id, t,
+         CAST(length(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))
+              AS BIGINT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS t1
+  FROM p
+)
+SELECT doc_id, n_emails,
+       CAST(length(regexp_extract_all(t1, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+       CAST(length(regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT)
+         AS red_len
+FROM e ORDER BY doc_id
+"""
+
+
+#: per-language keep rates (permille) — the stratified-sampling config.
+_STRATA_PERMILLE = {"en": 350, "de": 600, "es": 500, "fr": 450, "zh": 550}
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Stratified deterministic sampling: per-language keep rates applied
+    via a multiplicative doc_id hash mod 1000 — the corpus-rebalancing
+    op of every multilingual pretraining mix. Pure map: zero shuffle,
+    reproducible across engines (Knuth multiplicative constant, mod 2^32
+    then mod 1000, SQL-replicable in BIGINT arithmetic). Output: per-lang
+    sampled counts + token totals (partial-aggregated before ONE tiny
+    grouped merge).
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+    rates_ref = ray.put(_STRATA_PERMILLE)
+
+    def sample(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        rates = ray.get(rates_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(
+                1000
+            )
+        langs = t.column("lang").to_pandas()
+        thresh = langs.map(rates).fillna(0).to_numpy(dtype=np.uint64)
+        kept = t.filter(pa.array(h < thresh))
+        if kept.num_rows == 0:
+            return empty
+        ntok = F_text.token_count_column(kept.column("text"))
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": kept.column("lang").to_pandas(),
+                    "n_tokens": ntok.to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("lang", as_index=False)
+            .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        )
+        return pa.table(
+            {
+                "lang": pa.array(df["lang"]),
+                "n_docs": pa.array(df["n_docs"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+    out = F_agg.grouped_sum(parts, ["lang"], empty)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH r(lang, permille) AS (
+  VALUES ('en', 350), ('de', 600), ('es', 500), ('fr', 450), ('zh', 550)
+), kept AS (
+  SELECT d.doc_id, d.lang,
+         CAST(length(regexp_extract_all(coalesce(d.text, ''), '\\S+'))
+              AS BIGINT) AS n_tokens
+  FROM documents d JOIN r ON r.lang = d.lang
+  WHERE (d.doc_id * 2654435761) % 4294967296 % 1000 < r.permille
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES.update(
+    {
+        "decontaminate_docs": QueryDef(decontaminate_docs, DECONTAMINATE_SQL),
+        "pack_sequences": QueryDef(pack_sequences, PACK_SEQUENCES_SQL),
+        "redact_docs": QueryDef(redact_docs, REDACT_DOCS_SQL),
+        "stratified_sample_docs": QueryDef(
+            stratified_sample_docs, STRATIFIED_SAMPLE_SQL
+        ),
+    }
+)

@@ -1,0 +1,83 @@
+"""Training-data pipeline operators: decontamination, sequence packing,
+PII redaction, stratified sampling — each vs its DuckDB oracle at
+sf0.001 (the driver gate re-runs them at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["decontaminate_docs", "pack_sequences", "redact_docs", "stratified_sample_docs"],
+)
+def test_training_op_matches_oracle(ray_session, name):
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES[name]
+    got = _norm(pd.DataFrame(q.fn(SF)))
+    want = _norm(_oracle(q.sql))
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
+
+
+def test_pack_sequences_offsets_are_contiguous(ray_session):
+    """The packing invariant: offsets in doc_id order are an exclusive
+    prefix sum — offset[i+1] == offset[i] + n_tokens[i], starting at 0."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["pack_sequences"].fn(SF).sort_values("doc_id", ignore_index=True)
+    off = df["tok_offset"].to_numpy()
+    ntok = df["n_tokens"].to_numpy()
+    assert off[0] == 0
+    assert np.array_equal(off[1:], off[:-1] + ntok[:-1])
+    assert (df["shard_id"].to_numpy() == off // 2048).all()
+
+
+def test_redact_pii_kernel_counts():
+    import pyarrow as pa
+
+    from etl_ray.functions.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["mail me at a.b@x.co or c@d.e now", "no pii 12345 here 1234567"]
+            ),
+        }
+    )
+    out = redact_pii(t)
+    assert out.column("n_emails").to_pylist() == [2, 0]
+    assert out.column("n_longnums").to_pylist() == [0, 1]
+    # "no pii 12345 here 1234567" -> "no pii 12345 here <NUM>"
+    assert out.column("red_len").to_pylist()[1] == len("no pii 12345 here <NUM>")
+
+
+def test_decontaminate_excludes_benchmark_docs(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["decontaminate_docs"].fn(SF)
+    assert (df["doc_id"] % 29 != 0).all()
+    assert (df["n_overlap"] > 0).all()
