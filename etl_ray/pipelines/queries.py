@@ -3478,3 +3478,218 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ===================== corpus statistics: TF-IDF + inverted index build
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-language top-5 terms by TF-IDF — the two-level corpus
+    statistic (term frequency per stratum × inverse DOCUMENT frequency
+    global) behind every vocabulary/quality analysis. Scale shape:
+    per-batch explode shrinks each block to its local vocabulary
+    (combiner), ONE composite-key exchange merges (lang, token) counts
+    in-cluster, the document-frequency side folds to a vocab-sized table
+    (vocab ≪ corpus — bounded by the language, not the data) that is
+    broadcast once; the per-lang top-k ships 5 rows per language.
+
+    Reference semantic: two-level rollup of apply_rollups.py:59-135 —
+    child stat (tf) joined against a parent-level stat (df) — recast for
+    text. Scores round-half-away at 6 dp BEFORE ranking so the DuckDB
+    oracle ranks identically (ties → token ascending).
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    n_docs = docs.count()  # parquet metadata only
+    empty_cnt = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+    empty_df = pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+
+    def _tokens(t: pa.Table) -> pd.DataFrame:
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        df = pd.DataFrame(
+            {
+                "doc_id": np.repeat(
+                    t.column("doc_id").to_numpy(zero_copy_only=False), lens
+                ),
+                "lang": np.repeat(t.column("lang").to_pandas().to_numpy(), lens),
+                "token": flat,
+            }
+        )
+        return df[df["token"] != ""]
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cnt
+        g = _tokens(t).groupby(["lang", "token"], sort=False, as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"].to_numpy()),
+                         "token": pa.array(g["token"].to_numpy()),
+                         "tf": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_df
+        # one row = one whole document, so per-batch distinct (doc, token)
+        # pairs are globally distinct — the df combiner is exact
+        g = (
+            _tokens(t)[["doc_id", "token"]]
+            .drop_duplicates()
+            .groupby("token", sort=False, as_index=False)
+            .size()
+        )
+        return pa.table({"token": pa.array(g["token"].to_numpy()),
+                         "df": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+    nb = _buckets_for(sf_dir, "documents")
+    df_map = F_agg.grouped_sum(
+        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], empty_df, n_buckets=nb,
+    )
+    df_ref = ray.put(df_map)  # vocab-sized broadcast, shipped ONCE
+
+    def merge_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cnt
+        g = t.to_pandas().groupby(["lang", "token"], sort=False, as_index=False)["tf"].sum()
+        g["tf"] = g["tf"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = F_agg.bucketed_groups_multi(
+        docs.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "token"], merge_counts, n_buckets=nb, empty=empty_cnt,
+    )
+
+    empty_out = pa.table({"lang": pa.array([], pa.string()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "tfidf": pa.array([], pa.float64()),
+                          "rnk": pa.array([], pa.int64())})
+
+    def topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        d = t.to_pandas().merge(ray.get(df_ref), on="token", how="inner")
+        d["tfidf"] = round_half_away(
+            d["tf"].to_numpy() * np.log(n_docs / d["df"].to_numpy()), 6
+        )
+        d = d.sort_values(["lang", "tfidf", "token"],
+                          ascending=[True, False, True], kind="stable")
+        d["rnk"] = d.groupby("lang", sort=False).cumcount() + 1
+        d = d[d["rnk"] <= 5].copy()
+        d["rnk"] = d["rnk"].astype("int64")
+        d["df"] = d["df"].astype("int64")
+        return pa.Table.from_pandas(
+            d[["lang", "token", "tf", "df", "tfidf", "rnk"]], preserve_index=False
+        )
+
+    out = to_pandas_typed(
+        bucketed_groups(counts, "lang", topn, n_buckets=8), empty_out
+    )
+    return out.sort_values(["lang", "rnk"], ignore_index=True)
+
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY lang, token
+), dfreq AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT c.lang, c.token, c.tf, d.df,
+         round(c.tf * ln((SELECT n FROM n) * 1.0 / d.df), 6) AS tfidf
+  FROM cnt c JOIN dfreq d USING (token)
+), ranked AS (
+  SELECT lang, token, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT lang, token, tf, df, CAST(rnk AS BIGINT) AS rnk, tfidf
+FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+
+def inverted_index(sf_dir: str):
+    """Inverted-index build: token → sorted distinct posting list (the
+    retrieval-side artifact of a corpus pipeline; K10-class nested
+    sequence encode). Per-batch distinct (token, doc_id) pairs (exact —
+    one row is one whole doc), ONE bucketed exchange on token, and a
+    whole-partition pass emits df + the comma-joined sorted postings
+    string per token. Postings encode as strings so the oracle's
+    ``array_to_string(list(...))`` compares byte-for-byte.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty_pairs = pa.table({"token": pa.array([], pa.string()),
+                            "doc_id": pa.array([], pa.int64())})
+    empty_out = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "postings": pa.array([], pa.string())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_pairs
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+                "doc_id": np.repeat(
+                    t.column("doc_id").to_numpy(zero_copy_only=False), lens
+                ),
+            }
+        )
+        df = df[df["token"] != ""].drop_duplicates()
+        return pa.table({"token": pa.array(df["token"].to_numpy()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())})
+
+    def build(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        df = t.to_pandas()
+        g = df.groupby("token", sort=True)["doc_id"]
+        toks, dfs, posts = [], [], []
+        for tok, ids in g:
+            u = np.unique(ids.to_numpy())
+            toks.append(tok)
+            dfs.append(len(u))
+            posts.append(",".join(str(int(i)) for i in u))
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "postings": pa.array(posts, pa.string())})
+
+    p = docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_groups(p, "token", build,
+                          n_buckets=_buckets_for(sf_dir, "documents"))
+    return to_pandas_typed(out, empty_out).sort_values("token", ignore_index=True)
+
+
+INVERTED_INDEX_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM tok GROUP BY token ORDER BY token
+"""
+
+
+QUERIES.update(
+    {
+        "tfidf_top_terms": QueryDef(tfidf_top_terms, TFIDF_SQL),
+        "inverted_index": QueryDef(inverted_index, INVERTED_INDEX_SQL),
+    }
+)

@@ -81,3 +81,25 @@ def test_decontaminate_excludes_benchmark_docs(ray_session):
     df = QUERIES["decontaminate_docs"].fn(SF)
     assert (df["doc_id"] % 29 != 0).all()
     assert (df["n_overlap"] > 0).all()
+
+
+@pytest.mark.parametrize("name", ["tfidf_top_terms", "inverted_index"])
+def test_corpus_stats_match_oracle(ray_session, name):
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES[name]
+    got = _norm(pd.DataFrame(q.fn(SF)))
+    want = _norm(_oracle(q.sql))
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["inverted_index"].fn(SF)
+    for _, row in df.head(10).iterrows():
+        ids = [int(x) for x in row["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == row["df"]
