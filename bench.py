@@ -128,11 +128,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "knn_cosine_topk", "embedding_centroids", "cdc_segments",
         "heatmap_tiles", "join_order_lineitem", "dedup_minhash_pairs",
         "value_quantiles", "dedup_clusters", "anti_join_customers",
-        "zorder_cells",
+        "zorder_cells", "tfidf_top_terms", "decontaminate_docs",
+        "pack_sequences", "inverted_index",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
         q_names = []
+    if q_names:
+        # one untimed query warms the Ray-Data streaming executor and the
+        # query-path worker imports (same discipline as the untimed warmup
+        # replay): first-pipeline setup measured ~2.3 s, constant per
+        # session, not per query
+        QUERIES["cdc_lww_latest"].fn(sf_dir)
     for name in q_names:
         t0 = time.perf_counter()
         res = QUERIES[name].fn(sf_dir)

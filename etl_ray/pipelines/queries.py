@@ -3693,3 +3693,80 @@ QUERIES.update(
         "inverted_index": QueryDef(inverted_index, INVERTED_INDEX_SQL),
     }
 )
+
+
+# ======================= schema-evolution replay (driver-gated end-to-end)
+
+
+def cdc_replay_docs_evolved(sf_dir: str):
+    """The flagship replay under SCHEMA EVOLUTION, driver-gated: the same
+    documents-derived change log, but the two tail log segments (files
+    2-3, i.e. events with ``commit_seq % 4 >= 2``) carry an additive
+    payload column ``meta_rev`` that the head segments lack. The engine
+    must unify schemas across checkpoint windows (null backfill for
+    pre-evolution rows) and apply full-row LWW — a later writer WITHOUT
+    the column nulls it. The oracle reproduces exactly that: the winning
+    version's file assignment (commit_seq % 4) decides whether meta_rev
+    survives.
+
+    Upgrades evolution coverage from pytest-only (test_replay.py:156-178)
+    to the driver's rows+schema+hash gate. Reference semantic: additive
+    column handling in the staging→load path (SURVEY §2 M7/S10).
+    """
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "-evo"
+    root = f"/tmp/etl_ray_gate/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/log", exist_ok=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ev = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                docs.map_batches(
+                    _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+    cs = ev.column("commit_seq").to_numpy(zero_copy_only=False)
+    sizes = []
+    for i in range(4):
+        part = ev.filter(pa.array(cs % 4 == i))
+        if i >= 2:  # evolved tail segments: additive meta_rev column
+            mr = part.column("commit_seq").to_numpy(zero_copy_only=False) % 10
+            part = part.append_column("meta_rev", pa.array(mr.astype(np.int64)))
+        pq.write_table(part, f"{root}/log/events-{i:05d}.parquet")
+        sizes.append(part.num_rows)
+    eng = ReplayEngine(f"{root}/lake", num_partitions=16)
+    eng.replay(f"{root}/log", window_events=max(1, sizes[0] + sizes[1]))
+    return eng.final_state(
+        columns=["repo", "path", "commit_seq", "lang", "content_sha256", "meta_rev"]
+    ).to_pandas()
+
+
+CDC_REPLAY_EVOLVED_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content,
+         CASE WHEN (doc_id * 10 + (doc_id % 3)) % 4 >= 2
+              THEN CAST((doc_id * 10 + (doc_id % 3)) % 10 AS BIGINT) END AS meta_rev
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256, meta_rev
+FROM fin
+"""
+
+
+QUERIES.update(
+    {
+        "cdc_replay_docs_evolved": QueryDef(
+            cdc_replay_docs_evolved, CDC_REPLAY_EVOLVED_SQL
+        )
+    }
+)

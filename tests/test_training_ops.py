@@ -103,3 +103,18 @@ def test_inverted_index_postings_sorted(ray_session):
         ids = [int(x) for x in row["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == row["df"]
+
+
+def test_cdc_replay_evolved_matches_oracle(ray_session):
+    """Schema-evolution end-to-end: tail log segments add meta_rev; the
+    final lake state must match the SQL oracle's full-row-LWW semantics
+    (a winner written before evolution carries NULL meta_rev)."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES["cdc_replay_docs_evolved"]
+    got = _norm(pd.DataFrame(q.fn(SF)))
+    want = _norm(_oracle(q.sql))
+    assert got["meta_rev"].notna().any() and got["meta_rev"].isna().any()
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
