@@ -189,6 +189,27 @@ def write_atomic_parquet(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _maybe_die_after_stage(fault_dir: str | None) -> None:
+    """Fault-injection hook (tests only): when ``fault_dir`` is set (from
+    ``ETL_RAY_FAULT_DIR`` on the DRIVER, captured into the merge closure
+    at plan time), the FIRST merge task to win the O_EXCL flag race kills
+    its worker process — simulating a mid-window worker loss immediately
+    AFTER its staged file hit disk. Ray's task retry re-executes the
+    merge; the deterministic staged path (part id + chain position, no
+    randomness) makes the retry overwrite, not duplicate — exactly-once
+    by replacement. tests/test_fault_injection.py asserts oracle parity
+    and single-application metrics through the death."""
+    if not fault_dir:
+        return
+    try:
+        fd = os.open(os.path.join(fault_dir, "fault_fired"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return
+    os.close(fd)
+    os._exit(1)
+
+
 def make_merge_fn(
     staging_dir: str,
     prior_files: dict[int, str],
@@ -228,6 +249,9 @@ def make_merge_fn(
     """
 
     extra_cols = [(n, pa.type_for_alias(t)) for n, t in payload_types.items()]
+    # captured on the DRIVER (env vars do not propagate to running
+    # workers); non-None only under the fault-injection tests
+    fault_dir = os.environ.get("ETL_RAY_FAULT_DIR")
     state_cols = [
         ("repo", pa.string()), ("path", pa.string()), ("commit", pa.string()),
         ("commit_seq", pa.int64()), ("seq", pa.int64()), ("lang", pa.string()),
@@ -413,11 +437,13 @@ def make_merge_fn(
                 staging_dir, f"part-{part:05d}-d{len(chain) + 1:03d}.parquet"
             )
             write_atomic_parquet(out, staged)
+            _maybe_die_after_stage(fault_dir)
             mode = "delta"
         elif changed:
             out = new_state.drop_columns(["_src"])
             staged = os.path.join(staging_dir, f"part-{part:05d}.parquet")
             write_atomic_parquet(out, staged)
+            _maybe_die_after_stage(fault_dir)
             mode = "rewrite"
         else:
             staged = prior_path
