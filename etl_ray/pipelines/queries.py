@@ -3770,3 +3770,56 @@ QUERIES.update(
         )
     }
 )
+
+
+# ============================ time-travel read (snapshot isolation, as-of)
+
+
+def cdc_time_travel(sf_dir: str):
+    """Time-travel read: replay TWO checkpoint windows, then read the
+    lake *as of checkpoint 0* — the state exactly as the first commit
+    left it, while the current pointer stays at checkpoint 1. A pure
+    manifest redirect (every manifest is a full snapshot), streaming the
+    same pruned parquet read as a current-state query. The oracle
+    recomputes LWW over only the window-0 events (commit_seq % 4 < 2 —
+    the deterministic window plan of _run_doc_replay), including
+    tombstone suppression for docs whose window-0 winner is the delete.
+    """
+    eng = _run_doc_replay(sf_dir, variant="-tt")
+    assert eng.store.current().checkpoint_id == 1
+    return eng.final_state(
+        columns=["repo", "path", "commit_seq", "lang", "content_sha256"],
+        as_of=0,
+    ).to_pandas()
+
+
+CDC_TIME_TRAVEL_SQL = """
+WITH ev AS (
+  SELECT d.doc_id, v.v,
+         CAST(d.doc_id * 10 + v.v AS BIGINT) AS commit_seq,
+         (d.doc_id % 11 = 0 AND v.v = (d.doc_id % 3) + 1) AS is_del,
+         d.lang, d.text
+  FROM documents d
+  JOIN (SELECT unnest(range(0, 4)) AS v) v
+    ON v.v <= (d.doc_id % 3) + CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END
+), w0 AS (
+  SELECT * FROM ev WHERE commit_seq % 4 < 2
+), win AS (
+  SELECT doc_id, max(commit_seq) AS mc FROM w0 GROUP BY doc_id
+), fin AS (
+  SELECT e.doc_id, e.v, e.commit_seq, e.lang, e.text
+  FROM w0 e JOIN win ON win.doc_id = e.doc_id AND win.mc = e.commit_seq
+  WHERE NOT e.is_del
+)
+SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+       'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       commit_seq, lang,
+       sha256(substr(text, 1, 100 + 10 * v) || ':v' || CAST(v AS VARCHAR))
+         AS content_sha256
+FROM fin
+"""
+
+
+QUERIES.update(
+    {"cdc_time_travel": QueryDef(cdc_time_travel, CDC_TIME_TRAVEL_SQL)}
+)

@@ -822,13 +822,23 @@ class ReplayEngine:
         self.store.commit(new_m)
         return {"compacted": len(chained), "checkpoint_id": ckpt_id}
 
-    def final_state(self, columns: list[str] | None = None) -> rd.Dataset:
-        """The lake's current live rows as a streaming Dataset.
+    def final_state(
+        self, columns: list[str] | None = None, as_of: int | None = None
+    ) -> rd.Dataset:
+        """The lake's live rows as a streaming Dataset.
 
         Column pruning is pushed into the parquet read (only the
         requested columns + the tombstone flag leave storage).
+
+        ``as_of``: TIME TRAVEL — read the state exactly as committed at
+        an earlier checkpoint id, without moving the current pointer.
+        Each manifest is a full snapshot, so this is a pure metadata
+        redirect (no log replay, no extra I/O vs a current read); it
+        stays valid until ``gc`` reclaims that snapshot's files.
+        Reference analog: dipaal_rollback's erase-a-delta semantics
+        (etl/init/single_statement_sql/98_rollback.sql), read-only.
         """
-        m = self._require_manifest()
+        m = self.store.at(as_of) if as_of is not None else self._require_manifest()
         flat_files = [
             self.store.abs_path(p["file"])
             for p in m.partitions.values()

@@ -104,6 +104,21 @@ class ManifestStore:
         _atomic_write(numbered, m.to_json())
         _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
 
+    def at(self, ckpt_id: int) -> Manifest:
+        """The committed manifest for one checkpoint — the time-travel
+        read anchor. Every manifest is a FULL snapshot (file list per
+        partition), so reading state as-of checkpoint N needs no log
+        replay: just this manifest's files. Raises if the checkpoint was
+        never committed or its manifest was gc'd (gc keeps the last
+        ``keep_checkpoints`` snapshots' files alive)."""
+        p = os.path.join(
+            self.lake_dir, MANIFEST_DIR, f"manifest-{ckpt_id:06d}.json"
+        )
+        if not os.path.exists(p):
+            raise ValueError(f"no committed manifest for checkpoint {ckpt_id}")
+        with open(p) as f:
+            return Manifest.from_json(f.read())
+
     def history(self) -> list[Manifest]:
         d = os.path.join(self.lake_dir, MANIFEST_DIR)
         out = []

@@ -118,3 +118,16 @@ def test_cdc_replay_evolved_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         got.astype(str), want.astype(str), check_dtype=False
     )
+
+
+def test_time_travel_read_matches_oracle_and_differs_from_current(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES["cdc_time_travel"]
+    got = _norm(pd.DataFrame(q.fn(SF)))
+    want = _norm(_oracle(q.sql))
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
+    cur = pd.DataFrame(QUERIES["cdc_replay_docs"].fn(SF))
+    assert len(got) < len(cur)  # window-1 inserts are absent as-of ckpt 0
