@@ -74,6 +74,59 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    """The change-log TAILER loop (north-star shape): poll the log dir,
+    replay whatever new segments appeared (the file-based resume cursor
+    makes each pass incremental and idempotent), sleep, repeat. Exits
+    cleanly after ``--max-idle-polls`` consecutive polls with nothing
+    new — or runs forever with ``--max-idle-polls 0`` under a real
+    ``ray job submit`` deployment."""
+    import time
+
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    eng = ReplayEngine(args.lake, num_partitions=args.num_partitions)
+    idle = 0
+    passes = 0
+    while True:
+        out = eng.replay(args.events, window_events=args.window_events)
+        passes += 1
+        ran = out.get("windows_run", 0)
+        print(json.dumps({"pass": passes, "windows_run": ran,
+                          "windows_skipped": out.get("windows_skipped", 0)}),
+              flush=True)
+        idle = 0 if ran else idle + 1
+        if args.max_idle_polls and idle >= args.max_idle_polls:
+            break
+        time.sleep(args.poll_sec)
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from etl_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(args.lake)
+    removed = store.gc(keep_checkpoints=args.keep)
+    print(json.dumps({"lake": args.lake, "removed": len(removed),
+                      "keep_checkpoints": args.keep}))
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    from etl_ray.state.manifest import ManifestStore
+
+    store = ManifestStore(args.lake)
+    m = store.rollback(args.to)
+    print(json.dumps({"lake": args.lake, "checkpoint_id": m.checkpoint_id,
+                      "windows_done": m.windows_done}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from etl_ray.state.manifest import ManifestStore
 
@@ -141,6 +194,30 @@ def main(argv=None) -> int:
                    help="change-log dir: also report replay lag "
                         "(lag_files / lag_events vs the committed cursor)")
     s.set_defaults(fn=cmd_status)
+
+    t = sub.add_parser("tail", help="poll the change log and replay "
+                                    "new segments incrementally")
+    t.add_argument("--events", required=True)
+    t.add_argument("--lake", required=True)
+    t.add_argument("--window-events", type=int, default=250_000)
+    t.add_argument("--num-partitions", type=int, default=64)
+    t.add_argument("--num-cpus", type=int, default=None)
+    t.add_argument("--poll-sec", type=float, default=2.0)
+    t.add_argument("--max-idle-polls", type=int, default=3,
+                   help="exit after this many consecutive empty polls "
+                        "(0 = run forever)")
+    t.set_defaults(fn=cmd_tail)
+
+    gcp = sub.add_parser("gc", help="reclaim files of old checkpoints")
+    gcp.add_argument("--lake", required=True)
+    gcp.add_argument("--keep", type=int, default=2)
+    gcp.set_defaults(fn=cmd_gc)
+
+    rb = sub.add_parser("rollback", help="point the lake back at an "
+                                         "earlier committed checkpoint")
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--to", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
 
     args = p.parse_args(argv)
     return args.fn(args)
