@@ -638,6 +638,18 @@ class ReplayEngine:
                 self.num_partitions,
                 max(self.shuffle_partitions, int(window_bytes // (128 << 20)) + 1),
             )
+            # round UP to a multiple of the effective worker slots: a
+            # 10-range exchange on 8 slots runs a second round that is
+            # 2/8 occupied (~38% of the merge wall idle — exactly the
+            # high-CPU side of the 2-vs-8 scaling protocol), while the
+            # same 10 ranges pack 2 slots perfectly; more, smaller
+            # ranges only shrink per-group memory. Packing matters
+            # whenever more than one round is needed.
+            w = self._data_parallelism
+            if shuffle_parts > w:
+                shuffle_parts = min(
+                    self.num_partitions, -(-shuffle_parts // w) * w
+                )
             if os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct":
                 # default: the known-boundary 2-round exchange (below) —
                 # no sampling pass, no sort barrier
