@@ -3266,16 +3266,24 @@ def pack_sequences(sf_dir: str):
     )
 
     def add_range(t: pa.Table) -> pa.Table:
+        # tokenize ONCE here and drop text before the exchange: the
+        # bucketed pass then moves three int64 columns, not the corpus
         if t.num_rows == 0 or not t.column_names:
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
                     "range_id": pa.array([], pa.int64()),
                 }
             )
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        return t.append_column("range_id", pa.array((ids // rng_w).astype(np.int64)))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": F_text.token_count_column(t.column("text")),
+                "range_id": pa.array((ids // rng_w).astype(np.int64)),
+            }
+        )
 
     def pack(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
@@ -3285,9 +3293,7 @@ def pack_sequences(sf_dir: str):
             {
                 "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
                 "range_id": t.column("range_id").to_numpy(zero_copy_only=False),
-                "n_tokens": F_text.token_count_column(t.column("text")).to_numpy(
-                    zero_copy_only=False
-                ),
+                "n_tokens": t.column("n_tokens").to_numpy(zero_copy_only=False),
             }
         ).sort_values("doc_id", kind="stable")
         within = (
@@ -3522,46 +3528,58 @@ def tfidf_top_terms(sf_dir: str):
         )
         return df[df["token"] != ""]
 
-    def tf_partial(t: pa.Table) -> pa.Table:
+    def tf_df_partial(t: pa.Table) -> pa.Table:
+        """ONE corpus pass emits both statistics per (lang, token): tf =
+        occurrence count, df = distinct-doc count. df per (lang, token)
+        is exact per batch (one row = one whole document, a doc appears
+        in exactly one batch) and langs PARTITION docs, so the global
+        per-token df is simply the sum of per-lang dfs downstream —
+        no second tokenization scan."""
         if t.num_rows == 0 or not t.column_names:
             return empty_cnt
-        g = _tokens(t).groupby(["lang", "token"], sort=False, as_index=False).size()
+        g = (
+            _tokens(t)
+            .groupby(["lang", "token"], sort=False, as_index=False)
+            .agg(tf=("doc_id", "size"), df=("doc_id", "nunique"))
+        )
         return pa.table({"lang": pa.array(g["lang"].to_numpy()),
                          "token": pa.array(g["token"].to_numpy()),
-                         "tf": pa.array(g["size"].to_numpy().astype(np.int64))})
-
-    def df_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or not t.column_names:
-            return empty_df
-        # one row = one whole document, so per-batch distinct (doc, token)
-        # pairs are globally distinct — the df combiner is exact
-        g = (
-            _tokens(t)[["doc_id", "token"]]
-            .drop_duplicates()
-            .groupby("token", sort=False, as_index=False)
-            .size()
-        )
-        return pa.table({"token": pa.array(g["token"].to_numpy()),
-                         "df": pa.array(g["size"].to_numpy().astype(np.int64))})
+                         "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+                         "df": pa.array(g["df"].to_numpy().astype(np.int64))})
 
     nb = _buckets_for(sf_dir, "documents")
-    df_map = F_agg.grouped_sum(
-        docs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
-        ["token"], empty_df, n_buckets=nb,
-    )
-    df_ref = ray.put(df_map)  # vocab-sized broadcast, shipped ONCE
 
     def merge_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty_cnt
-        g = t.to_pandas().groupby(["lang", "token"], sort=False, as_index=False)["tf"].sum()
+        g = (
+            t.to_pandas()
+            .groupby(["lang", "token"], sort=False, as_index=False)[["tf", "df"]]
+            .sum()
+        )
         g["tf"] = g["tf"].astype("int64")
+        g["df"] = g["df"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # materialized: the merged vocab×langs table (small by construction)
+    # feeds BOTH the global-df fold and the per-lang top-k without
+    # re-running the corpus scan
     counts = F_agg.bucketed_groups_multi(
-        docs.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(tf_df_partial, batch_format="pyarrow", zero_copy_batch=True),
         ["lang", "token"], merge_counts, n_buckets=nb, empty=empty_cnt,
+    ).materialize()
+
+    df_map = F_agg.grouped_sum(
+        counts.map_batches(
+            lambda t: t.select(["token", "df"])
+            if t.num_rows and t.column_names
+            else empty_df,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["token"], empty_df, n_buckets=8,
     )
+    df_ref = ray.put(df_map)  # vocab-sized broadcast, shipped ONCE
 
     empty_out = pa.table({"lang": pa.array([], pa.string()),
                           "token": pa.array([], pa.string()),
@@ -3573,7 +3591,13 @@ def tfidf_top_terms(sf_dir: str):
     def topn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty_out
-        d = t.to_pandas().merge(ray.get(df_ref), on="token", how="inner")
+        # the per-lang partial df rode along in counts — replace it with
+        # the GLOBAL df from the broadcast fold before scoring
+        d = (
+            t.to_pandas()
+            .drop(columns=["df"])
+            .merge(ray.get(df_ref), on="token", how="inner")
+        )
         d["tfidf"] = round_half_away(
             d["tf"].to_numpy() * np.log(n_docs / d["df"].to_numpy()), 6
         )

@@ -50,6 +50,22 @@ _COUNTS_SCHEMA = pa.schema(
 )
 _COUNTS_EMPTY = _COUNTS_SCHEMA.empty_table()
 
+#: canonical zero-row VALIDATED-events table (post `_valid` drop): the
+#: fallback when every slice of a reduce range is empty — Ray Data can
+#: emit COLUMNLESS empty blocks whose sliced schema would otherwise
+#: crash the range merge's `part` access (evolved payload columns are
+#: unified by concat's promote, so the base schema suffices here)
+_ROWS_EMPTY = None  # built lazily below (EVENT_SCHEMA imported later)
+
+
+def _rows_empty() -> pa.Table:
+    global _ROWS_EMPTY
+    if _ROWS_EMPTY is None:
+        _ROWS_EMPTY = pa.schema(
+            [*EVENT_SCHEMA, pa.field("part", pa.int32())]
+        ).empty_table()
+    return _ROWS_EMPTY
+
 
 def _sum_counts(tables: list[pa.Table]) -> pa.Table:
     """Associative fold of per-part (events_in, invalid) count tables."""
@@ -68,7 +84,7 @@ def _sum_counts(tables: list[pa.Table]) -> pa.Table:
 from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
 from etl_ray.pipelines import rollups
-from etl_ray.schema import EVENT_COLUMNS
+from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA
 
 #: Core event columns the engine owns; everything else is evolved payload.
 _CORE = set(EVENT_COLUMNS)
@@ -284,7 +300,11 @@ class ReplayEngine:
             import numpy as _np
 
             if t.num_rows == 0:
-                empty = (t.slice(0, 0), _COUNTS_EMPTY)
+                # a COLUMNLESS Ray block would propagate a schemaless
+                # empty into the range merge; substitute the canonical
+                # typed empty (evolved columns unify via concat promote)
+                base = t.slice(0, 0) if "part" in t.column_names else _rows_empty()
+                empty = (base, _COUNTS_EMPTY)
                 return [empty] * S if S > 1 else empty
             part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
             valid = pc.fill_null(t.column("_valid"), False).to_numpy(
@@ -330,7 +350,10 @@ class ReplayEngine:
             rows = (
                 _keep_last_per_key(pa.concat_tables(ts, promote_options="default"))
                 if ts
-                else pairs[0][0]
+                else next(
+                    (p[0] for p in pairs if "part" in p[0].column_names),
+                    _rows_empty(),
+                )
             )
             return rows, _sum_counts([p[1] for p in pairs])
 
@@ -346,7 +369,10 @@ class ReplayEngine:
             rows = (
                 _keep_last_per_key(pa.concat_tables(ts, promote_options="default"))
                 if ts
-                else pairs[0][0]
+                else next(
+                    (p[0] for p in pairs if "part" in p[0].column_names),
+                    _rows_empty(),
+                )
             )
             part_np = rows.column("part").to_numpy(zero_copy_only=False)
             order = _np.argsort(part_np, kind="stable")
@@ -869,7 +895,68 @@ class ReplayEngine:
             read_cols = list(dict.fromkeys([*columns, "deleted"]))
         parts_ds = []
         if flat_files:
-            parts_ds.append(rd.read_parquet(flat_files, columns=read_cols))
+            # schema evolution can leave the lake's flat files RAGGED: a
+            # partition untouched after a column was added keeps its old
+            # schema (merge reuses the prior file when nothing changed),
+            # and rd.read_parquet over heterogeneous files infers from
+            # one fragment — missing-field errors or silent drops. When
+            # the manifest records evolved columns, split the files by a
+            # footer check (O(P) metadata reads): uniform files take the
+            # plain pruned read; ragged ones are read per-file with
+            # typed null backfill, mirroring the chain-fold path below.
+            import pyarrow.parquet as _pqf
+
+            want = read_cols
+            if m.payload_types and want is None:
+                first = set(_pqf.read_schema(flat_files[0]).names)
+                want = list(
+                    dict.fromkeys(
+                        [*_pqf.read_schema(flat_files[0]).names,
+                         *m.payload_types.keys()]
+                    )
+                )
+                uniform_ok = all(
+                    set(_pqf.read_schema(f).names) == first for f in flat_files
+                ) and set(want) <= first
+            else:
+                uniform_ok = True
+            if m.payload_types:
+                need = set(want or [])
+                uniform = [
+                    f for f in flat_files
+                    if uniform_ok and need <= set(_pqf.read_schema(f).names)
+                ]
+            else:
+                uniform = flat_files
+            ragged = [f for f in flat_files if f not in set(uniform)]
+            if uniform:
+                parts_ds.append(rd.read_parquet(uniform, columns=want))
+            if ragged:
+                fill_types = {
+                    n: pa.type_for_alias(t) for n, t in m.payload_types.items()
+                }
+
+                @ray.remote
+                def read_fill(f: str, cols: list[str]) -> pa.Table:
+                    present = set(_pqf.read_schema(f).names)
+                    t = _pqf.read_table(
+                        f, columns=[c for c in cols if c in present]
+                    )
+                    for c in cols:
+                        if c not in t.column_names:
+                            t = t.append_column(
+                                c,
+                                pa.nulls(
+                                    t.num_rows, fill_types.get(c, pa.string())
+                                ),
+                            )
+                    return t.select(cols)
+
+                parts_ds.append(
+                    rd.from_arrow_refs(
+                        [read_fill.remote(f, list(want)) for f in ragged]
+                    )
+                )
         if chained:
             # merge-on-read: fold each chained partition's [base, deltas]
             # to one row per key — one raw task per partition (keys

@@ -108,16 +108,36 @@ class ManifestStore:
         """The committed manifest for one checkpoint — the time-travel
         read anchor. Every manifest is a FULL snapshot (file list per
         partition), so reading state as-of checkpoint N needs no log
-        replay: just this manifest's files. Raises if the checkpoint was
-        never committed or its manifest was gc'd (gc keeps the last
-        ``keep_checkpoints`` snapshots' files alive)."""
+        replay: just this manifest's files. Raises ValueError when the
+        checkpoint is not COMMITTED (never was, or the pointer was
+        rolled back past it — a numbered manifest orphaned by a crash
+        between the two commit writes is not committed) or when gc has
+        already reclaimed any of its data files."""
+        cur = self.current()
+        if cur is None or ckpt_id > cur.checkpoint_id:
+            raise ValueError(
+                f"checkpoint {ckpt_id} is not committed (current pointer: "
+                f"{'empty lake' if cur is None else cur.checkpoint_id})"
+            )
         p = os.path.join(
             self.lake_dir, MANIFEST_DIR, f"manifest-{ckpt_id:06d}.json"
         )
         if not os.path.exists(p):
             raise ValueError(f"no committed manifest for checkpoint {ckpt_id}")
         with open(p) as f:
-            return Manifest.from_json(f.read())
+            m = Manifest.from_json(f.read())
+        missing = [
+            rel
+            for part in m.partitions.values()
+            for rel in [part["file"], *part.get("deltas", [])]
+            if not os.path.exists(self.abs_path(rel))
+        ]
+        if missing:
+            raise ValueError(
+                f"checkpoint {ckpt_id} was garbage-collected: "
+                f"{len(missing)} data file(s) gone (first: {missing[0]})"
+            )
+        return m
 
     def history(self) -> list[Manifest]:
         d = os.path.join(self.lake_dir, MANIFEST_DIR)

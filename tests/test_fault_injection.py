@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 import pytest
 
 from etl_ray import oracle
@@ -64,3 +65,56 @@ def test_second_replay_without_fault_dir_is_clean(ray_session, tmp_path):
     res = oracle.reduce_events(log.table)
     state = engine_state_map(eng)
     assert set(state) == set(res.state)
+
+
+def test_final_state_reads_ragged_lake_after_partial_evolution(
+    ray_session, tmp_path
+):
+    """A partition untouched after a schema evolution keeps its OLD flat
+    file (merge reuses the prior path when nothing changed); final_state
+    must unify: typed null backfill for the evolved column on the stale
+    partition, both with and without column pruning."""
+    import pyarrow as pa
+
+    from tests.util import write_files
+
+    def tbl(rows, with_meta):
+        cols = {
+            "seq": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array(["I"] * len(rows), pa.string()),
+            "commit_seq": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "path": pa.array([r[2] for r in rows], pa.string()),
+            "commit": pa.array([f"c{r[0]}" for r in rows], pa.string()),
+            "lang": pa.array(["py"] * len(rows), pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string()),
+        }
+        if with_meta:
+            cols["meta_owner"] = pa.array(
+                [f"o{r[0]}" for r in rows], pa.string()
+            )
+        return pa.table(cols)
+
+    # window 0: two keys that land in different partitions; window 1:
+    # only key A updated, WITH the evolved column — key B's partition is
+    # untouched and keeps its pre-evolution file
+    w0 = tbl([(1, "r1", "a.py", "va"), (2, "r2", "b.py", "vb")], False)
+    w1 = tbl([(3, "r1", "a.py", "va2")], True)
+    write_files([w0, w1], str(tmp_path / "log"))
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    eng = ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(str(tmp_path / "log"), window_events=2)
+    assert "meta_owner" in eng.store.current().payload_types
+
+    full = eng.final_state().to_pandas()
+    assert set(full["repo"]) == {"r1", "r2"}
+    by_repo = full.set_index("repo")
+    assert by_repo.loc["r1", "meta_owner"] == "o3"
+    assert pd.isna(by_repo.loc["r2", "meta_owner"])
+
+    pruned = eng.final_state(
+        columns=["repo", "path", "meta_owner"]
+    ).to_pandas()
+    assert set(pruned.columns) >= {"repo", "path", "meta_owner"}
+    assert len(pruned) == 2
