@@ -1125,10 +1125,14 @@ def _derive_doc_events(t: pa.Table) -> pa.Table:
     )
 
 
-def _run_doc_replay(sf_dir: str, variant: str = ""):
+def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None):
     """Derive events from documents, replay through the FULL engine
     (validate → shuffle → LWW merge → manifest lake → incremental
-    summaries) in a fresh /tmp lake; return the engine."""
+    summaries) in a fresh /tmp lake; return the engine.
+
+    ``transform_part(part, i) -> pa.Table`` (optional) rewrites log
+    segment ``i`` before it is written — the hook the schema-evolution
+    gate uses to add columns to the tail segments only."""
     from etl_ray.pipelines.replay import ReplayEngine
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + variant
@@ -1158,6 +1162,8 @@ def _run_doc_replay(sf_dir: str, variant: str = ""):
     sizes = []
     for i in range(4):
         part = ev.filter(pa.array(cs4 == i))
+        if transform_part is not None:
+            part = transform_part(part, i)
         pq.write_table(part, f"{root}/log/events-{i:05d}.parquet")
         sizes.append(part.num_rows)
     eng = ReplayEngine(f"{root}/lake", num_partitions=16)
@@ -3737,35 +3743,13 @@ def cdc_replay_docs_evolved(sf_dir: str):
     to the driver's rows+schema+hash gate. Reference semantic: additive
     column handling in the staging→load path (SURVEY §2 M7/S10).
     """
-    from etl_ray.pipelines.replay import ReplayEngine
+    def add_meta_rev(part: pa.Table, i: int) -> pa.Table:
+        if i < 2:  # head segments keep the pre-evolution schema
+            return part
+        mr = part.column("commit_seq").to_numpy(zero_copy_only=False) % 10
+        return part.append_column("meta_rev", pa.array(mr.astype(np.int64)))
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "-evo"
-    root = f"/tmp/etl_ray_gate/{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(f"{root}/log", exist_ok=True)
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    ev = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                docs.map_batches(
-                    _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-    )
-    cs = ev.column("commit_seq").to_numpy(zero_copy_only=False)
-    sizes = []
-    for i in range(4):
-        part = ev.filter(pa.array(cs % 4 == i))
-        if i >= 2:  # evolved tail segments: additive meta_rev column
-            mr = part.column("commit_seq").to_numpy(zero_copy_only=False) % 10
-            part = part.append_column("meta_rev", pa.array(mr.astype(np.int64)))
-        pq.write_table(part, f"{root}/log/events-{i:05d}.parquet")
-        sizes.append(part.num_rows)
-    eng = ReplayEngine(f"{root}/lake", num_partitions=16)
-    eng.replay(f"{root}/log", window_events=max(1, sizes[0] + sizes[1]))
+    eng = _run_doc_replay(sf_dir, variant="-evo", transform_part=add_meta_rev)
     return eng.final_state(
         columns=["repo", "path", "commit_seq", "lang", "content_sha256", "meta_rev"]
     ).to_pandas()

@@ -673,8 +673,15 @@ class ReplayEngine:
             # whenever more than one round is needed.
             w = self._data_parallelism
             if shuffle_parts > w:
-                shuffle_parts = min(
-                    self.num_partitions, -(-shuffle_parts // w) * w
+                up = -(-shuffle_parts // w) * w
+                # when rounding UP would exceed num_partitions, round
+                # DOWN to the last full multiple instead: clamping to
+                # num_partitions would reintroduce the partially-idle
+                # tail round (e.g. 64 parts on 6 slots → 64 leaves a
+                # 4/6 round; 60 packs perfectly with slightly larger
+                # groups)
+                shuffle_parts = up if up <= self.num_partitions else (
+                    max(w, (self.num_partitions // w) * w)
                 )
             if os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct":
                 # default: the known-boundary 2-round exchange (below) —

@@ -206,6 +206,11 @@ def _maybe_die_after_stage(fault_dir: str | None) -> None:
                      os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return
+    except (FileNotFoundError, NotADirectoryError, PermissionError):
+        # stale ETL_RAY_FAULT_DIR (deleted tmp dir from an aborted test
+        # run): the hook must degrade to a no-op, not crash every merge
+        # task on every retry
+        return
     os.close(fd)
     os._exit(1)
 
