@@ -67,6 +67,19 @@ def _rows_empty() -> pa.Table:
     return _ROWS_EMPTY
 
 
+def pack_exchange_width(parts: int, slots: int, max_parts: int) -> int:
+    """Round the exchange width to a multiple of the worker-slot count so
+    no reduce round runs partially idle. Rounds UP when that stays within
+    ``max_parts`` (more, smaller ranges only shrink per-group memory);
+    otherwise rounds DOWN to the last full multiple — clamping to
+    ``max_parts`` would reintroduce the partially-idle tail round (64
+    parts on 6 slots → a 4/6 final round; 60 packs perfectly)."""
+    if parts <= slots:
+        return parts
+    up = -(-parts // slots) * slots
+    return up if up <= max_parts else max(slots, (max_parts // slots) * slots)
+
+
 def _sum_counts(tables: list[pa.Table]) -> pa.Table:
     """Associative fold of per-part (events_in, invalid) count tables."""
     ts = [t for t in tables if t.num_rows]
@@ -671,18 +684,9 @@ class ReplayEngine:
             # same 10 ranges pack 2 slots perfectly; more, smaller
             # ranges only shrink per-group memory. Packing matters
             # whenever more than one round is needed.
-            w = self._data_parallelism
-            if shuffle_parts > w:
-                up = -(-shuffle_parts // w) * w
-                # when rounding UP would exceed num_partitions, round
-                # DOWN to the last full multiple instead: clamping to
-                # num_partitions would reintroduce the partially-idle
-                # tail round (e.g. 64 parts on 6 slots → 64 leaves a
-                # 4/6 round; 60 packs perfectly with slightly larger
-                # groups)
-                shuffle_parts = up if up <= self.num_partitions else (
-                    max(w, (self.num_partitions // w) * w)
-                )
+            shuffle_parts = pack_exchange_width(
+                shuffle_parts, self._data_parallelism, self.num_partitions
+            )
             if os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct":
                 # default: the known-boundary 2-round exchange (below) —
                 # no sampling pass, no sort barrier

@@ -164,3 +164,31 @@ def test_direct_exchange_scenario_parity_with_fold_tree(
     assert set(state) == set(res.state)
     for k, row in res.state.items():
         assert state[k]["content_sha256"] == row["content_sha256"], k
+
+
+def test_pack_exchange_width_rounds_to_full_rounds():
+    """The exchange width must be a multiple of the worker-slot count
+    whenever more than one reduce round is needed — rounding UP inside
+    the partition budget, DOWN past it (never a partially-idle tail)."""
+    from etl_ray.pipelines.replay import pack_exchange_width
+
+    # single-round cases pass through untouched
+    assert pack_exchange_width(5, 8, 64) == 5
+    assert pack_exchange_width(8, 8, 64) == 8
+    # round up to the next slot multiple when it fits
+    assert pack_exchange_width(10, 8, 64) == 16
+    assert pack_exchange_width(17, 8, 64) == 24
+    # near the partition ceiling: round DOWN to the last full multiple
+    # (clamping 66→64 would leave a 4/6 tail round)
+    assert pack_exchange_width(62, 6, 64) == 60
+    assert pack_exchange_width(64, 6, 64) == 60
+    # degenerate ceiling: never drop below one full round of slots
+    assert pack_exchange_width(9, 8, 9) == 8
+    # every result is a multiple of slots (or the untouched input)
+    for parts in range(1, 130):
+        for slots in (2, 3, 6, 8, 32):
+            for mx in (parts, 64, 128):
+                got = pack_exchange_width(parts, slots, max(parts, 1) if mx == parts else mx)
+                assert got >= min(parts, slots)
+                if parts > slots:
+                    assert got % slots == 0
