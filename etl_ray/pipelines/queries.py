@@ -638,6 +638,96 @@ FROM documents
 """
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality filter: per-doc duplicate-token
+    fraction and top-token share, flagged above thresholds (the word-
+    level analog of the duplicate-line / top-n-gram rules used to drop
+    degenerate documents from training corpora).
+
+    Scale shape: ZERO shuffles — each row is one whole document, so
+    every statistic is computable inside the batch (explode → per-doc
+    distinct/max via one vectorized pandas pass); the pipeline is a
+    single ``map_batches`` over the pruned (doc_id, text) read.
+    Fractions round half-away at 6 dp BEFORE thresholding so the DuckDB
+    oracle flags identically."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty_out = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_distinct_tokens": pa.array([], pa.int64()),
+        "dup_token_frac": pa.array([], pa.float64()),
+        "top_token_share": pa.array([], pa.float64()),
+        "flagged": pa.array([], pa.int64()),
+    })
+
+    def stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(text, pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "doc": np.repeat(ids, lens),
+                "tok": pc.list_flatten(toks).to_pandas().to_numpy(),
+            }
+        )
+        df = df[df["tok"] != ""]  # regex split artifacts at boundaries
+        per = df.groupby(["doc", "tok"], sort=False).size().reset_index(name="c")
+        agg = per.groupby("doc", sort=False)["c"].agg(
+            n_tokens="sum", n_distinct_tokens="size", top_c="max"
+        )
+        agg = agg.reindex(ids, fill_value=0)
+        n = agg["n_tokens"].to_numpy(dtype=np.int64)
+        d = agg["n_distinct_tokens"].to_numpy(dtype=np.int64)
+        top = agg["top_c"].to_numpy(dtype=np.int64)
+        safe = np.maximum(n, 1)
+        dup_frac = round_half_away((n - d) / safe, 6)
+        top_share = round_half_away(top / safe, 6)
+        flagged = ((dup_frac > 0.55) | (top_share > 0.12)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n),
+            "n_distinct_tokens": pa.array(d),
+            "dup_token_frac": pa.array(dup_frac),
+            "top_token_share": pa.array(top_share),
+            "flagged": pa.array(flagged),
+        })
+
+    return ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+
+REPETITION_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM per GROUP BY doc_id
+), j AS (
+  SELECT d.doc_id,
+         coalesce(a.n_tokens, 0) AS n_tokens,
+         coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+         round((coalesce(a.n_tokens, 0) - coalesce(a.n_distinct_tokens, 0)) * 1.0
+               / greatest(coalesce(a.n_tokens, 0), 1), 6) AS dup_token_frac,
+         round(coalesce(a.top_c, 0) * 1.0
+               / greatest(coalesce(a.n_tokens, 0), 1), 6) AS top_token_share
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, dup_token_frac, top_token_share,
+       CAST(CASE WHEN dup_token_frac > 0.55 OR top_token_share > 0.12
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM j
+"""
+
+
 def _docs_with_dups(sf_dir: str) -> rd.Dataset:
     """documents ∪ deterministic near-verbatim copies (doc_id+100000 for
     doc_id % 10 == 0) — gives the dedup operators real duplicates to find
@@ -1302,6 +1392,7 @@ QUERIES: dict[str, QueryDef] = {
     # text / dedup
     "text_token_stats": QueryDef(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL),
+    "repetition_stats": QueryDef(repetition_stats, REPETITION_SQL),
     "lang_distribution": QueryDef(lang_distribution, LANG_DISTRIBUTION_SQL),
     "dedup_exact_docs": QueryDef(dedup_exact_docs, DEDUP_EXACT_SQL),
     "langid_heuristic": QueryDef(langid_heuristic, LANGID_SQL),

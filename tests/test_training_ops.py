@@ -29,7 +29,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["decontaminate_docs", "pack_sequences", "redact_docs", "stratified_sample_docs"],
+    ["decontaminate_docs", "pack_sequences", "redact_docs",
+     "stratified_sample_docs", "repetition_stats"],
 )
 def test_training_op_matches_oracle(ray_session, name):
     from etl_ray.pipelines.queries import QUERIES
