@@ -146,6 +146,9 @@ def cmd_status(args) -> int:
         "chained_partitions": sum(
             1 for p in m.partitions.values() if p.get("deltas")
         ),
+        "rejects_quarantined": sum(
+            info.get("rows", 0) for info in m.rejects.values()
+        ),
         "metrics": m.metrics,
     }
     if getattr(args, "events", None):

@@ -1215,7 +1215,45 @@ def _derive_doc_events(t: pa.Table) -> pa.Table:
     )
 
 
-def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None):
+def _derive_doc_events_dlq(t: pa.Table) -> pa.Table:
+    """``_derive_doc_events`` plus deterministically-injected MALFORMED
+    events (SQL-replicable): each doc with doc_id % 13 == 0 emits one bad
+    row at seq = d*10+8 whose defect rotates with k = (d // 13) % 4 —
+    k=0: empty repo, k=1: empty path, k=2: op 'X', k=3: null commit_seq.
+    The ``cdc_rejects`` gate replays this stream through the full engine
+    and hash-compares the dead-letter queue against the oracle's CASE."""
+    good = _derive_doc_events(t)
+    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+    d = doc_id[doc_id % 13 == 0]
+    if len(d) == 0:
+        return good
+    k = (d // 13) % 4
+    seq = d * 10 + 8
+    bad = pa.table(
+        {
+            "seq": pa.array(seq, pa.int64()),
+            "op": pa.array(np.where(k == 2, "X", "I").astype(object), pa.string()),
+            "commit_seq": pa.array(
+                [None if kk == 3 else int(s) for kk, s in zip(k, seq)], pa.int64()
+            ),
+            "repo": pa.array(
+                [("" if kk == 0 else f"repo{x % 7}") for kk, x in zip(k, d)],
+                pa.string(),
+            ),
+            "path": pa.array(
+                [("" if kk == 1 else f"docs/{x}.txt") for kk, x in zip(k, d)],
+                pa.string(),
+            ),
+            "commit": pa.array([f"cb{x}" for x in d], pa.string()),
+            "lang": pa.array(["bad"] * len(d), pa.string()),
+            "content": pa.array(["bad"] * len(d), pa.string()),
+        }
+    )
+    return pa.concat_tables([good, bad], promote_options="default")
+
+
+def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None,
+                    derive_fn=None):
     """Derive events from documents, replay through the FULL engine
     (validate → shuffle → LWW merge → manifest lake → incremental
     summaries) in a fresh /tmp lake; return the engine.
@@ -1242,13 +1280,18 @@ def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None):
             t
             for t in ray.get(
                 docs.map_batches(
-                    _derive_doc_events, batch_format="pyarrow", zero_copy_batch=True
+                    derive_fn or _derive_doc_events,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
                 ).to_arrow_refs()
             )
             if t.num_rows
         ]
     )
-    cs4 = ev.column("commit_seq").to_numpy(zero_copy_only=False) % 4
+    # split on seq, not commit_seq: identical for the base derivation
+    # (seq == commit_seq there) and total for the DLQ variant, whose
+    # injected null-commit_seq rows must still land in a segment
+    cs4 = ev.column("seq").to_numpy(zero_copy_only=False) % 4
     sizes = []
     for i in range(4):
         part = ev.filter(pa.array(cs4 == i))
@@ -1305,6 +1348,48 @@ def cdc_replay_docs_mor(sf_dir: str):
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def cdc_rejects(sf_dir: str):
+    """Dead-letter queue, end to end: replay a stream with injected
+    malformed events (``_derive_doc_events_dlq``) through the FULL engine
+    — validate counts the invalid rows into the window's audit metrics,
+    the DLQ pass quarantines them with reason codes under the same
+    two-phase manifest commit — then return the quarantine. Reference
+    analog: the cleaning filter's per-rule drop accounting
+    (etl/cleaning/clean_data.py:123-148) made durable and exactly-once."""
+    eng = _run_doc_replay(sf_dir, variant="-dlq", derive_fn=_derive_doc_events_dlq)
+    # the DLQ is tiny by construction (invalid events are the exception);
+    # collect + sort driver-side like every other gated small result
+    blocks = [t for t in ray.get(eng.rejects().to_arrow_refs()) if t.num_rows]
+    out = pa.concat_tables(blocks, promote_options="default")
+    df = out.to_pandas()
+    df["commit_seq"] = df["commit_seq"].fillna(-1).astype("int64")
+    return (
+        df[["repo", "path", "op", "seq", "commit_seq", "reject_reason"]]
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+
+
+CDC_REJECTS_SQL = """
+WITH bad AS (
+  SELECT doc_id AS d, (doc_id // 13) % 4 AS k
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT
+  CASE WHEN k = 0 THEN '' ELSE 'repo' || CAST(d % 7 AS VARCHAR) END AS repo,
+  CASE WHEN k = 1 THEN '' ELSE 'docs/' || CAST(d AS VARCHAR) || '.txt' END AS path,
+  CASE WHEN k = 2 THEN 'X' ELSE 'I' END AS op,
+  CAST(d * 10 + 8 AS BIGINT) AS seq,
+  CAST(CASE WHEN k = 3 THEN -1 ELSE d * 10 + 8 END AS BIGINT) AS commit_seq,
+  CASE WHEN k = 0 THEN 'null_repo'
+       WHEN k = 1 THEN 'null_path'
+       WHEN k = 2 THEN 'bad_op'
+       ELSE 'null_commit_seq' END AS reject_reason
+FROM bad
+ORDER BY seq
+"""
 
 
 CDC_REPLAY_DOCS_SQL = """
@@ -1372,6 +1457,7 @@ QUERIES: dict[str, QueryDef] = {
     # CDC engine (flagship)
     "cdc_replay_docs": QueryDef(cdc_replay_docs, CDC_REPLAY_DOCS_SQL),
     "cdc_replay_docs_mor": QueryDef(cdc_replay_docs_mor, CDC_REPLAY_DOCS_SQL),
+    "cdc_rejects": QueryDef(cdc_rejects, CDC_REJECTS_SQL),
     "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
     "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
     # event-stream operators

@@ -102,6 +102,67 @@ from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA
 #: Core event columns the engine owns; everything else is evolved payload.
 _CORE = set(EVENT_COLUMNS)
 
+#: Dead-letter-queue row layout: the core event envelope + classification
+#: and lineage. Uniform by construction (evolved payload columns stay
+#: recoverable from the named source segment), so ``rejects()`` reads are
+#: never ragged.
+_REJECT_EMPTY = pa.schema(
+    [(f.name, f.type) for f in EVENT_SCHEMA]
+    + [
+        ("reject_reason", pa.string()),
+        ("checkpoint_id", pa.int64()),
+        ("source_file", pa.string()),
+    ]
+).empty_table()
+
+
+@ray.remote
+def _stage_rejects_task(path: str, out_path: str, ckpt_id: int):
+    """Quarantine one log segment's invalid rows into a staged DLQ file.
+
+    Output name is deterministic per (checkpoint, segment index) →
+    retry/crash-safe: a re-staged window overwrites, never duplicates
+    (same discipline as the merge stage's staged partition files).
+    Reference analog: the cleaning filter's per-rule drop accounting
+    (``etl/cleaning/clean_data.py:123-148``) made durable — the reference
+    logs how many rows each rule removed; we keep the rows, say why, and
+    commit them under the same exactly-once manifest as the state itself.
+    """
+    import pyarrow.parquet as _pq
+
+    from etl_ray.stages.merge import _pin_arrow_once, write_atomic_parquet
+    from etl_ray.stages.validate import reject_reasons
+
+    _pin_arrow_once()
+    t = _pq.read_table(path)
+    # ragged logs: segments written before an evolution may lack core
+    # columns — null-backfill so classification sees the full envelope
+    for f in EVENT_SCHEMA:
+        if f.name not in t.column_names:
+            t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+    reason = reject_reasons(t)
+    mask = pc.is_valid(reason)
+    n_bad = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+    if n_bad == 0:
+        return 0, {}
+    bad_reason = reason.filter(mask)
+    out = t.filter(mask).select(EVENT_COLUMNS)
+    out = out.append_column("reject_reason", bad_reason)
+    out = out.append_column(
+        "checkpoint_id", pa.array([ckpt_id] * n_bad, pa.int64())
+    )
+    out = out.append_column(
+        "source_file", pa.array([os.path.basename(path)] * n_bad, pa.string())
+    )
+    write_atomic_parquet(out, out_path)
+    vc = pc.value_counts(
+        bad_reason.combine_chunks()
+        if isinstance(bad_reason, pa.ChunkedArray)
+        else bad_reason
+    )
+    reasons = {str(s["values"]): int(s["counts"]) for s in vc.to_pylist()}
+    return n_bad, reasons
+
 
 class ReplayEngine:
     """Applies a recorded change log to a partitioned Parquet lake.
@@ -175,6 +236,12 @@ class ReplayEngine:
         )
         self.chain_max = int(os.environ.get("ETL_RAY_CHAIN_MAX", "3"))
         self.compact_ratio = float(os.environ.get("ETL_RAY_COMPACT_RATIO", "0.25"))
+        #: dead-letter queue (default ON): windows whose audit metrics
+        #: report invalid events quarantine them — full rows + reason code
+        #: + source lineage — under the same two-phase manifest commit.
+        #: Clean windows pay NOTHING (the pass is gated on the already-
+        #: computed invalid count, so the common case adds zero reads).
+        self.dlq = os.environ.get("ETL_RAY_DLQ", "1") == "1"
 
     @contextmanager
     def _parallelism_scope(self):
@@ -801,6 +868,16 @@ class ReplayEngine:
         summary_paths = rollups.stage_summaries(new_base, staging)
         m.summaries = {k: self.store.rel_path(v) for k, v in summary_paths.items()}
 
+        # --- dead-letter queue ----------------------------------------------
+        # snapshot-carried like ``partitions``: rollback to N automatically
+        # drops rejects staged after N; gc retains referenced reject files
+        m.rejects = dict(prior.rejects)
+        if self.dlq and agg["invalid"]:
+            rej = self._stage_rejects(window, staging, ckpt_id)
+            if rej["rows"]:
+                m.rejects[str(ckpt_id)] = rej
+            agg["rejects_quarantined"] = rej["rows"]
+
         agg["window_rows"] = window.rows
         agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
         agg["wall_sec"] = round(time.perf_counter() - t0, 4)
@@ -808,7 +885,49 @@ class ReplayEngine:
         self.store.commit(m)  # ← the exactly-once boundary
         return agg
 
+    def _stage_rejects(self, window: Window, staging: str, ckpt_id: int) -> dict:
+        """Quarantine the window's invalid events (one raw task per
+        segment file, deterministic staged names). Returns the manifest
+        entry: {"files": [relpaths], "rows": n, "reasons": {reason: n}}.
+        Runs ONLY when the window's audit metrics counted invalid rows,
+        so clean streams never re-read a byte."""
+        outs = [
+            os.path.join(staging, f"rejects-{i:05d}.parquet")
+            for i in range(len(window.files))
+        ]
+        got = ray.get(
+            [
+                _stage_rejects_task.remote(f, out, ckpt_id)
+                for f, out in zip(window.files, outs)
+            ]
+        )
+        files, rows, reasons = [], 0, {}
+        for out, (n, rc) in zip(outs, got):
+            if n:
+                files.append(self.store.rel_path(out))
+                rows += n
+                for k, v in rc.items():
+                    reasons[k] = reasons.get(k, 0) + v
+        return {"files": files, "rows": rows, "reasons": reasons}
+
     # ------------------------------------------------------------- reading
+
+    def rejects(self) -> rd.Dataset:
+        """The dead-letter queue under the current manifest, as a Dataset.
+
+        Uniform schema (core envelope + ``reject_reason`` +
+        ``checkpoint_id`` + ``source_file``) — never ragged, because the
+        DLQ keeps the envelope only and points at the source segment for
+        evolved payload columns."""
+        m = self._require_manifest()
+        files = [
+            self.store.abs_path(f)
+            for _ckpt, info in sorted(m.rejects.items())
+            for f in info.get("files", [])
+        ]
+        if not files:
+            return rd.from_arrow(_REJECT_EMPTY)
+        return rd.read_parquet(files)
 
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and

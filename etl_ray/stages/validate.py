@@ -98,3 +98,44 @@ def make_validate_fn(num_partitions: int, pre_reduce: bool = True):
         return pa.concat_tables([good, bad], promote_options="default")
 
     return validate
+
+
+#: DLQ reason codes, in rule-priority order (first failing rule names the
+#: row's reason). Mirrored constant-for-constant by the ``cdc_rejects``
+#: DuckDB oracle (pipelines/queries.py) so the quarantine output itself is
+#: hash-gated.
+REJECT_REASONS = ("null_repo", "null_path", "bad_op", "null_commit_seq")
+
+
+def reject_reasons(batch: pa.Table) -> pa.Array:
+    """Classify each row: reason string, or null when the row is valid.
+
+    Vectorized priority CASE over the same four validity rules as
+    ``make_validate_fn`` (reference analog: the per-rule drop accounting of
+    the cleaning filter, ``etl/cleaning/clean_data.py:123-148`` — the
+    reference logs how many rows each rule removed; we keep the rows and
+    say why). Deliberately SQL-replicable: CASE WHEN over
+    null/empty/NOT-IN tests, no engine-private state.
+    """
+    repo = batch.column("repo")
+    path = batch.column("path")
+    op = batch.column("op")
+    cs = batch.column("commit_seq")
+    bad_repo = pc.equal(pc.fill_null(repo, ""), "")
+    bad_path = pc.equal(pc.fill_null(path, ""), "")
+    bad_op = pc.invert(
+        pc.fill_null(pc.is_in(op, value_set=pa.array(VALID_OPS)), False)
+    )
+    bad_cs = pc.is_null(cs)
+    null_s = pa.scalar(None, pa.string())
+    return pc.if_else(
+        bad_repo,
+        "null_repo",
+        pc.if_else(
+            bad_path,
+            "null_path",
+            pc.if_else(
+                bad_op, "bad_op", pc.if_else(bad_cs, "null_commit_seq", null_s)
+            ),
+        ),
+    )

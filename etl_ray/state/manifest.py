@@ -47,6 +47,12 @@ class Manifest:
     payload_types: dict[str, str] = field(default_factory=dict)
     #: metrics of the window that produced this manifest
     metrics: dict[str, Any] = field(default_factory=dict)
+    #: dead-letter queue: checkpoint id (str) -> {"files": [relpaths],
+    #: "rows": n, "reasons": {reason: count}} for windows that quarantined
+    #: invalid events (pipelines/replay.py:_stage_rejects). Carried forward
+    #: snapshot-style like ``partitions``: rollback to checkpoint N
+    #: automatically drops rejects staged after N.
+    rejects: dict[str, Any] = field(default_factory=dict)
     #: count of committed replay windows (informational / lineage)
     windows_done: int = 0
     #: resume cursor: log segment files fully consumed by committed windows
@@ -178,6 +184,7 @@ class ManifestStore:
                     for d in info.get("deltas", [])
                 ]
                 + list(m.summaries.values())
+                + [f for info in m.rejects.values() for f in info.get("files", [])]
             )
             if not os.path.exists(self.abs_path(rel))
         ]
@@ -211,6 +218,9 @@ class ManifestStore:
                     keep.add(os.path.normpath(self.abs_path(d)))
             for rel in m.summaries.values():
                 keep.add(os.path.normpath(self.abs_path(rel)))
+            for info in m.rejects.values():
+                for rel in info.get("files", []):
+                    keep.add(os.path.normpath(self.abs_path(rel)))
         deleted = []
         staging_root = os.path.join(self.lake_dir, STAGING_DIR)
         if os.path.isdir(staging_root):
