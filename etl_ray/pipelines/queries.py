@@ -1392,6 +1392,77 @@ ORDER BY seq
 """
 
 
+def cdc_changefeed(sf_dir: str):
+    """Change data feed, end to end: replay the derived stream with the
+    opt-in CDF writes on (ETL_RAY_CHANGEFEED=1) and return every
+    row-level effective change the two checkpoint windows applied —
+    insert / update / delete classified against the key's prior
+    liveness, stale and no-op-tombstone events excluded. The oracle
+    recomputes both windows' LWW winners with window functions and
+    replays the same classification in SQL, so the feed itself is
+    hash-gated (shape analog: Delta Lake CDF; reference analog: the
+    per-day audit deltas of etl/audit/logger.py:81-103 at row grain)."""
+    saved = os.environ.get("ETL_RAY_CHANGEFEED")
+    os.environ["ETL_RAY_CHANGEFEED"] = "1"
+    try:
+        eng = _run_doc_replay(sf_dir, variant="-cdf")
+        blocks = [
+            t for t in ray.get(eng.changefeed_read().to_arrow_refs()) if t.num_rows
+        ]
+        df = pa.concat_tables(blocks, promote_options="default").to_pandas()
+        return (
+            df[["repo", "path", "commit_seq", "change_type", "checkpoint_id"]]
+            .sort_values(["checkpoint_id", "repo", "path"])
+            .reset_index(drop=True)
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("ETL_RAY_CHANGEFEED", None)
+        else:
+            os.environ["ETL_RAY_CHANGEFEED"] = saved
+
+
+CDC_CHANGEFEED_SQL = """
+WITH versions AS (
+  SELECT d.doc_id AS id, gs.v
+  FROM documents d,
+  LATERAL (SELECT UNNEST(range(0, d.doc_id % 3 + 1
+           + CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END)) AS v) gs
+),
+ev AS (
+  SELECT 'repo' || CAST(id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(id AS VARCHAR) || '.txt' AS path,
+         CAST(id * 10 + v AS BIGINT) AS seq,
+         (v = id % 3 + 1) AS is_del,
+         CASE WHEN (id * 10 + v) % 4 <= 1 THEN 0 ELSE 1 END AS w
+  FROM versions
+),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path, w ORDER BY seq DESC) AS rn
+  FROM ev
+),
+w0 AS (SELECT * FROM win WHERE w = 0 AND rn = 1),
+w1 AS (SELECT * FROM win WHERE w = 1 AND rn = 1),
+c0 AS (
+  SELECT repo, path, seq AS commit_seq, 'insert' AS change_type,
+         CAST(0 AS BIGINT) AS checkpoint_id
+  FROM w0 WHERE NOT is_del
+),
+c1 AS (
+  SELECT w1.repo, w1.path, w1.seq AS commit_seq,
+         CASE WHEN w1.is_del THEN 'delete'
+              WHEN w0.repo IS NOT NULL AND NOT w0.is_del THEN 'update'
+              ELSE 'insert' END AS change_type,
+         CAST(1 AS BIGINT) AS checkpoint_id
+  FROM w1 LEFT JOIN w0 ON w1.repo = w0.repo AND w1.path = w0.path
+  WHERE (w0.repo IS NULL OR w1.seq > w0.seq)
+    AND NOT (w1.is_del AND (w0.repo IS NULL OR w0.is_del))
+)
+SELECT * FROM c0 UNION ALL SELECT * FROM c1
+ORDER BY checkpoint_id, repo, path
+"""
+
+
 CDC_REPLAY_DOCS_SQL = """
 WITH fin AS (
   SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
@@ -1458,6 +1529,7 @@ QUERIES: dict[str, QueryDef] = {
     "cdc_replay_docs": QueryDef(cdc_replay_docs, CDC_REPLAY_DOCS_SQL),
     "cdc_replay_docs_mor": QueryDef(cdc_replay_docs_mor, CDC_REPLAY_DOCS_SQL),
     "cdc_rejects": QueryDef(cdc_rejects, CDC_REJECTS_SQL),
+    "cdc_changefeed": QueryDef(cdc_changefeed, CDC_CHANGEFEED_SQL),
     "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
     "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
     # event-stream operators

@@ -115,6 +115,21 @@ _REJECT_EMPTY = pa.schema(
     ]
 ).empty_table()
 
+#: Change-data-feed row layout (opt-in output; stages/merge.py writes it).
+_CHANGES_EMPTY = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("commit_seq", pa.int64()),
+        ("seq", pa.int64()),
+        ("lang", pa.string()),
+        ("content_sha256", pa.string()),
+        ("change_type", pa.string()),
+        ("checkpoint_id", pa.int64()),
+    ]
+).empty_table()
+
 
 @ray.remote
 def _stage_rejects_task(path: str, out_path: str, ckpt_id: int):
@@ -242,6 +257,19 @@ class ReplayEngine:
         #: Clean windows pay NOTHING (the pass is gated on the already-
         #: computed invalid count, so the common case adds zero reads).
         self.dlq = os.environ.get("ETL_RAY_DLQ", "1") == "1"
+        #: change data feed (opt-in, ETL_RAY_CHANGEFEED=1): merge tasks
+        #: also stage row-level effective changes (insert/update/delete +
+        #: post-image sha) per partition, committed/rolled-back/gc'd with
+        #: the manifest — the downstream-consumer CDC output (Delta-CDF
+        #: shape). Off by default: it adds an O(applied) write per touched
+        #: partition per window.
+        self.changefeed = os.environ.get("ETL_RAY_CHANGEFEED", "0") == "1"
+        if self.changefeed and self.ensure_actors:
+            raise RuntimeError(
+                "ETL_RAY_CHANGEFEED is not supported with "
+                "ETL_RAY_ENSURE_ACTORS: the actor merge path does not "
+                "stage change files — disable one of the two"
+            )
 
     @contextmanager
     def _parallelism_scope(self):
@@ -719,7 +747,7 @@ class ReplayEngine:
                 staging, prior_files, payload_types, ckpt_id,
                 prior_deltas=prior_deltas, prior_sizes=prior_sizes,
                 delta_chain=self.delta_chain, chain_max=self.chain_max,
-                compact_ratio=self.compact_ratio,
+                compact_ratio=self.compact_ratio, changefeed=self.changefeed,
             )
         # NOTE: pipelines are built inside the parallelism/shuffle scopes
         # — Ray snapshots DataContext at Dataset creation, so settings
@@ -792,6 +820,8 @@ class ReplayEngine:
                       "stale", "invalid", "parts_touched", "parts_changed")
         }
         deltas = None
+        cf_files: list[str] = []
+        cf_rows = 0
         if stats_t is not None and stats_t.num_rows:
             kinds = stats_t.column("kind")
             met = stats_t.filter(pc.equal(kinds, "metrics"))
@@ -833,6 +863,17 @@ class ReplayEngine:
                     agg[k] += row[k] or 0
                 agg["parts_touched"] += 1
                 agg["parts_changed"] += 1 if row["changed"] else 0
+                if row.get("changes_rows"):
+                    # deterministic per-partition name — reconstructable,
+                    # never listed from disk (the manifest IS the lake)
+                    cf_files.append(
+                        self.store.rel_path(
+                            os.path.join(
+                                staging, f"changes-{int(row['part']):05d}.parquet"
+                            )
+                        )
+                    )
+                    cf_rows += int(row["changes_rows"])
 
         # --- incremental rollups (delta-by-delta) ---------------------------
         prior_base_path = (
@@ -877,6 +918,12 @@ class ReplayEngine:
             if rej["rows"]:
                 m.rejects[str(ckpt_id)] = rej
             agg["rejects_quarantined"] = rej["rows"]
+
+        # --- change data feed (opt-in) ---------------------------------------
+        m.changes = dict(prior.changes)
+        if cf_files:
+            m.changes[str(ckpt_id)] = {"files": sorted(cf_files), "rows": cf_rows}
+            agg["changes_rows"] = cf_rows
 
         agg["window_rows"] = window.rows
         agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
@@ -929,6 +976,30 @@ class ReplayEngine:
             return rd.from_arrow(_REJECT_EMPTY)
         return rd.read_parquet(files)
 
+    def changefeed_read(
+        self, since: int | None = None, until: int | None = None
+    ) -> rd.Dataset:
+        """The change data feed (opt-in writes, ETL_RAY_CHANGEFEED=1) as a
+        Dataset: row-level effective changes (insert/update/delete + the
+        post-image content sha) per committed checkpoint. ``since``/
+        ``until`` bound the checkpoint range inclusively — the incremental-
+        consumer read ("give me everything after my last cursor"), pruned
+        at the FILE level from the manifest, no data read outside the
+        range. The Delta-CDF-shaped output surface for downstream
+        pipelines (reference analog: the per-day audit deltas,
+        etl/audit/logger.py:81-103, at row grain)."""
+        m = self._require_manifest()
+        files = [
+            self.store.abs_path(f)
+            for ckpt, info in sorted(m.changes.items(), key=lambda kv: int(kv[0]))
+            if (since is None or int(ckpt) >= since)
+            and (until is None or int(ckpt) <= until)
+            for f in info.get("files", [])
+        ]
+        if not files:
+            return rd.from_arrow(_CHANGES_EMPTY)
+        return rd.read_parquet(files)
+
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and
         commit a new checkpoint (the maintenance OPTIMIZE — reference
@@ -979,6 +1050,8 @@ class ReplayEngine:
             log_files_done=m.log_files_done,
             log_fingerprint=m.log_fingerprint,
             metrics={**m.metrics, "compacted_partitions": len(chained)},
+            rejects=dict(m.rejects),
+            changes=dict(m.changes),
         )
         for p, (ref, out) in refs.items():
             ray.get(ref)

@@ -72,6 +72,9 @@ STATS_SCHEMA = pa.schema(
         # 'rewrite' (full base file) | 'delta' (merge-on-read chain append)
         # | 'none' (partition unchanged, prior file reused)
         ("mode", pa.string()),
+        # rows written to this partition's change-data-feed file this
+        # window (0 / null when the feed is off or nothing changed)
+        ("changes_rows", pa.int64()),
     ]
 )
 
@@ -227,6 +230,7 @@ def make_merge_fn(
     delta_chain: bool = False,
     chain_max: int = 3,
     compact_ratio: float = 0.25,
+    changefeed: bool = False,
 ):
     """Build the map_groups merge fn for one checkpoint window.
 
@@ -432,6 +436,42 @@ def make_merge_fn(
         prior_wm = -1
         watermark = int(pc.max(wm_col).as_py()) if applied else prior_wm
 
+        # --- change data feed (opt-in): row-level effective changes --------
+        # Classification reuses the run-boundary arrays already computed
+        # for the metrics: one winner row per key (new_state order), its
+        # tombstone flag (kept_del) and the key's prior liveness
+        # (prior_live_run). Only EFFECTIVE changes are emitted — a
+        # tombstone applied over an already-absent key changes nothing
+        # for readers (the tombstone itself stays engine-internal
+        # anti-resurrection state). Reference analog: the per-day audit
+        # row counts (etl/audit/logger.py:81-103) at row granularity,
+        # shaped like Delta Lake's change-data-feed output.
+        changes_rows = 0
+        if changefeed and applied:
+            applied_np = applied_mask.to_numpy(zero_copy_only=False)
+            prior_live_np = prior_live_run.astype(bool)
+            emit = applied_np & (prior_live_np | ~kept_del)
+            if emit.any():
+                ctype = np.where(
+                    kept_del, "delete", np.where(prior_live_np, "update", "insert")
+                )
+                ch = new_state.filter(pa.array(emit)).select(
+                    ["repo", "path", "commit", "commit_seq", "seq", "lang",
+                     "content_sha256"]
+                )
+                n_ch = ch.num_rows
+                ch = ch.append_column(
+                    "change_type", pa.array(ctype[emit].astype(object), pa.string())
+                )
+                ch = ch.append_column(
+                    "checkpoint_id",
+                    pa.array(np.full(n_ch, ckpt_id, dtype=np.int64)),
+                )
+                write_atomic_parquet(
+                    ch, os.path.join(staging_dir, f"changes-{part:05d}.parquet")
+                )
+                changes_rows = n_ch
+
         # --- stage the new partition file (or reuse prior when unchanged) ---
         changed = applied > 0 or prior_path is None
         if changed and delta_mode and applied > 0:
@@ -510,6 +550,7 @@ def make_merge_fn(
                 "d_files": pa.nulls(1, pa.int64()), "d_bytes": pa.nulls(1, pa.int64()),
                 "w_cs": pa.nulls(1, pa.int64()),
                 "mode": [mode],
+                "changes_rows": pa.array([changes_rows], pa.int64()),
             },
             schema=STATS_SCHEMA,
         )
@@ -537,6 +578,7 @@ def make_merge_fn(
                 "d_bytes": pc.fill_null(dtab.column("d_bytes"), 0).cast(pa.int64()),
                 "w_cs": dtab.column("w_cs").cast(pa.int64()),
                 "mode": pa.nulls(nd, pa.string()),
+                "changes_rows": pa.nulls(nd, pa.int64()),
             },
             schema=STATS_SCHEMA,
         )

@@ -53,6 +53,11 @@ class Manifest:
     #: snapshot-style like ``partitions``: rollback to checkpoint N
     #: automatically drops rejects staged after N.
     rejects: dict[str, Any] = field(default_factory=dict)
+    #: change data feed (opt-in, ETL_RAY_CHANGEFEED=1): checkpoint id (str)
+    #: -> {"files": [relpaths], "rows": n} of row-level effective changes
+    #: (insert/update/delete) the window applied. Snapshot-carried like
+    #: ``partitions``: rollback to N drops the feed past N.
+    changes: dict[str, Any] = field(default_factory=dict)
     #: count of committed replay windows (informational / lineage)
     windows_done: int = 0
     #: resume cursor: log segment files fully consumed by committed windows
@@ -184,7 +189,12 @@ class ManifestStore:
                     for d in info.get("deltas", [])
                 ]
                 + list(m.summaries.values())
-                + [f for info in m.rejects.values() for f in info.get("files", [])]
+                + [
+                    f
+                    for d in (m.rejects, m.changes)
+                    for info in d.values()
+                    for f in info.get("files", [])
+                ]
             )
             if not os.path.exists(self.abs_path(rel))
         ]
@@ -218,9 +228,10 @@ class ManifestStore:
                     keep.add(os.path.normpath(self.abs_path(d)))
             for rel in m.summaries.values():
                 keep.add(os.path.normpath(self.abs_path(rel)))
-            for info in m.rejects.values():
-                for rel in info.get("files", []):
-                    keep.add(os.path.normpath(self.abs_path(rel)))
+            for d in (m.rejects, m.changes):
+                for info in d.values():
+                    for rel in info.get("files", []):
+                        keep.add(os.path.normpath(self.abs_path(rel)))
         deleted = []
         staging_root = os.path.join(self.lake_dir, STAGING_DIR)
         if os.path.isdir(staging_root):
