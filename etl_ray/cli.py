@@ -74,6 +74,38 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Print the change data feed (optionally a checkpoint range) as
+    JSON lines — the incremental-consumer surface of changefeed_read."""
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    ds = ReplayEngine(args.lake).changefeed_read(
+        since=args.since, until=args.until
+    )
+    for row in ds.iter_rows():
+        print(json.dumps(row, default=str))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+def cmd_rejects(args) -> int:
+    """Print the dead-letter queue as JSON lines."""
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    for row in ReplayEngine(args.lake).rejects().iter_rows():
+        print(json.dumps(row, default=str))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_tail(args) -> int:
     """The change-log TAILER loop (north-star shape): poll the log dir,
     replay whatever new segments appeared (the file-based resume cursor
@@ -221,6 +253,23 @@ def main(argv=None) -> int:
     rb.add_argument("--lake", required=True)
     rb.add_argument("--to", type=int, required=True)
     rb.set_defaults(fn=cmd_rollback)
+
+    ch = sub.add_parser("changes", help="print the change data feed "
+                                        "(JSON lines; requires replays "
+                                        "run with ETL_RAY_CHANGEFEED=1)")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--since", type=int, default=None,
+                    help="first checkpoint id (inclusive)")
+    ch.add_argument("--until", type=int, default=None,
+                    help="last checkpoint id (inclusive)")
+    ch.add_argument("--num-cpus", type=int, default=None)
+    ch.set_defaults(fn=cmd_changes)
+
+    rj = sub.add_parser("rejects", help="print the dead-letter queue "
+                                        "(JSON lines)")
+    rj.add_argument("--lake", required=True)
+    rj.add_argument("--num-cpus", type=int, default=None)
+    rj.set_defaults(fn=cmd_rejects)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -974,7 +974,10 @@ class ReplayEngine:
         ]
         if not files:
             return rd.from_arrow(_REJECT_EMPTY)
-        return rd.read_parquet(files)
+        # partitioning=None: staged paths look hive-partitioned
+        # (_staging/ckpt=N/) and would otherwise grow a spurious 'ckpt'
+        # string column duplicating checkpoint_id
+        return rd.read_parquet(files, partitioning=None)
 
     def changefeed_read(
         self, since: int | None = None, until: int | None = None
@@ -998,7 +1001,7 @@ class ReplayEngine:
         ]
         if not files:
             return rd.from_arrow(_CHANGES_EMPTY)
-        return rd.read_parquet(files)
+        return rd.read_parquet(files, partitioning=None)  # see rejects()
 
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and

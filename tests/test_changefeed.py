@@ -65,6 +65,8 @@ def test_changefeed_classification(ray_session, tmp_path, cdf_env):
     ]
     # post-image sha travels with the feed
     assert df[df["change_type"] != "delete"]["content_sha256"].notna().all()
+    # no spurious hive-partition column from the _staging/ckpt=N/ layout
+    assert "ckpt" not in df.columns
     # incremental consumer read: checkpoint range prunes at file level
     inc = eng.changefeed_read(since=1).to_pandas()
     assert set(inc["checkpoint_id"]) == {1}

@@ -113,6 +113,8 @@ def test_dlq_quarantines_with_reasons_and_metrics_parity(ray_session, tmp_path):
         "events-00000.parquet",
         "events-00001.parquet",
     }
+    # no spurious hive-partition column from the _staging/ckpt=N/ layout
+    assert "ckpt" not in rej.columns
     # audit parity: quarantined == invalid counted by the merge metrics
     hist = eng.store.history()
     for m in hist:
