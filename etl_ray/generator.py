@@ -42,6 +42,13 @@ class Scenario:
     out_of_order: bool = False
     deletes: bool = False
     evolve: bool = False
+    #: append malformed COPIES of real rows (blank repo/path, op 'X',
+    #: null commit_seq — the four DLQ reason codes). Copies, not
+    #: corruptions: the valid history is untouched, so the final lake
+    #: state is byte-identical to the same seed without ``invalid`` —
+    #: pinned by tests/test_dlq.py.
+    invalid: bool = False
+    invalid_p: float = 0.01
     dup_p: float = 0.05
     ooo_window: int = 100
     delete_key_frac: float = 0.10
@@ -60,8 +67,15 @@ class Scenario:
             return cls(deletes=True)
         if name == "evolve":
             return cls(evolve=True)
+        if name == "invalid":
+            return cls(invalid=True)
         if name == "mixed":
             return cls(duplicates=True, out_of_order=True, deletes=True, evolve=True)
+        if name == "mixed-dirty":
+            # mixed + malformed events; kept out of plain "mixed" so the
+            # bench stream stays byte-identical round over round
+            return cls(duplicates=True, out_of_order=True, deletes=True,
+                       evolve=True, invalid=True)
         raise ValueError(f"unknown scenario {name!r}")
 
 
@@ -199,6 +213,23 @@ def generate_events(
         for k in cols:
             cols[k] = np.concatenate([cols[k], cols[k][dup_mask]])
 
+    if scenario.invalid:
+        n_bad = int(round(len(pos) * scenario.invalid_p))
+        if n_bad:
+            pick = rng.integers(0, len(pos), size=n_bad)
+            bad_pos = pos[pick] + rng.uniform(1, 500, size=n_bad)
+            kind = rng.integers(0, 4, size=n_bad)
+            bad = {k: cols[k][pick].copy() for k in cols}
+            bad["repo"][kind == 0] = ""
+            bad["path"][kind == 1] = ""
+            bad["op"][kind == 2] = "X"
+            cs = bad["commit_seq"].astype(object)
+            cs[kind == 3] = None
+            bad["commit_seq"] = cs
+            pos = np.concatenate([pos, bad_pos])
+            for k in cols:
+                cols[k] = np.concatenate([cols[k], bad[k]])
+
     order = np.argsort(pos, kind="stable")
     n_total = len(order)
     seq = np.arange(n_total, dtype=np.int64)
@@ -211,7 +242,12 @@ def generate_events(
     if scenario.evolve:
         evolve_split_seq = int(n_total * scenario.evolve_frac)
         owner = np.array(
-            [f"owner{int(r.split('repo')[-1]) % 5}" for r in cols["repo"][order]],
+            [
+                # blank repo = an injected invalid row (scenario.invalid);
+                # it never applies, so its owner can stay null
+                f"owner{int(r.split('repo')[-1]) % 5}" if r else None
+                for r in cols["repo"][order]
+            ],
             dtype=object,
         )
         owner[: evolve_split_seq] = None

@@ -155,6 +155,37 @@ def test_dlq_rollback_and_gc(ray_session, tmp_path):
     assert set(rej["checkpoint_id"]) == {0}
 
 
+def test_dirty_stream_final_state_equals_clean(ray_session, tmp_path):
+    """Generator 'mixed-dirty' = 'mixed' + appended malformed copies.
+    The invalid rows must all land in the DLQ and must NOT perturb the
+    final lake state: same seed clean vs dirty → byte-identical state."""
+    from etl_ray.generator import generate_events, write_event_log
+
+    tmp = str(tmp_path)
+    states = {}
+    for scen in ("mixed", "mixed-dirty"):
+        log = generate_events(n_keys=400, seed=11, scenario=scen)
+        files = write_event_log(log, os.path.join(tmp, scen), n_files=3)
+        eng = ReplayEngine(os.path.join(tmp, f"lake-{scen}"), num_partitions=8)
+        eng.replay(files, window_events=700)
+        df = (
+            eng.final_state(columns=["repo", "path", "commit_seq", "content_sha256"])
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        states[scen] = (eng, df)
+    dirty_eng, dirty_df = states["mixed-dirty"]
+    clean_eng, clean_df = states["mixed"]
+    assert dirty_df.equals(clean_df)
+    n_rej = dirty_eng.rejects().count()
+    assert n_rej > 0
+    assert n_rej == sum(
+        m.metrics.get("invalid", 0) for m in dirty_eng.store.history()
+    )
+    assert clean_eng.rejects().count() == 0
+
+
 def test_dlq_off_and_clean_stream(ray_session, tmp_path):
     tmp = str(tmp_path)
     # clean stream: no rejects entry, no DLQ files staged
