@@ -149,17 +149,33 @@ def _stage_rejects_task(path: str, out_path: str, ckpt_id: int):
     from etl_ray.stages.validate import reject_reasons
 
     _pin_arrow_once()
-    t = _pq.read_table(path)
-    # ragged logs: segments written before an evolution may lack core
-    # columns — null-backfill so classification sees the full envelope
-    for f in EVENT_SCHEMA:
-        if f.name not in t.column_names:
-            t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
-    reason = reject_reasons(t)
+
+    def _backfill(t: pa.Table, cols) -> pa.Table:
+        # ragged logs: segments written before an evolution may lack core
+        # columns — null-backfill so classification sees the full envelope
+        for f in cols:
+            if f.name not in t.column_names:
+                t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+        return t
+
+    # two-phase read: classify on the 4 validity columns ONLY (a tiny
+    # fraction of the file — content dominates), and pay the full-row
+    # read just for files that actually hold invalid rows. A dirty
+    # window re-reads its clean segments almost for free, so the DLQ's
+    # read amplification is bounded by the invalid rows' OWN files, not
+    # the window size.
+    key_fields = [f for f in EVENT_SCHEMA if f.name in
+                  ("repo", "path", "op", "commit_seq")]
+    names = set(_pq.read_schema(path).names)
+    probe = _pq.read_table(
+        path, columns=[f.name for f in key_fields if f.name in names]
+    )
+    reason = reject_reasons(_backfill(probe, key_fields))
     mask = pc.is_valid(reason)
     n_bad = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
     if n_bad == 0:
         return 0, {}
+    t = _backfill(_pq.read_table(path), EVENT_SCHEMA)
     bad_reason = reason.filter(mask)
     out = t.filter(mask).select(EVENT_COLUMNS)
     out = out.append_column("reject_reason", bad_reason)
