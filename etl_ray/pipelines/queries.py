@@ -3729,8 +3729,91 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
+_CHUNK_SIZE = 200
+_CHUNK_STEP = 180  # overlap = SIZE - STEP = 20 chars
+
+
+def chunk_docs(sf_dir: str):
+    """Fixed-size overlapping document chunking — the standard
+    pretraining / retrieval preprocessing step (split long documents
+    into SIZE-char windows advancing STEP chars, trailing overlap
+    keeping context across boundaries). Embarrassingly parallel: one
+    ``map_batches`` explode, no shuffle, output rows carry the chunk
+    sha256 so the oracle hash-gates the chunk CONTENT, not just counts.
+    Per-doc slicing is inherent (strings are row-scalar, like the
+    fingerprint kernels); chunk math is vectorized.
+
+    Reference semantic: trajectory gap-splitting (builder's fixed-window
+    segmentation, etl/trajectory/builder.py:58-70) recast for text."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_chunks": pa.array([], pa.int64()),
+                    "chunk_sha256": pa.array([], pa.string()),
+                }
+            )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(t.column("text"), "").to_pandas().to_numpy(dtype=object)
+        lens = np.fromiter((len(s) for s in txt), dtype=np.int64, count=len(txt))
+        n = np.maximum(
+            1, -((lens - _CHUNK_SIZE) // -_CHUNK_STEP) + 1
+        )  # ceil((len-SIZE)/STEP)+1, min 1
+        ridx = np.repeat(np.arange(len(ids)), n)
+        cid = (
+            np.concatenate([np.arange(k) for k in n])
+            if len(n)
+            else np.array([], dtype=np.int64)
+        )
+        starts = cid * _CHUNK_STEP
+        pieces = [
+            txt[r][s : s + _CHUNK_SIZE] for r, s in zip(ridx, starts)
+        ]
+        from etl_ray.hashing import sha256_hex
+
+        sha = sha256_hex(pa.array(pieces, pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ridx], pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "n_chunks": pa.array(n[ridx], pa.int64()),
+                "chunk_sha256": sha,
+            }
+        )
+
+    out = docs.map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+CHUNK_DOCS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         GREATEST(1, CAST(CEIL((length(COALESCE(text, '')) - {_CHUNK_SIZE})
+                / {_CHUNK_STEP}.0) AS BIGINT) + 1) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT b.doc_id, gs.c AS chunk_id, b.n_chunks,
+         substr(b.text, CAST(gs.c * {_CHUNK_STEP} + 1 AS BIGINT),
+                {_CHUNK_SIZE}) AS piece
+  FROM base b, LATERAL (SELECT UNNEST(range(0, b.n_chunks)) AS c) gs
+)
+SELECT doc_id, chunk_id, n_chunks, sha256(piece) AS chunk_sha256
+FROM ch ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES.update(
     {
+        "chunk_docs": QueryDef(chunk_docs, CHUNK_DOCS_SQL),
         "decontaminate_docs": QueryDef(decontaminate_docs, DECONTAMINATE_SQL),
         "pack_sequences": QueryDef(pack_sequences, PACK_SEQUENCES_SQL),
         "redact_docs": QueryDef(redact_docs, REDACT_DOCS_SQL),
