@@ -106,6 +106,17 @@ def cmd_rejects(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """Point-lookup one key's live row (no Ray session needed — the
+    routing hash locates the single partition file)."""
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    t = ReplayEngine(args.lake).lookup(args.repo, args.path, as_of=args.as_of)
+    for row in t.to_pylist():
+        print(json.dumps(row, default=str))
+    return 0 if t.num_rows else 1
+
+
 def cmd_tail(args) -> int:
     """The change-log TAILER loop (north-star shape): poll the log dir,
     replay whatever new segments appeared (the file-based resume cursor
@@ -270,6 +281,15 @@ def main(argv=None) -> int:
     rj.add_argument("--lake", required=True)
     rj.add_argument("--num-cpus", type=int, default=None)
     rj.set_defaults(fn=cmd_rejects)
+
+    gt = sub.add_parser("get", help="point-lookup one key's live row "
+                                    "(exit 1 when absent/tombstoned)")
+    gt.add_argument("--lake", required=True)
+    gt.add_argument("--repo", required=True)
+    gt.add_argument("--path", required=True)
+    gt.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time-travel checkpoint id")
+    gt.set_defaults(fn=cmd_get)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1082,6 +1082,65 @@ class ReplayEngine:
         self.store.commit(new_m)
         return {"compacted": len(chained), "checkpoint_id": ckpt_id}
 
+    def lookup(
+        self,
+        repo: str,
+        path: str,
+        columns: list[str] | None = None,
+        as_of: int | None = None,
+    ) -> pa.Table:
+        """Point read of one key's live row — the CDC serving path.
+
+        The routing hash IS the index: ``part = hash(repo, path) % P``
+        (hashing.py:partition_ids, the same function the exchange uses),
+        so a lookup touches exactly ONE partition's base file (+ its
+        merge-on-read chain when present) out of P — O(state/P) I/O
+        regardless of lake size, no Dataset scan, no Ray tasks. Returns
+        a 0- or 1-row Arrow table (tombstoned/absent keys → 0 rows).
+        Reference analog: Citus routing a single-key query to one shard
+        (etl/init/sql/50_citus_distribution.sql).
+        """
+        import pyarrow.parquet as _pq
+
+        from etl_ray.hashing import partition_ids
+        from etl_ray.stages.merge import fold_state_chain
+
+        m = self.store.at(as_of) if as_of is not None else self._require_manifest()
+        part = int(
+            partition_ids(
+                pa.array([repo], pa.string()),
+                pa.array([path], pa.string()),
+                m.num_partitions,
+            )[0].as_py()
+        )
+        info = m.partitions.get(str(part))
+        if info is None:
+            from etl_ray.stages.merge import _empty_state
+
+            t = _empty_state()
+            return t.select([c for c in columns if c in t.column_names]) if columns else t
+        key_filter = [("repo", "=", repo), ("path", "=", path)]
+        files = [self.store.abs_path(info["file"])] + [
+            self.store.abs_path(d) for d in info.get("deltas", [])
+        ]
+        tabs = [
+            _pq.read_table(f, filters=key_filter) for f in files
+        ]
+        if len(tabs) > 1:
+            cols, seen = [], set()
+            for tab in tabs:
+                for f in tab.schema:
+                    if f.name not in seen:
+                        seen.add(f.name)
+                        cols.append((f.name, f.type))
+            t = fold_state_chain(tabs, cols)
+        else:
+            t = tabs[0]
+        t = t.filter(pc.invert(pc.fill_null(t.column("deleted"), False)))
+        if columns:
+            t = t.select([c for c in columns if c in t.column_names])
+        return t
+
     def final_state(
         self, columns: list[str] | None = None, as_of: int | None = None
     ) -> rd.Dataset:
