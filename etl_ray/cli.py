@@ -117,6 +117,14 @@ def cmd_get(args) -> int:
     return 0 if t.num_rows else 1
 
 
+def cmd_fsck(args) -> int:
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    out = ReplayEngine(args.lake).fsck(deep=args.deep)
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
 def cmd_tail(args) -> int:
     """The change-log TAILER loop (north-star shape): poll the log dir,
     replay whatever new segments appeared (the file-based resume cursor
@@ -290,6 +298,13 @@ def main(argv=None) -> int:
     gt.add_argument("--as-of", type=int, default=None, dest="as_of",
                     help="time-travel checkpoint id")
     gt.set_defaults(fn=cmd_get)
+
+    fs = sub.add_parser("fsck", help="verify manifest<->storage invariants "
+                                     "(exit 1 on any violation)")
+    fs.add_argument("--lake", required=True)
+    fs.add_argument("--deep", action="store_true",
+                    help="also chain-fold MOR partitions and recount")
+    fs.set_defaults(fn=cmd_fsck)
 
     args = p.parse_args(argv)
     return args.fn(args)

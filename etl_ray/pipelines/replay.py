@@ -1082,6 +1082,85 @@ class ReplayEngine:
         self.store.commit(new_m)
         return {"compacted": len(chained), "checkpoint_id": ckpt_id}
 
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Verify manifest ↔ storage invariants; returns {"ok", "errors",
+        "checked_files"}. Parquet-footer checks only (no data reads)
+        unless ``deep``:
+
+        - every referenced file (partition bases, MOR chains, summaries,
+          DLQ, changefeed) exists on disk;
+        - each flat partition file's footer row count equals the
+          manifest's ``rows + tombstones`` (chained partitions can't be
+          checked from footers alone — chain folding dedups keys — so
+          they're counted under ``deep``);
+        - DLQ / changefeed per-checkpoint ``rows`` match the sum of
+          their files' footer counts;
+        - ``deep``: chained partitions are chain-folded and the live/
+          tombstone split is recomputed and compared.
+
+        Reference analog: the audit_log row-count reconciliation
+        discipline (etl/audit/logger.py:81-103) as an explicit check.
+        """
+        import pyarrow.parquet as _pq
+
+        m = self._require_manifest()
+        errors: list[str] = []
+        checked = 0
+
+        def _exists(rel: str, what: str) -> str | None:
+            nonlocal checked
+            p = self.store.abs_path(rel)
+            checked += 1
+            if not os.path.exists(p):
+                errors.append(f"{what}: missing file {rel}")
+                return None
+            return p
+
+        for part, info in sorted(m.partitions.items(), key=lambda kv: int(kv[0])):
+            p = _exists(info["file"], f"partition {part}")
+            chain = [
+                _exists(d, f"partition {part} chain") for d in info.get("deltas", [])
+            ]
+            want = int(info.get("rows", 0)) + int(info.get("tombstones", 0))
+            if p and not info.get("deltas"):
+                got = _pq.read_metadata(p).num_rows
+                if got != want:
+                    errors.append(
+                        f"partition {part}: footer rows {got} != manifest "
+                        f"rows+tombstones {want}"
+                    )
+            elif p and deep and all(chain):
+                from etl_ray.stages.merge import fold_state_chain
+
+                tabs = [_pq.read_table(f) for f in [p, *chain]]
+                cols, seen = [], set()
+                for tab in tabs:
+                    for f in tab.schema:
+                        if f.name not in seen:
+                            seen.add(f.name)
+                            cols.append((f.name, f.type))
+                folded = fold_state_chain(tabs, cols)
+                if folded.num_rows != want:
+                    errors.append(
+                        f"partition {part}: chain-folded rows "
+                        f"{folded.num_rows} != manifest {want}"
+                    )
+        for name, rel in sorted(m.summaries.items()):
+            _exists(rel, f"summary {name}")
+        for label, d in (("rejects", m.rejects), ("changes", m.changes)):
+            for ckpt, info in sorted(d.items()):
+                got = 0
+                for rel in info.get("files", []):
+                    p = _exists(rel, f"{label} ckpt {ckpt}")
+                    if p:
+                        got += _pq.read_metadata(p).num_rows
+                if got != int(info.get("rows", 0)):
+                    errors.append(
+                        f"{label} ckpt {ckpt}: footer rows {got} != "
+                        f"manifest {info.get('rows', 0)}"
+                    )
+        return {"ok": not errors, "errors": errors, "checked_files": checked}
+
     def lookup(
         self,
         repo: str,
