@@ -117,6 +117,23 @@ def cmd_get(args) -> int:
     return 0 if t.num_rows else 1
 
 
+def cmd_export(args) -> int:
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    out = ReplayEngine(args.lake).export(
+        args.out,
+        partition_cols=args.by.split(",") if args.by else None,
+        as_of=args.as_of,
+    )
+    print(json.dumps(out))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_fsck(args) -> int:
     from etl_ray.pipelines.replay import ReplayEngine
 
@@ -305,6 +322,16 @@ def main(argv=None) -> int:
     fs.add_argument("--deep", action="store_true",
                     help="also chain-fold MOR partitions and recount")
     fs.set_defaults(fn=cmd_fsck)
+
+    ex = sub.add_parser("export", help="bulk-export the live state to a "
+                                       "user-facing parquet dataset")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--by", default=None,
+                    help="comma-separated hive partition columns, e.g. lang")
+    ex.add_argument("--as-of", type=int, default=None, dest="as_of")
+    ex.add_argument("--num-cpus", type=int, default=None)
+    ex.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1082,6 +1082,37 @@ class ReplayEngine:
         self.store.commit(new_m)
         return {"compacted": len(chained), "checkpoint_id": ckpt_id}
 
+    def export(
+        self,
+        out_dir: str,
+        columns: list[str] | None = None,
+        partition_cols: list[str] | None = None,
+        as_of: int | None = None,
+    ) -> dict[str, Any]:
+        """Bulk-export the live state to a user-facing parquet dataset.
+
+        Streams ``final_state`` (pruned read, tombstones dropped) through
+        ``Dataset.write_parquet`` — one file per block, optionally
+        hive-partitioned by ``partition_cols`` (e.g. ["lang"]) so a
+        failed export can be re-run per partition directory and
+        downstream readers prune at the directory level. Never
+        materializes the state on the driver. Reference analog: the bulk
+        sink S9 (etl/insert/bulk_inserter.py) pointed at files instead
+        of a warehouse.
+        """
+        ds = self.final_state(columns=columns, as_of=as_of)
+        if partition_cols:
+            ds.write_parquet(out_dir, partition_cols=list(partition_cols))
+        else:
+            ds.write_parquet(out_dir)
+        files = [
+            os.path.join(dp, f)
+            for dp, _dn, fn in os.walk(out_dir)
+            for f in fn
+            if f.endswith(".parquet")
+        ]
+        return {"out": out_dir, "files": len(files)}
+
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Verify manifest ↔ storage invariants; returns {"ok", "errors",
         "checked_files"}. Parquet-footer checks only (no data reads)

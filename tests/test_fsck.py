@@ -54,6 +54,18 @@ def test_fsck_detects_row_count_drift(lake):
     assert any("footer rows" in e for e in out["errors"])
 
 
+def test_export_roundtrip(lake, tmp_path):
+    out = os.path.join(str(tmp_path), "export")
+    res = lake.export(out, partition_cols=["lang"])
+    assert res["files"] >= 1
+    import ray.data as rd
+
+    got = rd.read_parquet(out).to_pandas()
+    want = lake.final_state().to_pandas()
+    assert len(got) == len(want)
+    assert sorted(got["content_sha256"]) == sorted(want["content_sha256"])
+
+
 def test_fsck_deep_chain_fold(ray_session, tmp_path):
     os.environ.update(
         {"ETL_RAY_DELTA_CHAIN": "1", "ETL_RAY_CHAIN_MAX": "9",
