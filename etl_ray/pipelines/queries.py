@@ -1463,6 +1463,41 @@ ORDER BY checkpoint_id, repo, path
 """
 
 
+def cdc_changefeed_replica(sf_dir: str):
+    """Feed-completeness closure: rebuild the lake's live state FROM THE
+    CHANGE FEED ALONE (no lake read) and gate it against the SAME oracle
+    as the flagship replay. Per key: the change with the highest
+    checkpoint wins; a final 'delete' removes the key. If the feed
+    dropped or misclassified any effective change, this diverges from
+    CDC_REPLAY_DOCS_SQL — so the gate proves the feed is a sufficient
+    CDC output for a downstream replica (the Delta-CDF consumer
+    contract)."""
+    saved = os.environ.get("ETL_RAY_CHANGEFEED")
+    os.environ["ETL_RAY_CHANGEFEED"] = "1"
+    try:
+        eng = _run_doc_replay(sf_dir, variant="-cdf-replica")
+        blocks = [
+            t for t in ray.get(eng.changefeed_read().to_arrow_refs()) if t.num_rows
+        ]
+        df = pa.concat_tables(blocks, promote_options="default").to_pandas()
+        # whole-row winner per key (groupby().last() would skip per-column
+        # NaN and could stitch fields from different checkpoints)
+        last = df.sort_values("checkpoint_id", kind="stable").drop_duplicates(
+            subset=["repo", "path"], keep="last"
+        )
+        live = last[last["change_type"] != "delete"]
+        return (
+            live[["repo", "path", "commit_seq", "lang", "content_sha256"]]
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("ETL_RAY_CHANGEFEED", None)
+        else:
+            os.environ["ETL_RAY_CHANGEFEED"] = saved
+
+
 CDC_REPLAY_DOCS_SQL = """
 WITH fin AS (
   SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
@@ -1530,6 +1565,7 @@ QUERIES: dict[str, QueryDef] = {
     "cdc_replay_docs_mor": QueryDef(cdc_replay_docs_mor, CDC_REPLAY_DOCS_SQL),
     "cdc_rejects": QueryDef(cdc_rejects, CDC_REJECTS_SQL),
     "cdc_changefeed": QueryDef(cdc_changefeed, CDC_CHANGEFEED_SQL),
+    "cdc_changefeed_replica": QueryDef(cdc_changefeed_replica, CDC_REPLAY_DOCS_SQL),
     "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
     "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
     # event-stream operators
