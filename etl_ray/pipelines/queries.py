@@ -1498,6 +1498,54 @@ def cdc_changefeed_replica(sf_dir: str):
             os.environ["ETL_RAY_CHANGEFEED"] = saved
 
 
+def point_lookups(sf_dir: str):
+    """The serving read under the gate: replay the flagship stream, then
+    fetch a deterministic key sample (doc_id % 37 == 0) through
+    ``ReplayEngine.lookup`` — the hash-routed single-partition point
+    read — and hash-compare the rows against the flagship oracle
+    filtered to the same keys. Deleted keys (doc_id % 11 == 0) exercise
+    the 0-row tombstone path; the oracle's WHERE drops them identically."""
+    eng = _run_doc_replay(sf_dir, variant="-ptlk")
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    ids = sorted(
+        i
+        for t in ray.get(docs.to_arrow_refs())
+        if t.num_rows
+        for i in t.column("doc_id").to_pylist()
+        if i % 37 == 0
+    )
+    rows = []
+    for d in ids:
+        t = eng.lookup(
+            f"repo{d % 7}",
+            f"docs/{d}.txt",
+            columns=["repo", "path", "commit_seq", "lang", "content_sha256"],
+        )
+        rows.extend(t.to_pylist())
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["repo", "path", "commit_seq", "lang", "content_sha256"],
+        )
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+POINT_LOOKUPS_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 37 = 0
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256
+FROM fin ORDER BY repo, path
+"""
+
+
 CDC_REPLAY_DOCS_SQL = """
 WITH fin AS (
   SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
@@ -1566,6 +1614,7 @@ QUERIES: dict[str, QueryDef] = {
     "cdc_rejects": QueryDef(cdc_rejects, CDC_REJECTS_SQL),
     "cdc_changefeed": QueryDef(cdc_changefeed, CDC_CHANGEFEED_SQL),
     "cdc_changefeed_replica": QueryDef(cdc_changefeed_replica, CDC_REPLAY_DOCS_SQL),
+    "point_lookups": QueryDef(point_lookups, POINT_LOOKUPS_SQL),
     "cdc_docs_summary_repo": QueryDef(cdc_docs_summary_repo, CDC_DOCS_SUMMARY_REPO_SQL),
     "cdc_docs_summary_lang": QueryDef(cdc_docs_summary_lang, CDC_DOCS_SUMMARY_LANG_SQL),
     # event-stream operators
