@@ -129,7 +129,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "heatmap_tiles", "join_order_lineitem", "dedup_minhash_pairs",
         "value_quantiles", "dedup_clusters", "anti_join_customers",
         "zorder_cells", "tfidf_top_terms", "decontaminate_docs",
-        "pack_sequences", "inverted_index",
+        "pack_sequences", "inverted_index", "chunk_docs", "cdc_changefeed",
+        "cdc_rejects",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
