@@ -4248,3 +4248,97 @@ FROM fin
 QUERIES.update(
     {"cdc_time_travel": QueryDef(cdc_time_travel, CDC_TIME_TRAVEL_SQL)}
 )
+
+
+# --- interval (range) join: events ⋈ overlapping time windows ----------------
+
+def range_join_windows(sf_dir: str):
+    """Non-equi range join (stages/interval.py): 96 OVERLAPPING time
+    windows (each 3 steps wide, advancing 1 step — every event matches
+    ≤3 windows) aggregated without ever materializing the pair
+    explosion. Counts + exact milli-unit value sums per window; the
+    temporal-containment analog of the reference's benchmark window
+    probes (benchmarks/runners/cell_benchmark_runner.py:69-93)."""
+    from etl_ray.stages.interval import interval_agg_join
+
+    K = 96
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def block_minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        tsu = t.column("ts").cast(pa.int64())
+        return pa.table({"lo": [pc.min(tsu).as_py()],
+                         "hi": [pc.max(tsu).as_py()]})
+
+    mm = ev.map_batches(block_minmax, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all()
+    tmin = min(r["lo"] for r in mm)
+    tmax = max(r["hi"] for r in mm)
+    step = (tmax - tmin) // K + 1
+
+    k = np.arange(K, dtype=np.int64)
+    windows = rd.from_arrow(pa.table({
+        "window_id": k,
+        "ws": tmin + k * step,
+        "we": tmin + k * step + 3 * step,
+    }))
+
+    def to_points(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"tsu": pa.array([], pa.int64()),
+                             "vm": pa.array([], pa.int64())})
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0, 0
+        ).astype(np.int64)
+        return pa.table({"tsu": t.column("ts").cast(pa.int64()),
+                         "vm": pa.array(vm)})
+
+    points = ev.map_batches(to_points, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    res = interval_agg_join(
+        points, windows,
+        point_col="tsu", start_col="ws", end_col="we",
+        id_cols=["window_id"], sum_cols=["vm"],
+        width=int(step), origin=int(tmin),
+        n_buckets=_buckets_for(sf_dir, "events"),
+        schemas=(
+            pa.schema([("tsu", pa.int64()), ("vm", pa.int64())]),
+            pa.schema([("window_id", pa.int64()), ("ws", pa.int64()),
+                       ("we", pa.int64())]),
+        ),
+    )
+    res = res.rename(columns={"n_points": "n_events",
+                              "sum_vm": "sum_value_milli"})
+    return res.sort_values("window_id").reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = """
+WITH b AS (
+  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS tmin,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS tmax
+  FROM events
+), p AS (
+  SELECT tmin, (tmax - tmin) // 96 + 1 AS step FROM b
+), w AS (
+  SELECT CAST(k AS BIGINT) AS window_id,
+         tmin + k * step AS ws,
+         tmin + k * step + 3 * step AS we
+  FROM p, range(96) t(k)
+), e AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vm
+  FROM events
+)
+SELECT window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vm) AS BIGINT) AS sum_value_milli
+FROM w JOIN e ON e.tsu >= w.ws AND e.tsu < w.we
+GROUP BY window_id ORDER BY window_id
+"""
+
+
+QUERIES.update(
+    {"range_join_windows": QueryDef(range_join_windows, RANGE_JOIN_SQL)}
+)
