@@ -4342,3 +4342,123 @@ GROUP BY window_id ORDER BY window_id
 QUERIES.update(
     {"range_join_windows": QueryDef(range_join_windows, RANGE_JOIN_SQL)}
 )
+
+
+# --- composed multi-way join (Q3-style shipping priority) ---------------------
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style 3-table pipeline COMPOSING the engine's join
+    operators: a SEMI shuffle join prunes orders to one market segment,
+    lineitem is pre-aggregated per order BEFORE its exchange (combiner
+    discipline — the big side ships ≤1 partial row per (block, order)),
+    then one inner shuffle join + grouped-sum + rounded top-10. The
+    reference's benchmark-join shape (SURVEY J10) expressed through
+    stages/joins.py; rounding happens BEFORE ranking on both sides."""
+    from etl_ray.stages.joins import shuffle_join
+
+    cutoff = pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))
+    nb = _buckets_for(sf_dir, "orders", "lineitem")
+
+    cust_keys = _read(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.equal(t.column("c_mktsegment"), "BUILDING")
+        ).column("c_custkey")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    o_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+    ])
+    building = shuffle_join(
+        ords, cust_keys, on="o_custkey", how="semi",
+        schemas=(o_schema, pa.schema([("o_custkey", pa.int64())])),
+        n_buckets=nb,
+    ).map_batches(
+        lambda t: t.drop_columns(["o_custkey"]) if t.column_names else t,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
+        if t.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        df = pd.DataFrame({
+            "o_orderkey": t.column("l_orderkey").to_numpy(),
+            "rev": t.column("l_extendedprice").to_numpy()
+            * (1.0 - t.column("l_discount").to_numpy()),
+        })
+        g = df.groupby("o_orderkey", sort=False, as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"]).map_batches(
+        rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = shuffle_join(
+        building.map_batches(
+            lambda t: t if t.column_names else pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        line, on="o_orderkey",
+        schemas=(
+            pa.schema([("o_orderkey", pa.int64()),
+                       ("o_orderdate", pa.timestamp("us")),
+                       ("o_orderpriority", pa.string())]),
+            pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+        ),
+        n_buckets=nb,
+    )
+
+    keys = ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_orderdate": pa.array([], pa.timestamp("us")),
+                      "o_orderpriority": pa.array([], pa.string()),
+                      "rev": pa.array([], pa.float64())})
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        g = (t.select([*keys, "rev"]).to_pandas()
+             .groupby(keys, sort=False, as_index=False)["rev"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    res = F_agg.grouped_sum(
+        joined.map_batches(sum_partial, batch_format="pyarrow"), keys, empty)
+    res["revenue"] = round_half_away(res["rev"], 2)
+    res = res.drop(columns=["rev"]).sort_values(
+        ["revenue", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True]).head(10)
+    return res[["o_orderkey", "revenue", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+QUERIES.update(
+    {"q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL)}
+)
