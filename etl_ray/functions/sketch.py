@@ -356,3 +356,90 @@ def bloom_contains(bitmap: np.ndarray, keys: np.ndarray) -> np.ndarray:
     """Vectorized membership mask (true ⇒ maybe-member; false ⇒ not)."""
     h1, h2 = _bloom_positions(keys, len(bitmap))
     return bitmap[h1] & bitmap[h2]
+
+
+# --- count-min sketch (heavy-hitter estimation) -------------------------------
+
+def _cm_positions(keys: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row ``row``'s counter position per key — Knuth multiplicative with
+    a per-row odd multiplier (2654435761 + 2r), mod 2^32 then mod width.
+    Deliberately SQL-replicable (HUGEINT arithmetic, see cm_sql)."""
+    mult = _KNUTH + np.uint64(2 * row)
+    with np.errstate(over="ignore"):
+        return (((keys.astype(np.uint64) * mult) % _MOD32)
+                % np.uint64(width)).astype(np.int64)
+
+
+def cm_build(ds: rd.Dataset, key_col: str, depth: int = 4,
+             width: int = 1024) -> np.ndarray:
+    """Count-min sketch over a non-negative integer key column.
+
+    Per-batch partial = bincounts of each row's positions, emitted as
+    (cell = row*width + pos, cnt) pairs — ≤ depth×width rows per batch
+    regardless of batch size. The fold is a grouped SUM (associative,
+    any exchange tree); the driver receives ONE depth×width counter
+    matrix (32 KB at the defaults), never keys. Point estimate =
+    column-min across rows (classic Cormode-Muthukrishnan upper bound).
+    """
+    from etl_ray.stages.agg import grouped_sum
+
+    empty = pa.table({"cell": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        cells, counts = [], []
+        for r in range(depth):
+            pos = _cm_positions(k, r, width)
+            c = np.bincount(pos, minlength=width)
+            nz = np.flatnonzero(c)
+            cells.append(nz + r * width)
+            counts.append(c[nz])
+        return pa.table({"cell": pa.array(np.concatenate(cells)),
+                         "cnt": pa.array(np.concatenate(counts).astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # domain-bounded (depth×width cells): a few fold buckets suffice
+    merged = grouped_sum(parts, ["cell"], empty, n_buckets=8)
+    sk = np.zeros(depth * width, dtype=np.int64)
+    if len(merged):
+        sk[merged["cell"].to_numpy()] = merged["cnt"].to_numpy()
+    return sk.reshape(depth, width)
+
+
+def cm_estimate(sketch: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-estimate counts for ``keys``: min across sketch rows."""
+    depth, width = sketch.shape
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        est = np.minimum(est, sketch[r, _cm_positions(keys, r, width)])
+    return est
+
+
+def cm_sql(table: str, key_col: str, probe_filter: str,
+           depth: int = 4, width: int = 1024) -> str:
+    """DuckDB replica of cm_build + cm_estimate for probes selected by
+    ``probe_filter`` (a WHERE fragment over ``table``)."""
+    return f"""
+WITH cells AS (
+  SELECT t.r,
+         CAST((CAST({key_col} AS HUGEINT) * (2654435761 + 2 * t.r))
+              % 4294967296 AS BIGINT) % {width} AS pos,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM {table}, range({depth}) t(r)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT {key_col} FROM {table} WHERE {probe_filter}
+)
+SELECT p.{key_col},
+       CAST(min(c.cnt) AS BIGINT) AS cm_est
+FROM probes p
+CROSS JOIN range({depth}) t(r)
+JOIN cells c
+  ON c.r = t.r
+ AND c.pos = CAST((CAST(p.{key_col} AS HUGEINT) * (2654435761 + 2 * t.r))
+                  % 4294967296 AS BIGINT) % {width}
+GROUP BY 1 ORDER BY 1
+"""

@@ -4462,3 +4462,44 @@ LIMIT 10
 QUERIES.update(
     {"q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL)}
 )
+
+
+# --- count-min sketch heavy-hitter estimates ----------------------------------
+
+def cm_user_counts(sf_dir: str):
+    """Count-min sketch (functions/sketch.py:cm_build) over event
+    user_ids; point estimates for a deterministic probe set (user_id
+    % 7 == 0). The sketch itself is hash-gated: the oracle rebuilds the
+    identical 4×1024 counter matrix constant-for-constant and replays
+    the min-across-rows estimator. Driver traffic = one 32 KB matrix +
+    the probe ids (bounded by the user domain, never event rows)."""
+    from etl_ray.functions.sketch import cm_build, cm_estimate
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    sk = cm_build(ev, "user_id", depth=4, width=1024)
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64())})
+        u = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u[u % 7 == 0])})
+
+    probe_blocks = ev.map_batches(
+        probe_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    probes = np.unique(np.array([r["user_id"] for r in probe_blocks],
+                                dtype=np.int64))
+    return pd.DataFrame({
+        "user_id": probes,
+        "cm_est": cm_estimate(sk, probes),
+    }).sort_values("user_id").reset_index(drop=True)
+
+
+def _cm_sql() -> str:
+    from etl_ray.functions.sketch import cm_sql
+
+    return cm_sql("events", "user_id", "user_id % 7 = 0",
+                  depth=4, width=1024)
+
+
+QUERIES.update({"cm_user_counts": QueryDef(cm_user_counts, _cm_sql())})

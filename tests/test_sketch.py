@@ -44,3 +44,23 @@ def test_histogram_quantiles_match_numpy_disc(ray_session):
     for _, row in out.iterrows():
         rank = int(np.ceil(row["q"] * len(mv)))
         assert int(row["mv_q"]) == int(mv[rank - 1]), row["q"]
+
+
+def test_cm_sketch_upper_bound_and_exactness(ray_session):
+    """CM estimate is an upper bound on the true count, exact when the
+    key's cells are collision-free (guaranteed here: domain ≪ width)."""
+    from etl_ray.functions.sketch import cm_build, cm_estimate
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 40, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
+    sk = cm_build(ds, "k", depth=4, width=2048)
+    probes = np.arange(40, dtype=np.int64)
+    est = cm_estimate(sk, probes)
+    true = np.bincount(keys, minlength=40)
+    assert (est >= true).all()
+    # 40 keys into 4 independent rows of 2048 cells: min across rows is
+    # exact unless a key collides in EVERY row (p ≈ (40/2048)^4)
+    assert (est == true).all()
+    # total mass per row equals the event count
+    assert (sk.sum(axis=1) == len(keys)).all()
