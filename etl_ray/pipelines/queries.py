@@ -4503,3 +4503,33 @@ def _cm_sql() -> str:
 
 
 QUERIES.update({"cm_user_counts": QueryDef(cm_user_counts, _cm_sql())})
+
+
+# --- pivot (long → wide): per-user event-type count matrix --------------------
+
+def pivot_user_events(sf_dir: str):
+    """Pivot events long → wide (stages/agg.py:pivot_counts): one row
+    per user, one count column per event type — the reference's
+    per-type rollup family as columns. Per-batch crosstab combiner →
+    ONE grouped-sum exchange."""
+    from etl_ray.stages.agg import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    res = pivot_counts(ev, "user_id", "event_type", types)
+    return res.sort_values("user_id").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES.update({"pivot_user_events": QueryDef(pivot_user_events, PIVOT_SQL)})

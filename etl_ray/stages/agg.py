@@ -118,3 +118,52 @@ def grouped_sum(
         partials, keys, merge, n_buckets=n_buckets, empty=empty
     )
     return to_pandas_typed(merged, empty)
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+    key_type: pa.DataType | None = None,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Pivot (long → wide): one row per key, one ``n_<value>`` count
+    column per pivot value — the reference's per-type rollup family
+    (etl/rollup/apply_rollups.py:59-107, one aggregate per type) turned
+    into columns. ``values`` is the explicit (small, caller-known)
+    column set; rows with other pivot values are ignored.
+
+    Scale shape: per-batch combiner shrinks every block to ≤ distinct
+    keys × 1 wide row (vectorized crosstab via groupby-size unstack);
+    ONE grouped-sum exchange merges the partials. Counts only — pivot
+    sums compose the same way via a value column per cell.
+    """
+    kt = key_type or pa.int64()
+    out_cols = [f"n_{v}" for v in values]
+    empty = pa.table(
+        {key_col: pa.array([], kt),
+         **{c: pa.array([], pa.int64()) for c in out_cols}}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        df = t.select([key_col, pivot_col]).to_pandas()
+        df = df[df[pivot_col].isin(values)]
+        if not len(df):
+            return empty
+        wide = (
+            df.groupby([key_col, pivot_col], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=values, fill_value=0)
+        )
+        wide.columns = out_cols
+        wide = wide.reset_index()
+        for c in out_cols:
+            wide[c] = wide[c].astype("int64")
+        return pa.Table.from_pandas(wide, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum(parts, [key_col], empty, n_buckets=n_buckets or 8)

@@ -84,3 +84,33 @@ def test_bucketed_groups_multi_colocates_full_key_tuple(ray_session):
     ).to_pandas()
     # every row accounted for, regardless of how tuples spread buckets
     assert out["n"].sum() == 8
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, 800).astype(np.int64),
+        "t": rng.choice(["a", "b", "c"], 800),
+    })
+    from etl_ray.stages.agg import pivot_counts
+
+    got = (
+        pivot_counts(rd.from_pandas(df).repartition(5), "k", "t", ["a", "b", "c"])
+        .sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        pd.crosstab(df["k"], df["t"]).reindex(columns=["a", "b", "c"], fill_value=0)
+    )
+    want.columns = ["n_a", "n_b", "n_c"]
+    want = want.reset_index().astype("int64").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pivot_counts_ignores_unlisted_values(ray_session):
+    df = pd.DataFrame({"k": np.array([1, 1, 2], dtype=np.int64),
+                       "t": ["a", "zz", "a"]})
+    from etl_ray.stages.agg import pivot_counts
+
+    got = pivot_counts(rd.from_pandas(df), "k", "t", ["a"]).sort_values(
+        "k").reset_index(drop=True)
+    assert got["n_a"].tolist() == [1, 1]
