@@ -30,6 +30,7 @@ sketches.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -442,4 +443,90 @@ JOIN cells c
  AND c.pos = CAST((CAST(p.{key_col} AS HUGEINT) * (2654435761 + 2 * t.r))
                   % 4294967296 AS BIGINT) % {width}
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def grouped_kmv_distinct(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    k: int = 64,
+    key_type: pa.DataType | None = None,
+    n_buckets: int | None = None,
+):
+    """Per-key KMV distinct-count: one (k_used, kth_min, est_distinct)
+    row per group key — the grouped composition of :func:`kmv_distinct`.
+
+    Per-batch partial = each key's k smallest distinct value hashes
+    (≤ keys_in_batch × k rows); ONE key exchange; per-partition fold =
+    one lexsort + duplicate-drop + per-key head(k). Associative and
+    order-free, so any exchange tree merges partials correctly.
+    """
+    from etl_ray.stages.keyed import bucketed_groups
+
+    kt = key_type or pa.string()
+    empty_part = pa.table({key_col: pa.array([], kt),
+                           "hv": pa.array([], pa.int64())})
+
+    def _kmin(df):
+        df = df.drop_duplicates([key_col, "hv"]).sort_values(
+            [key_col, "hv"], kind="stable")
+        return df.groupby(key_col, sort=False).head(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty_part
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: t.column(key_col).to_pandas(),
+            "hv": _kmv_hashes(v).astype(np.int64),
+        })
+        return pa.Table.from_pandas(_kmin(df), preserve_index=False)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = _kmin(t.to_pandas())
+        g = df.groupby(key_col, sort=False)["hv"].agg(["size", "max"])
+        out = g.reset_index().rename(columns={"size": "k_used",
+                                              "max": "kth_min"})
+        out["k_used"] = out["k_used"].astype("int64")
+        out["kth_min"] = out["kth_min"].astype("int64")
+        est = np.where(
+            out["k_used"] < k,
+            out["k_used"].astype(float),
+            (k - 1) * 4294967296.0 / out["kth_min"].to_numpy(),
+        )
+        out["est_distinct"] = round_half_away(est, 6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = bucketed_groups(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_col, fold, n_buckets=n_buckets or 8,
+    )
+    from etl_ray.stages.keyed import to_pandas_typed
+
+    proto = fold(empty_part)
+    return to_pandas_typed(res, proto)
+
+
+def grouped_kmv_sql(table: str, key_col: str, val_col: str, k: int = 64) -> str:
+    """DuckDB replica of :func:`grouped_kmv_distinct`."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {key_col},
+         CAST((CAST({val_col} AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS hv
+  FROM {table}
+), r AS (
+  SELECT {key_col}, hv,
+         ROW_NUMBER() OVER (PARTITION BY {key_col} ORDER BY hv) AS rn
+  FROM h
+), kmin AS (
+  SELECT {key_col}, hv FROM r WHERE rn <= {k}
+)
+SELECT {key_col},
+       CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(hv) AS BIGINT) AS kth_min,
+       round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE ({k} - 1) * 4294967296.0 / max(hv) END, 6)
+         AS est_distinct
+FROM kmin GROUP BY {key_col} ORDER BY {key_col}
 """

@@ -4533,3 +4533,28 @@ GROUP BY user_id ORDER BY user_id
 
 
 QUERIES.update({"pivot_user_events": QueryDef(pivot_user_events, PIVOT_SQL)})
+
+
+# --- grouped KMV: distinct users per event type --------------------------------
+
+def kmv_distinct_by_type(sf_dir: str):
+    """Per-key KMV distinct-count (functions/sketch.py:
+    grouped_kmv_distinct): distinct users per event type, the sketch
+    itself hash-gated — the oracle rebuilds each group's k-min set
+    constant-for-constant and replays the estimator."""
+    from etl_ray.functions.sketch import grouped_kmv_distinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    res = grouped_kmv_distinct(ev, "event_type", "user_id", k=64)
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
+def _grouped_kmv_sql() -> str:
+    from etl_ray.functions.sketch import grouped_kmv_sql
+
+    return grouped_kmv_sql("events", "event_type", "user_id", k=64)
+
+
+QUERIES.update(
+    {"kmv_distinct_by_type": QueryDef(kmv_distinct_by_type, _grouped_kmv_sql())}
+)

@@ -64,3 +64,22 @@ def test_cm_sketch_upper_bound_and_exactness(ray_session):
     assert (est == true).all()
     # total mass per row equals the event count
     assert (sk.sum(axis=1) == len(keys)).all()
+
+
+def test_grouped_kmv_exact_below_k(ray_session):
+    """Groups with < k distinct values report exact counts."""
+    import pandas as pd
+
+    from etl_ray.functions.sketch import grouped_kmv_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 4000),
+        "v": rng.integers(0, 30, 4000).astype(np.int64),
+    })
+    got = grouped_kmv_distinct(
+        rd.from_pandas(df).repartition(5), "g", "v", k=64
+    ).sort_values("g").reset_index(drop=True)
+    want = df.groupby("g")["v"].nunique()
+    assert got["k_used"].tolist() == [want["x"], want["y"]]
+    assert got["est_distinct"].tolist() == [float(want["x"]), float(want["y"])]
