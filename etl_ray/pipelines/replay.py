@@ -97,7 +97,7 @@ def _sum_counts(tables: list[pa.Table]) -> pa.Table:
 from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
 from etl_ray.pipelines import rollups
-from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA
+from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA, widen_type
 
 #: Core event columns the engine owns; everything else is evolved payload.
 _CORE = set(EVENT_COLUMNS)
@@ -716,11 +716,21 @@ class ReplayEngine:
         ckpt_id = prior.checkpoint_id + 1
 
         # evolved payload columns = anything beyond the core event envelope,
-        # remembered across windows in the manifest (additive evolution)
+        # remembered across windows in the manifest (additive evolution);
+        # a known column reappearing with a different numeric type WIDENS
+        # via the lossless lattice (schema.py:widen_type) — old partition
+        # files keep their narrow type on disk and cast up at read
         payload_types = dict(prior.payload_types)
         for f in schema:
-            if f.name not in _CORE and f.name not in payload_types:
+            if f.name in _CORE:
+                continue
+            prev = payload_types.get(f.name)
+            if prev is None:
                 payload_types[f.name] = str(f.type)
+            else:
+                prev_t = pa.type_for_alias(prev)
+                if not prev_t.equals(f.type):
+                    payload_types[f.name] = str(widen_type(prev_t, f.type))
 
         staging = self.store.staging_dir(ckpt_id)
         prior_files = {

@@ -88,3 +88,41 @@ def state_schema(extra_payload: list[tuple[str, pa.DataType]] | None = None) -> 
     if extra_payload:
         fields.extend(extra_payload)
     return pa.schema(fields)
+
+
+def widen_type(old: pa.DataType, new: pa.DataType) -> pa.DataType:
+    """Widening-only schema evolution for an evolved payload column that
+    reappears with a DIFFERENT numeric type: pick the narrowest type
+    both cast to losslessly (int8→…→int64 within a signedness, mixed
+    sign → the signed type one width up, any int↔float mix or
+    float32/float64 mix → float64). Everything else — string↔numeric,
+    nested, shrinks the lattice can't express — raises: a loud refusal
+    beats silently truncating committed lake data. Old partition files
+    keep their narrow type on disk; reads cast UP via the state-schema
+    alignment (stages/merge.py:_align_columns), so no rewrite happens.
+    """
+    if old.equals(new):
+        return old
+    ints = {pa.types.is_integer(t) for t in (old, new)}
+    floats = {pa.types.is_floating(t) for t in (old, new)}
+    if ints == {True}:
+        signed = any(pa.types.is_signed_integer(t) for t in (old, new))
+        unsigned = any(pa.types.is_unsigned_integer(t) for t in (old, new))
+        bits = max(old.bit_width, new.bit_width)
+        if signed and unsigned:
+            bits *= 2  # an unsigned needs one extra bit in signed form
+        if bits > 64:
+            raise ValueError(f"cannot widen {old} + {new} losslessly")
+        table = (
+            {8: pa.int8(), 16: pa.int16(), 32: pa.int32(), 64: pa.int64()}
+            if signed
+            else {8: pa.uint8(), 16: pa.uint16(), 32: pa.uint32(),
+                  64: pa.uint64()}
+        )
+        return table[bits]
+    if floats == {True} or (True in ints and True in floats):
+        return pa.float64()
+    raise ValueError(
+        f"incompatible payload evolution: {old} -> {new} (only numeric "
+        "widening is supported; rewrite the column under a new name)"
+    )

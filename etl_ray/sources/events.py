@@ -46,9 +46,26 @@ def list_segments(events_path: str) -> list[str]:
 
 
 def unified_schema(files: list[str]) -> pa.Schema:
-    """Unify footer schemas across segments (additive schema evolution)."""
+    """Unify footer schemas across segments: additive evolution (new
+    columns appear nullable) plus numeric TYPE WIDENING when a payload
+    column reappears wider (schema.py:widen_type lattice — Arrow's
+    ``unify_schemas`` refuses int32 vs int64, so conflicting fields are
+    widened first and unification runs on the rewritten footers)."""
+    from etl_ray.schema import widen_type
+
     schemas = [pq.read_schema(f) for f in files]
-    return pa.unify_schemas(schemas, promote_options="default")
+    types: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            prev = types.get(f.name)
+            types[f.name] = f.type if prev is None else (
+                prev if prev.equals(f.type) else widen_type(prev, f.type)
+            )
+    widened = [
+        pa.schema([pa.field(f.name, types[f.name]) for f in s])
+        for s in schemas
+    ]
+    return pa.unify_schemas(widened, promote_options="default")
 
 
 def plan_windows(files: list[str], window_events: int) -> list[Window]:
