@@ -4558,3 +4558,58 @@ def _grouped_kmv_sql() -> str:
 QUERIES.update(
     {"kmv_distinct_by_type": QueryDef(kmv_distinct_by_type, _grouped_kmv_sql())}
 )
+
+
+# ============================ type-widening replay (driver-gated)
+
+
+def cdc_replay_docs_widened(sf_dir: str):
+    """The flagship replay under TYPE-WIDENING schema evolution,
+    driver-gated: every log segment carries ``meta_rev``, but the head
+    segments (window 0) write it as int32 while the tail segments
+    (window 1) re-declare it int64 with values above 2^32. The engine
+    must widen the recorded payload type across checkpoint windows
+    (schema.py:widen_type), cast the committed window-0 partition files
+    up at read, and keep LWW semantics intact. The oracle recomputes
+    the winner's meta_rev — wide for winners written by the tail
+    segments, narrow (cast up) for head-segment winners."""
+    def add_meta_rev(part: pa.Table, i: int) -> pa.Table:
+        mr = part.column("commit_seq").to_numpy(zero_copy_only=False) % 10
+        if i < 2:
+            return part.append_column("meta_rev", pa.array(mr.astype(np.int32)))
+        return part.append_column(
+            "meta_rev", pa.array(mr.astype(np.int64) + (1 << 40))
+        )
+
+    eng = _run_doc_replay(sf_dir, variant="-wide", transform_part=add_meta_rev)
+    assert eng.store.current().payload_types["meta_rev"] == "int64"
+    return eng.final_state(
+        columns=["repo", "path", "commit_seq", "lang", "content_sha256",
+                 "meta_rev"]
+    ).to_pandas()
+
+
+CDC_REPLAY_WIDENED_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v' || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256,
+       CAST((commit_seq % 10)
+            + CASE WHEN commit_seq % 4 >= 2 THEN 1099511627776 ELSE 0 END
+            AS BIGINT) AS meta_rev
+FROM fin
+"""
+
+
+QUERIES.update(
+    {
+        "cdc_replay_docs_widened": QueryDef(
+            cdc_replay_docs_widened, CDC_REPLAY_WIDENED_SQL
+        )
+    }
+)
