@@ -4613,3 +4613,43 @@ QUERIES.update(
         )
     }
 )
+
+
+# ============================ column profiler (data-quality pass)
+
+
+def profile_documents(sf_dir: str):
+    """Single-pass column profiler (functions/profile.py): per string
+    column of documents, row/null/empty counts + byte-length extrema,
+    sum and rounded mean. Pure combiner — every block shrinks to one
+    partial row per column, no shuffle."""
+    from etl_ray.functions.profile import profile_columns
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "source"])
+    res = profile_columns(docs, ["text", "lang", "source"])
+    res["avg_len"] = round_half_away(res["avg_len"], 4)
+    return res.sort_values("column").reset_index(drop=True)
+
+
+def _profile_sql() -> str:
+    per_col = """
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(coalesce(count(*) FILTER ({c} = ''), 0) AS BIGINT) AS n_empty,
+       CAST(coalesce(min(strlen({c})), 0) AS BIGINT) AS min_len,
+       CAST(coalesce(max(strlen({c})), 0) AS BIGINT) AS max_len,
+       CAST(coalesce(sum(strlen({c})), 0) AS BIGINT) AS sum_len,
+       round(CASE WHEN count({c}) > 0
+                  THEN CAST(sum(strlen({c})) AS DOUBLE) / count({c})
+                  ELSE 0.0 END, 4) AS avg_len
+FROM documents
+"""
+    return (" UNION ALL ".join(per_col.format(c=c)
+                               for c in ("text", "lang", "source"))
+            + ' ORDER BY "column"')
+
+
+QUERIES.update(
+    {"profile_documents": QueryDef(profile_documents, _profile_sql())}
+)
