@@ -4653,3 +4653,109 @@ FROM documents
 QUERIES.update(
     {"profile_documents": QueryDef(profile_documents, _profile_sql())}
 )
+
+
+# ============================ windowed analytics (running / rolling)
+
+
+def running_total(sf_dir: str):
+    """Per-key cumulative sum — SUM() OVER (PARTITION BY user ORDER BY
+    ts, id) as ONE bucketed exchange + a vectorized per-partition pass
+    (lexsort + grouped cumsum; keyed.py discipline, no per-key
+    dispatch). Milli-unit int64 arithmetic so the running sum is exact
+    and hash-stable at any partition count."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "user_id": pa.array([], pa.int64()),
+                             "vm": pa.array([], pa.int64())})
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0, 0
+        ).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "user_id": t.column("user_id"),
+                         "vm": pa.array(vm)})
+
+    def cumsum_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="stable")
+        df["running_milli"] = df.groupby("user_id", sort=False)["vm"].cumsum()
+        df["running_milli"] = df["running_milli"].astype("int64")
+        return pa.Table.from_pandas(
+            df[["user_id", "event_id", "running_milli"]], preserve_index=False)
+
+    res = bucketed_groups(
+        ev.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", cumsum_partition,
+        n_buckets=_buckets_for(sf_dir, "events"),
+    ).to_pandas()
+    return res.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 1000, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS running_milli
+FROM events ORDER BY user_id, event_id
+"""
+
+
+def rolling_user_counts(sf_dir: str):
+    """Per-key time-RANGE rolling window — COUNT(*) OVER (PARTITION BY
+    user ORDER BY ts RANGE 1 HOUR PRECEDING) via one bucketed exchange
+    + a per-partition two-pointer: per user, events are time-sorted and
+    each row's window start is one searchsorted lookup; no per-key
+    dispatch, no pair explosion."""
+    hour_us = 3_600_000_000
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def rolling_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="stable")
+        u = df["user_id"].to_numpy()
+        # normalize to µs regardless of the source resolution (a ns
+        # timestamp column viewed as int64 would shrink the window 1000×)
+        tsu = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.append(starts[1:], len(u))
+        out = np.empty(len(u), dtype=np.int64)
+        for s, e in zip(starts, ends):  # per-USER-RUN slice, vectorized inside
+            w = tsu[s:e]
+            lo = np.searchsorted(w, w - hour_us, side="left")
+            # rows tie-sorted by id within equal ts: RANGE semantics count
+            # ALL rows with ts <= current ts in-window, including later ids
+            hi = np.searchsorted(w, w, side="right")
+            out[s:e] = hi - lo
+        df["n_last_hour"] = out
+        return pa.Table.from_pandas(
+            df[["user_id", "event_id", "n_last_hour"]], preserve_index=False)
+
+    res = bucketed_groups(
+        ev, "user_id", rolling_partition,
+        n_buckets=_buckets_for(sf_dir, "events"),
+    ).to_pandas()
+    return res.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+         AS n_last_hour
+FROM events ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update(
+    {
+        "running_total": QueryDef(running_total, RUNNING_TOTAL_SQL),
+        "rolling_user_counts": QueryDef(rolling_user_counts, ROLLING_SQL),
+    }
+)

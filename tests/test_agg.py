@@ -114,3 +114,32 @@ def test_pivot_counts_ignores_unlisted_values(ray_session):
     got = pivot_counts(rd.from_pandas(df), "k", "t", ["a"]).sort_values(
         "k").reset_index(drop=True)
     assert got["n_a"].tolist() == [1, 1]
+
+
+def test_rolling_range_counts_tie_peers(ray_session, tmp_path):
+    """RANGE window semantics: rows with EQUAL ts are peers — each
+    counts all of them, including later event_ids."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import rolling_user_counts
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:30:00",
+        "2024-01-01 00:30:00",  # tie with the previous row
+        "2024-01-01 02:00:00",
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.zeros(4, dtype=np.int64),
+        "event_type": ["view"] * 4,
+        "value": np.ones(4),
+        "props": ["{}"] * 4,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(sf / "events.parquet"))
+    got = rolling_user_counts(str(sf))
+    # row0: itself. rows 1+2: row0 + both peers = 3 EACH. row3: itself.
+    assert got["n_last_hour"].tolist() == [1, 3, 3, 1]
