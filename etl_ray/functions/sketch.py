@@ -530,3 +530,147 @@ SELECT {key_col},
          AS est_distinct
 FROM kmin GROUP BY {key_col} ORDER BY {key_col}
 """
+
+
+# --- HyperLogLog distinct-count ----------------------------------------------
+
+_HLL_P = 9                      # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 32 - _HLL_P        # 23 suffix bits feed the rank
+
+
+def _fmix32(keys: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix32 finalizer over non-negative integer keys — full
+    avalanche, which HLL needs (the Knuth multiplicative hash KMV uses
+    leaves sequential keys' register/rank bits correlated: measured 44%
+    estimate bias at 20k distinct). Still SQL-replicable: xor + integer
+    div-by-power-of-two + HUGEINT multiply mod 2^32."""
+    h = keys.astype(np.uint64) % _MOD32
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(16)
+        h = (h * np.uint64(0x85EBCA6B)) % _MOD32
+        h ^= h >> np.uint64(13)
+        h = (h * np.uint64(0xC2B2AE35)) % _MOD32
+        h ^= h >> np.uint64(16)
+    return h
+
+
+def _hll_partial_pairs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) pairs for a key batch, already max-folded
+    per index. Rank = leading-zero count of the 23-bit suffix + 1,
+    computed exactly via ``np.frexp`` (frexp's exponent IS bit_length
+    for positive integers — no float-log rounding hazards)."""
+    hv = _fmix32(keys)                          # 32-bit avalanche, SQL-replicable
+    idx = (hv >> np.uint64(_HLL_WBITS)).astype(np.int64)
+    w = (hv & np.uint64((1 << _HLL_WBITS) - 1)).astype(np.int64)
+    bl = np.frexp(w.astype(np.float64))[1]      # bit_length; 0 for w == 0
+    rho = np.where(w > 0, _HLL_WBITS - bl + 1, _HLL_WBITS + 1).astype(np.int64)
+    reg = np.zeros(_HLL_M, dtype=np.int64)
+    np.maximum.at(reg, idx, rho)
+    nz = np.flatnonzero(reg)
+    return nz, reg[nz]
+
+
+def _hll_estimate(reg: np.ndarray) -> tuple[int, float]:
+    """(n_zero_registers, rounded estimate) from a dense register array.
+
+    The indicator sum Σ 2^-reg is a sum of ≤ m dyadic rationals ≥ 2^-24,
+    so it is EXACT in float64 in any summation order — the engine's
+    cascaded fold and the oracle's single pass agree bit-for-bit; the
+    only float ops left (divide, ln) are IEEE-rounded identically.
+    """
+    m = _HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    sp = float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+    e_raw = alpha * m * m / sp
+    v = int(np.count_nonzero(reg == 0))
+    if e_raw <= 2.5 * m and v > 0:
+        est = m * float(np.log(m / v))          # linear counting regime
+    else:
+        est = e_raw
+    return v, float(round_half_away(np.array([est]), 6)[0])
+
+
+def hll_distinct(ds: rd.Dataset, key_col: str):
+    """HyperLogLog distinct-count over a non-negative integer key column
+    (Flajolet et al. 2007), p=9 (512 registers, ~4.6% standard error).
+
+    Mergeable-by-max partials: per-batch (idx → max rank) pairs, folded
+    per bucket by ``np.maximum.at``, final merge over ≤ m × n_buckets
+    rows. Returns ONE row (m, n_zero, est_distinct); the DuckDB oracle
+    (:func:`hll_sql`) replays hash, register split, rank and estimator
+    constant-for-constant, so the driver hash-gates the sketch itself.
+    Complements :func:`kmv_distinct`: HLL registers are O(m) forever
+    (KMV keeps k full hashes), the natural per-partition cardinality
+    sidecar for the replay lake's summaries.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"idx": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        nz, rho = _hll_partial_pairs(keys)
+        return pa.table({"idx": pa.array(nz), "rho": pa.array(rho)})
+
+    def combine(t: pa.Table) -> pa.Table:
+        reg = np.zeros(_HLL_M, dtype=np.int64)
+        if t.num_rows:
+            np.maximum.at(reg,
+                          t.column("idx").to_numpy(zero_copy_only=False),
+                          t.column("rho").to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(reg)
+        return pa.table({"idx": pa.array(nz), "rho": pa.array(reg[nz]),
+                         "_sb": pa.array(np.zeros(len(nz), np.int32))})
+
+    def final(t: pa.Table) -> pa.Table:
+        reg = np.zeros(_HLL_M, dtype=np.int64)
+        if t.num_rows:
+            np.maximum.at(reg,
+                          t.column("idx").to_numpy(zero_copy_only=False),
+                          t.column("rho").to_numpy(zero_copy_only=False))
+        v, est = _hll_estimate(reg)
+        return pa.table({"m": pa.array([_HLL_M], pa.int64()),
+                         "n_zero": pa.array([v], pa.int64()),
+                         "est_distinct": pa.array([est], pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    combined = bucketed_groups(partials, "idx", combine)
+    return grouped_by_bucket(combined, "_sb", 1, final).to_pandas()
+
+
+def hll_sql(table: str, key_col: str) -> str:
+    """DuckDB replica of :func:`hll_distinct` — identical hash, register
+    split (integer div/mod = shift/mask for power-of-two), exact
+    bit_length via ``length(bin(w))``, same estimator and linear-counting
+    correction, rounded to the same 6 decimals."""
+    m, wbits = _HLL_M, _HLL_WBITS
+    wmod = 1 << wbits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
+    SELECT CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h4 FROM (
+      SELECT CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h2 FROM (
+        SELECT DISTINCT {key_col} % 4294967296 AS h0 FROM {table})))
+), reg AS (
+  SELECT hv // {wmod} AS idx,
+         max(CASE WHEN hv % {wmod} = 0 THEN {wbits} + 1
+                  ELSE {wbits} - length(bin(hv % {wmod})) + 1 END) AS rho
+  FROM h GROUP BY 1
+), s AS (
+  SELECT sum(power(2.0, -rho)) AS sp, count(*) AS nonzero FROM reg
+), est AS (
+  SELECT {m} - nonzero AS v,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m}
+           / (sp + ({m} - nonzero) * 1.0) AS e_raw
+  FROM s
+)
+SELECT CAST({m} AS BIGINT) AS m, CAST(v AS BIGINT) AS n_zero,
+       round(CASE WHEN e_raw <= 2.5 * {m} AND v > 0
+                  THEN {m} * ln({m} / v) ELSE e_raw END, 6) AS est_distinct
+FROM est
+"""

@@ -2870,18 +2870,39 @@ def value_quantiles(sf_dir: str):
     return F_sketch.histogram_quantiles(ds, "value")
 
 
+def hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-count sketch over event user ids (p=9, 512
+    registers) — the register fold and estimator are replayed by the SQL
+    oracle constant-for-constant, so the gate hash-compares the sketch
+    itself, not just a cardinality ballpark. The O(m)-forever companion
+    to `kmv_distinct_users` (KMV keeps k raw hashes; HLL registers are
+    bounded at any corpus size — the shape a 100-TB per-partition
+    cardinality sidecar needs)."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return F_sketch.hll_distinct(ds, "user_id")
+
+
 def _sketch_sqls():
-    from etl_ray.functions.sketch import histogram_quantiles_sql, kmv_sql
+    from etl_ray.functions.sketch import (
+        histogram_quantiles_sql,
+        hll_sql,
+        kmv_sql,
+    )
 
-    return kmv_sql("events", "user_id", 64), histogram_quantiles_sql("events", "value")
+    return (kmv_sql("events", "user_id", 64),
+            histogram_quantiles_sql("events", "value"),
+            hll_sql("events", "user_id"))
 
 
-_KMV_SQL, _QUANTILES_SQL = _sketch_sqls()
+_KMV_SQL, _QUANTILES_SQL, _HLL_SQL = _sketch_sqls()
 
 QUERIES.update(
     {
         "kmv_distinct_users": QueryDef(kmv_distinct_users, _KMV_SQL),
         "value_quantiles": QueryDef(value_quantiles, _QUANTILES_SQL),
+        "hll_distinct_users": QueryDef(hll_distinct_users, _HLL_SQL),
     }
 )
 

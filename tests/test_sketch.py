@@ -83,3 +83,33 @@ def test_grouped_kmv_exact_below_k(ray_session):
     want = df.groupby("g")["v"].nunique()
     assert got["k_used"].tolist() == [want["x"], want["y"]]
     assert got["est_distinct"].tolist() == [float(want["x"]), float(want["y"])]
+
+def test_hll_estimate_within_relative_error(ray_session):
+    from etl_ray.functions.sketch import hll_distinct
+
+    true_distinct = 20_000
+    rng = np.random.default_rng(11)
+    keys = rng.choice(
+        np.arange(5, 5 + true_distinct, dtype=np.int64), size=80_000
+    )
+    ds = rd.from_arrow(pa.table({"uid": pa.array(keys)})).repartition(8)
+    out = hll_distinct(ds, "uid")
+    est = float(out["est_distinct"].iloc[0])
+    # p=9 → stderr ≈ 1.04/sqrt(512) ≈ 4.6%; allow 4 sigma
+    assert abs(est - true_distinct) / true_distinct < 0.2
+    assert int(out["m"].iloc[0]) == 512
+
+
+def test_hll_partition_invariance_and_linear_counting(ray_session):
+    """The register fold is associative: the sketch is identical at any
+    partition count, and a tiny domain lands in the linear-counting
+    branch with a near-exact estimate."""
+    from etl_ray.functions.sketch import hll_distinct
+
+    keys = np.arange(50, dtype=np.int64).repeat(40)
+    ds1 = rd.from_arrow(pa.table({"uid": pa.array(keys)})).repartition(1)
+    ds7 = rd.from_arrow(pa.table({"uid": pa.array(keys)})).repartition(7)
+    a, b = hll_distinct(ds1, "uid"), hll_distinct(ds7, "uid")
+    assert a["n_zero"].iloc[0] == b["n_zero"].iloc[0]
+    assert a["est_distinct"].iloc[0] == b["est_distinct"].iloc[0]
+    assert abs(float(a["est_distinct"].iloc[0]) - 50) < 5
