@@ -4780,3 +4780,170 @@ QUERIES.update(
         "rolling_user_counts": QueryDef(rolling_user_counts, ROLLING_SQL),
     }
 )
+
+
+# --- streaming watermark: late-event classification ---------------------------
+
+_LATE_US = 36_000_000_000  # 10 h allowed lateness (spans of the synth stream)
+_JITTER_SLOTS = 200        # deterministic arrival jitter: ±100 positions
+
+
+def late_events(sf_dir: str):
+    """Watermark / late-data classification — the streaming-semantics
+    operator the reference handles by sort-then-rollback (SURVEY §2.10:
+    late AIS days are erased and reloaded, 98_rollback.sql). Here each
+    event is classified ONLINE against the watermark at its arrival:
+    watermark = (running max of event time over ARRIVAL order) − 10 h;
+    an event is late when it arrives behind the watermark. The testdata
+    stream is time-sorted, so arrival order is simulated with a
+    deterministic hash jitter (fmix32(event_id) % 200 − 100 positions —
+    bounded disorder, the shape real network reordering takes); both
+    engines compute the identical jitter, so the gate hash-checks the
+    full classification.
+
+    Distributed prefix-scan shape (same discipline as pack_sequences):
+    (1) per-RANGE max event time via an embarrassingly-parallel partial
+    + tiny grouped-max merge, (2) driver folds the EXCLUSIVE prefix
+    running max over the #buckets-row range table and broadcasts it,
+    (3) one bucketed pass per range: exclusive within-range cummax +
+    broadcast base — exact arrival-order semantics, never a global
+    sort. Output: per event, how far behind the frontier it arrived
+    (behind_us) and the late flag.
+    """
+    from etl_ray.functions.sketch import _fmix32
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    n_ev = ev.count()  # parquet metadata only
+    nb = _buckets_for(sf_dir, "events")
+    rng_w = max(1, -(-n_ev // nb))
+
+    def _apos(ids: np.ndarray) -> np.ndarray:
+        jit = (_fmix32(ids) % np.uint64(_JITTER_SLOTS)).astype(np.int64)
+        return ids + jit - _JITTER_SLOTS // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"range_id": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        rid = _apos(ids) // rng_w
+        u, inv = np.unique(rid, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, tsu)
+        return pa.table({"range_id": pa.array(u.astype(np.int64)),
+                         "mx": pa.array(mx)})
+
+    def fold_max(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("range_id", sort=True)["mx"].max()
+        return pa.table({"range_id": pa.array(df.index.to_numpy(np.int64)),
+                         "mx": pa.array(df.to_numpy(np.int64))})
+
+    per_range = bucketed_groups(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "range_id", fold_max, n_buckets=nb,
+    ).to_pandas().sort_values("range_id")
+    run = np.maximum.accumulate(per_range["mx"].to_numpy())
+    prefix = {int(r): int(p) for r, p in zip(
+        per_range["range_id"].to_numpy()[1:], run[:-1])}
+    if len(per_range):
+        prefix[int(per_range["range_id"].iloc[0])] = np.iinfo(np.int64).min
+    prefix_ref = ray.put(prefix)
+
+    empty_out = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "behind_us": pa.array([], pa.int64()),
+        "is_late": pa.array([], pa.bool_()),
+    })
+
+    def add_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64()),
+                             "apos": pa.array([], pa.int64()),
+                             "range_id": pa.array([], pa.int64())})
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        apos = _apos(ids)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "tsu": pa.array(tsu),
+                         "apos": pa.array(apos),
+                         "range_id": pa.array((apos // rng_w).astype(np.int64))})
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        bases = ray.get(prefix_ref)
+        df = pd.DataFrame({
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "tsu": t.column("tsu").to_numpy(zero_copy_only=False),
+            "apos": t.column("apos").to_numpy(zero_copy_only=False),
+            "range_id": t.column("range_id").to_numpy(zero_copy_only=False),
+        }).sort_values(["apos", "event_id"], kind="stable")
+        # exclusive running max within each range, seeded by the prefix
+        tsu = df["tsu"].to_numpy()
+        base = df["range_id"].map(bases).to_numpy(dtype=np.int64)
+        prev = np.empty(len(tsu), dtype=np.int64)
+        rids = df["range_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(
+            ([True], rids[1:] != rids[:-1])))
+        ends = np.append(starts[1:], len(tsu))
+        for s, e in zip(starts, ends):  # per-RANGE slice, vectorized inside
+            inc = np.maximum.accumulate(tsu[s:e])
+            prev[s] = base[s]
+            if e - s > 1:
+                prev[s + 1:e] = np.maximum(base[s], inc[:-1])
+        # the int64-min seed marks "no prior event": subtraction would
+        # wrap, so mask it out of both outputs
+        has_prior = prev != np.iinfo(np.int64).min
+        delta = np.where(has_prior, prev - tsu, 0)
+        behind = np.maximum(delta, 0)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy()),
+            "user_id": pa.array(df["user_id"].to_numpy()),
+            "behind_us": pa.array(behind.astype(np.int64)),
+            "is_late": pa.array(has_prior & (delta > _LATE_US)),
+        })
+
+    withr = ev.map_batches(add_range, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_groups(withr, "range_id", classify, n_buckets=nb)
+    return to_pandas_typed(out, empty_out).sort_values(
+        "event_id", ignore_index=True)
+
+
+LATE_EVENTS_SQL = f"""
+WITH f AS (
+  SELECT event_id, user_id, tsu,
+         CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
+    SELECT event_id, user_id, tsu,
+           CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h4 FROM (
+      SELECT event_id, user_id, tsu,
+             CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h2 FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               event_id % 4294967296 AS h0 FROM events)))
+), a AS (
+  SELECT event_id, user_id, tsu,
+         event_id + (hv % {_JITTER_SLOTS}) - {_JITTER_SLOTS // 2} AS apos
+  FROM f
+), w AS (
+  SELECT event_id, user_id, tsu,
+         max(tsu) OVER (ORDER BY apos, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM a
+)
+SELECT event_id, user_id,
+       CAST(greatest(COALESCE(prev_max - tsu, 0), 0) AS BIGINT) AS behind_us,
+       COALESCE(prev_max - tsu > {_LATE_US}, FALSE) AS is_late
+FROM w ORDER BY event_id
+"""
+
+
+QUERIES.update({"late_events": QueryDef(late_events, LATE_EVENTS_SQL)})

@@ -143,3 +143,52 @@ def test_rolling_range_counts_tie_peers(ray_session, tmp_path):
     got = rolling_user_counts(str(sf))
     # row0: itself. rows 1+2: row0 + both peers = 3 EACH. row3: itself.
     assert got["n_last_hour"].tolist() == [1, 3, 3, 1]
+
+
+def test_late_events_matches_sequential_scan(ray_session, tmp_path):
+    """The distributed prefix-scan watermark classification equals a
+    single-threaded arrival-order scan, at any bucket geometry (the
+    crafted stream has heavy, bounded disorder)."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import _JITTER_SLOTS, _LATE_US, late_events
+
+    n = 500
+    rng = np.random.default_rng(4)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    # event time mostly increasing with occasional multi-hour setbacks
+    steps = rng.integers(0, 3_600_000_000, n)
+    setbacks = np.where(rng.random(n) < 0.05,
+                        -rng.integers(1, 40, n) * 3_600_000_000, 0)
+    tsu = base + np.maximum.accumulate(np.cumsum(steps)) + setbacks
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(tsu, unit="us"),
+        "user_id": rng.integers(0, 9, n).astype(np.int64),
+        "event_type": ["view"] * n,
+        "value": np.ones(n),
+        "props": ["{}"] * n,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   sf / "events.parquet")
+
+    got = late_events(str(sf))
+
+    ids = df["event_id"].to_numpy()
+    apos = ids + (_fmix32(ids) % np.uint64(_JITTER_SLOTS)).astype(np.int64) \
+        - _JITTER_SLOTS // 2
+    order = np.lexsort((ids, apos))
+    frontier, want = -1, {}
+    for i in order:
+        t = int(tsu[i])
+        behind = max(frontier - t, 0) if frontier >= 0 else 0
+        want[int(ids[i])] = (behind, frontier >= 0 and frontier - t > _LATE_US)
+        frontier = max(frontier, t)
+    for _, row in got.iterrows():
+        wb, wl = want[int(row["event_id"])]
+        assert int(row["behind_us"]) == wb
+        assert bool(row["is_late"]) == wl
+    assert got["is_late"].any() and not got["is_late"].all()
