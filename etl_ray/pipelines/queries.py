@@ -4947,3 +4947,94 @@ FROM w ORDER BY event_id
 
 
 QUERIES.update({"late_events": QueryDef(late_events, LATE_EVENTS_SQL)})
+
+
+# --- fixed-size per-key reservoir sample --------------------------------------
+
+_RESERVOIR_N = 8
+
+
+def reservoir_sample_by_lang(sf_dir: str):
+    """Fixed-SIZE deterministic sample per key: exactly n docs per lang
+    (fewer only if the group is smaller), selected as the n smallest
+    fmix32(doc_id) hashes — a deterministic reservoir. The partial
+    ("keep the n smallest per key seen so far") is associative and
+    bounded at n × keys rows per batch, so any exchange tree folds it
+    losslessly; the threshold samplers (`sampled_docs`,
+    `stratified_sample_docs`) cannot guarantee a fixed size, this can.
+    Reference analog: the unique-id sampler discipline
+    (etl/insert/insert_trajectories.py:30-50) — randomness replaced by
+    a replayable hash, as O5 requires.
+    """
+    from etl_ray.functions.sketch import _fmix32
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    n = _RESERVOIR_N
+
+    def _keep_n(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "hv", "doc_id"], kind="stable")
+        return df.groupby("lang", sort=False).head(n)
+
+    empty_part = pa.table({
+        "lang": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64()),
+        "hv": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_part
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "doc_id": ids,
+            "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+            "hv": _fmix32(ids).astype(np.int64),
+        })
+        return pa.Table.from_pandas(_keep_n(df), preserve_index=False)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = _keep_n(t.to_pandas())
+        df["sample_rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        df["sample_rank"] = df["sample_rank"].astype("int64")
+        return pa.Table.from_pandas(
+            df[["lang", "doc_id", "n_chars", "sample_rank"]],
+            preserve_index=False)
+
+    out = bucketed_groups(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "lang", fold, n_buckets=_buckets_for(sf_dir, "documents"),
+    )
+    proto = fold(empty_part)
+    return to_pandas_typed(out, proto).sort_values(
+        ["lang", "sample_rank"], ignore_index=True)
+
+
+RESERVOIR_SQL = f"""
+WITH f AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
+    SELECT lang, doc_id, n_chars,
+           CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h4 FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h2 FROM (
+        SELECT lang, doc_id, n_chars, doc_id % 4294967296 AS h0
+        FROM documents)))
+), r AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM f
+)
+SELECT lang, doc_id, n_chars, sample_rank
+FROM r WHERE sample_rank <= {_RESERVOIR_N}
+ORDER BY lang, sample_rank
+"""
+
+
+QUERIES.update({
+    "reservoir_sample_by_lang": QueryDef(reservoir_sample_by_lang, RESERVOIR_SQL),
+})

@@ -192,3 +192,30 @@ def test_late_events_matches_sequential_scan(ray_session, tmp_path):
         assert int(row["behind_us"]) == wb
         assert bool(row["is_late"]) == wl
     assert got["is_late"].any() and not got["is_late"].all()
+
+
+def test_reservoir_sample_fixed_size_and_partition_invariant(ray_session, tmp_path):
+    """Exactly n per key regardless of group size (unless smaller), and
+    identical selection at different partition counts."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import _RESERVOIR_N, reservoir_sample_by_lang
+
+    rng = np.random.default_rng(2)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n,
+        "lang": np.where(np.arange(n) < 395, "big", "tiny"),
+        "source": ["s"] * n,
+        "n_chars": rng.integers(1, 100, n).astype(np.int64),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   sf / "documents.parquet")
+    got = reservoir_sample_by_lang(str(sf))
+    sizes = got.groupby("lang")["doc_id"].count()
+    assert sizes["big"] == _RESERVOIR_N
+    assert sizes["tiny"] == 5  # group smaller than n → whole group
+    assert got["sample_rank"].le(_RESERVOIR_N).all()
