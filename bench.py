@@ -130,7 +130,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "value_quantiles", "dedup_clusters", "anti_join_customers",
         "zorder_cells", "tfidf_top_terms", "decontaminate_docs",
         "pack_sequences", "inverted_index", "chunk_docs", "cdc_changefeed",
-        "cdc_rejects", "hll_distinct_users", "late_events",
+        "cdc_rejects", "hll_distinct_users", "late_events", "cdc_snapshot_diff",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -5038,3 +5038,131 @@ ORDER BY lang, sample_rank
 QUERIES.update({
     "reservoir_sample_by_lang": QueryDef(reservoir_sample_by_lang, RESERVOIR_SQL),
 })
+
+
+# --- CDC snapshot diff: reconcile two checkpoints ------------------------------
+
+def cdc_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation — diff the lake state at checkpoint 0
+    vs the current checkpoint and classify every key as added / removed
+    / changed (unchanged keys are dropped). The CDC consumer's audit
+    primitive: "what did window 1 do to the table?", answered from two
+    manifest snapshots alone (no log re-read). Reference analog: the
+    rollback + reload day-diff discipline (98_rollback.sql — erase and
+    recompute) replaced by an O(state) distributed compare.
+
+    Shape: both sides stream out of the lake with only (repo, path,
+    sha) columns, get a composite join key, and meet in ONE full-OUTER
+    `shuffle_join` exchange (stages/joins.py, how="outer") — unmatched
+    rows on either side are exactly the adds/removes. No driver
+    materialization until the final (diff-sized) result.
+    """
+    from etl_ray.stages.joins import shuffle_join
+
+    eng = _run_doc_replay(sf_dir, variant="-diff")
+    assert eng.store.current().checkpoint_id == 1
+    cols = ["repo", "path", "content_sha256"]
+    sep = "\x1f"
+
+    def keyed(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 tag: pa.array([], pa.string())})
+            key = pc.binary_join_element_wise(
+                t.column("repo"), t.column("path"), sep)
+            return pa.table({"key": key, tag: t.column("content_sha256")})
+        return fn
+
+    old = eng.final_state(columns=cols, as_of=0).map_batches(
+        keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True)
+    new = eng.final_state(columns=cols).map_batches(
+        keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_join(
+        old, new, on="key", how="outer",
+        schemas=(
+            pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
+            pa.schema([("key", pa.string()), ("new_sha", pa.string())]),
+        ),
+        n_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    empty_out = pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "change": pa.array([], pa.string()),
+        "old_sha": pa.array([], pa.string()),
+        "new_sha": pa.array([], pa.string()),
+    })
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        old_s = t.column("old_sha").to_pandas()
+        new_s = t.column("new_sha").to_pandas()
+        change = np.where(old_s.isna(), "added",
+                          np.where(new_s.isna(), "removed", "changed"))
+        keep = old_s.isna() | new_s.isna() | (old_s != new_s)
+        parts = pc.split_pattern(t.column("key"), sep)
+        return pa.table({
+            "repo": pc.list_element(parts, 0),
+            "path": pc.list_element(parts, 1),
+            "change": pa.array(change),
+            "old_sha": pa.array(old_s.fillna("")),
+            "new_sha": pa.array(new_s.fillna("")),
+        }).filter(pa.array(keep.to_numpy()))
+
+    out = joined.map_batches(classify, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return to_pandas_typed(out, empty_out).sort_values(
+        ["repo", "path"], ignore_index=True)
+
+
+# Both snapshots re-derived from the deterministic window plan
+# (_run_doc_replay: commit_seq % 4 ∈ {0,1} → checkpoint 0): old = LWW
+# over window-0 events with tombstone suppression (the time-travel
+# oracle), new = the flagship final state.
+CDC_SNAPSHOT_DIFF_SQL = """
+WITH ev AS (
+  SELECT d.doc_id, v.v,
+         CAST(d.doc_id * 10 + v.v AS BIGINT) AS commit_seq,
+         (d.doc_id % 11 = 0 AND v.v = (d.doc_id % 3) + 1) AS is_del,
+         d.text
+  FROM documents d
+  JOIN (SELECT unnest(range(0, 4)) AS v) v
+    ON v.v <= (d.doc_id % 3) + CASE WHEN d.doc_id % 11 = 0 THEN 1 ELSE 0 END
+), w0 AS (
+  SELECT * FROM ev WHERE commit_seq % 4 < 2
+), win AS (
+  SELECT doc_id, max(commit_seq) AS mc FROM w0 GROUP BY doc_id
+), oldst AS (
+  SELECT 'repo' || CAST(e.doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(e.doc_id AS VARCHAR) || '.txt' AS path,
+         sha256(substr(e.text, 1, 100 + 10 * e.v)
+                || ':v' || CAST(e.v AS VARCHAR)) AS old_sha
+  FROM w0 e JOIN win ON win.doc_id = e.doc_id AND win.mc = e.commit_seq
+  WHERE NOT e.is_del
+), newst AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         sha256(substr(text, 1, 100 + 10 * (doc_id % 3))
+                || ':v' || CAST(doc_id % 3 AS VARCHAR)) AS new_sha
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT COALESCE(o.repo, n.repo) AS repo,
+       COALESCE(o.path, n.path) AS path,
+       CASE WHEN o.repo IS NULL THEN 'added'
+            WHEN n.repo IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       COALESCE(o.old_sha, '') AS old_sha,
+       COALESCE(n.new_sha, '') AS new_sha
+FROM oldst o
+FULL OUTER JOIN newst n ON o.repo = n.repo AND o.path = n.path
+WHERE o.repo IS NULL OR n.repo IS NULL OR o.old_sha <> n.new_sha
+ORDER BY repo, path
+"""
+
+
+QUERIES.update({
+    "cdc_snapshot_diff": QueryDef(cdc_snapshot_diff, CDC_SNAPSHOT_DIFF_SQL),
+})

@@ -126,9 +126,13 @@ def shuffle_join(
 ) -> rd.Dataset:
     """Distributed hash join of two large Datasets on column ``on``.
 
-    ``how``: "inner", "left", "semi" or "anti". Non-key column names must
-    be disjoint. Schemas are read from dataset metadata once to build the
-    unified tagged layout (null-filled columns for the other side).
+    ``how``: "inner", "left", "outer" (full), "semi" or "anti". Non-key
+    column names must be disjoint. Schemas are read from dataset metadata
+    once to build the unified tagged layout (null-filled columns for the
+    other side).
+    "outer" emits unmatched rows of BOTH sides (the reconciliation /
+    snapshot-diff shape) — correctness per bucket is free because a
+    key's rows land in exactly one bucket on both sides.
 
     "semi" keeps left rows whose key appears on the right; "anti" keeps
     left rows whose key does NOT (the reference's NOT-IN backfill scans,
@@ -163,7 +167,7 @@ def shuffle_join(
         # right rows into buckets that ALREADY hold a congruent replica —
         # duplicated join output. Spread cannot exceed b anyway.
         hot = {k: min(s, b) for k, s in hot.items() if s > 1}
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}

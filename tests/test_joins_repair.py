@@ -72,3 +72,25 @@ def test_repair_multiple_segments_isolated():
     v = np.array([0.0, 500.0, 1000.0, 1010.0])
     rep = repair_hold_last(v, np.array([0, 2]), np.array([2, 4]), max_jump=100.0)
     assert rep.tolist() == [0.0, 0.0, 1000.0, 1010.0]
+
+
+def test_shuffle_join_outer_keeps_both_sides(ray_session):
+    """Full outer: unmatched rows survive from BOTH sides, matched keys
+    pair exactly once, integers stay exact (nullable Int64)."""
+    left = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                         "lv": np.array([10, 20, 30], dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([2, 4], dtype=np.int64),
+                          "rv": np.array([200, 400], dtype=np.int64)})
+    got = (
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", how="outer", n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got.loc[got["k"] == 2, "lv"].iloc[0] == 20
+    assert got.loc[got["k"] == 2, "rv"].iloc[0] == 200
+    assert got.loc[got["k"] == 4, "lv"].isna().all()
+    assert got.loc[got["k"] == 1, "rv"].isna().all()
+    # declared integer dtypes restored (not float64-widened)
+    assert str(got["lv"].dtype) == "Int64"
+    assert str(got["rv"].dtype) == "Int64"
