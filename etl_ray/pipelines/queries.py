@@ -5166,3 +5166,107 @@ ORDER BY repo, path
 QUERIES.update({
     "cdc_snapshot_diff": QueryDef(cdc_snapshot_diff, CDC_SNAPSHOT_DIFF_SQL),
 })
+
+
+# --- substring-level dedup: duplicated n-gram span stats ----------------------
+
+def dup_span_stats(sf_dir: str):
+    """Substring-LEVEL duplication statistics — per document, how many of
+    its distinct k-token shingles also occur in some OTHER document
+    (the signal substring-dedup pipelines act on: "Deduplicating
+    Training Data Makes Language Models Better" applies it at span
+    granularity, where whole-doc dedup is blind to copied paragraphs).
+
+    Shape: per-batch explode to distinct (shingle_hash, doc_id) pairs
+    → ONE exchange on the shingle hash → per bucket, a shingle seen
+    under ≥2 distinct docs marks its pair rows duplicated, folded to
+    per-doc (n_spans, n_dup) partials — the heavy shingle stream never
+    reaches a second exchange; only doc-sized partials do (tiny grouped
+    sum). Hashing = the MinHash family's Horner machinery
+    (functions/dedup.py:token_hashes), so the oracle recomputes every
+    hash constant-for-constant.
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty_pairs = pa.table({"sh": pa.array([], pa.int64()),
+                            "doc_id": pa.array([], pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_pairs
+        sh_out, id_out = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            sh = np.unique(F_dedup._shingle_hashes(txt or "", _DECON_K))
+            if len(sh):
+                sh_out.append(sh.astype(np.int64))
+                id_out.append(np.full(len(sh), did, dtype=np.int64))
+        if not sh_out:
+            return empty_pairs
+        return pa.table({"sh": pa.array(np.concatenate(sh_out)),
+                         "doc_id": pa.array(np.concatenate(id_out))})
+
+    empty_part = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "n_spans": pa.array([], pa.int64()),
+                           "n_dup_spans": pa.array([], pa.int64())})
+
+    def mark_and_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_part
+        df = t.to_pandas()
+        # pairs are distinct per (sh, doc): per-sh row count == distinct
+        # doc count, so "duplicated" = the shingle's group has ≥2 rows
+        dup = df.groupby("sh", sort=False)["doc_id"].transform("size") >= 2
+        g = df.assign(_d=dup.astype(np.int64)).groupby("doc_id", sort=False)
+        out = g.agg(n_spans=("sh", "size"), n_dup_spans=("_d", "sum")).reset_index()
+        out["n_spans"] = out["n_spans"].astype("int64")
+        out["n_dup_spans"] = out["n_dup_spans"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    marked = bucketed_groups(
+        docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        "sh", mark_and_fold, n_buckets=_buckets_for(sf_dir, "documents"),
+    )
+    per_doc = F_agg.grouped_sum(marked, ["doc_id"], empty_part)
+    per_doc["dup_fraction"] = round_half_away(
+        per_doc["n_dup_spans"].to_numpy() / per_doc["n_spans"].to_numpy(), 6)
+    return per_doc.sort_values("doc_id", ignore_index=True)
+
+
+DUP_SPAN_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM documents
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), pairs AS (
+  SELECT doc_id, unnest(list_distinct(sh)) AS h FROM sgl
+), cnt AS (
+  SELECT h, count(*) AS nd FROM pairs GROUP BY h
+), per AS (
+  SELECT p.doc_id,
+         count(*) AS n_spans,
+         count(*) FILTER (c.nd >= 2) AS n_dup
+  FROM pairs p JOIN cnt c ON c.h = p.h
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup AS BIGINT) AS n_dup_spans,
+       round(n_dup * 1.0 / n_spans, 6) AS dup_fraction
+FROM per ORDER BY doc_id
+"""
+
+
+QUERIES.update({"dup_span_stats": QueryDef(dup_span_stats, DUP_SPAN_SQL)})
