@@ -449,3 +449,135 @@ def ivf_topk(
 
     cand = ds.map_batches(fused_scan, batch_format="pyarrow", batch_size=4096)
     return _topk_merge(cand, k, exclude_self=True)
+
+
+# --- distributed k-means (Lloyd) ----------------------------------------------
+
+def _milli_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Embedding list column → (n, d) int64 milli-unit matrix. The
+    quantization (round(x*1000) half-away) makes EVERY k-means quantity
+    exact integer math or an IEEE-exact int/int division — assignments
+    and means are then bit-identical between the engine and the SQL
+    oracle regardless of summation order."""
+    m = np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    return round_half_away(m * 1000.0, 0).astype(np.int64)
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset, k: int = 8, iters: int = 2, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Distributed Lloyd k-means over an embedding column — the
+    iterative-algorithm shape: per iteration, centroids are broadcast
+    ONCE (``ray.put``), one ``map_batches`` pass computes exact integer
+    squared distances + per-(cluster, dim) partial sums (k × d rows per
+    batch, never the points), and a tiny grouped-sum merge yields the
+    next centroids. Data transits the cluster once per iteration; the
+    driver only ever sees k × d aggregates.
+
+    Determinism: init = the k smallest ``id_col`` rows; ties in the
+    argmin break to the smaller cluster id; intermediate centroids are
+    re-quantized to micro-units so every iteration's distances stay
+    exact integers (see ``_milli_matrix``). Empty clusters drop out
+    (documented; the SQL oracle's GROUP BY does the same).
+
+    Returns one row per (cluster_id, dim): final centroid value
+    (rounded 6) + the cluster's point count.
+    """
+    from etl_ray.stages.agg import grouped_sum
+
+    empty_init = pa.table({
+        "_id": pa.array([], pa.int64()),
+        "_v": pa.array([], pa.list_(pa.int64())),
+    })
+
+    def init_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_init
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")[:k]
+        X = _milli_matrix(t.column("embedding"))[order]
+        return pa.table({"_id": pa.array(ids[order].astype(np.int64)),
+                         "_v": pa.array(list(X))})
+
+    # k-bounded partials per block → driver sees ≤ k × blocks rows
+    parts = [
+        t for t in ray.get(
+            ds.map_batches(init_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows
+    ]
+    init = pa.concat_tables(parts)
+    order = np.argsort(init.column("_id").to_numpy(zero_copy_only=False),
+                       kind="stable")[:k]
+    C = np.stack(
+        init.column("_v").to_pandas().to_numpy()[order]
+    ).astype(np.int64)            # (k_eff, d) milli units
+    cids = np.arange(len(C), dtype=np.int64)
+
+    empty_part = pa.table({
+        "cid": pa.array([], pa.int64()),
+        "dim": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def assign_pass(c_ref, scale: int):
+        """One Lloyd pass: exact distances at ``scale`` (1 = milli init,
+        1000 = micro re-quantized centroids), per-(cid, dim) partials."""
+
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return empty_part
+            cc = ray.get(c_ref)
+            cen, ids_c = cc["C"], cc["cids"]
+            X = _milli_matrix(t.column("embedding"))
+            Xs = X * scale
+            # (n, k, d) int64 — exact; batch × k × d bounded by batch_size
+            d2 = ((Xs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            best = ids_c[np.argmin(d2, axis=1)]  # first min = smallest cid
+            kk, d = len(cen), X.shape[1]
+            S = np.zeros((kk, d), dtype=np.int64)
+            pos = np.searchsorted(ids_c, best)
+            np.add.at(S, pos, X)
+            n = np.bincount(pos, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.repeat(ids_c, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), kk)),
+                "s": pa.array(S.ravel()),
+                "n": pa.array(np.repeat(n, d)),
+            })
+
+        return fn
+
+    stats = None
+    for it in range(iters):
+        scale = 1 if it == 0 else 1000
+        c_ref = ray.put({"C": C, "cids": cids})
+        folded = grouped_sum(
+            ds.map_batches(assign_pass(c_ref, scale), batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["cid", "dim"], empty_part,
+        )
+        folded = folded[folded["n"] > 0]          # empty clusters drop out
+        folded = folded.sort_values(["cid", "dim"], ignore_index=True)
+        stats = folded
+        if it < iters - 1:
+            # micro-unit re-quantization: mean = exact_int_sum / count is
+            # IEEE-identical on both engines; the round pins iteration
+            # it+1's centroids to integers so its distances stay exact
+            mean_milli = folded["s"].to_numpy() / folded["n"].to_numpy()
+            micro = round_half_away(mean_milli * 1000.0, 0).astype(np.int64)
+            cids = folded["cid"].to_numpy()[:: int(folded["dim"].max())]
+            d = int(folded["dim"].max())
+            C = micro.reshape(-1, d)
+            cids = np.ascontiguousarray(cids[: len(C)]).astype(np.int64)
+
+    out = stats.copy()
+    out["centroid"] = round_half_away(
+        out["s"].to_numpy() / out["n"].to_numpy() / 1000.0, 6)
+    out = out.rename(columns={"cid": "cluster_id", "n": "n_points"})
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["dim"] = out["dim"].astype("int64")
+    out["n_points"] = out["n_points"].astype("int64")
+    return out[["cluster_id", "dim", "centroid", "n_points"]].sort_values(
+        ["cluster_id", "dim"], ignore_index=True)

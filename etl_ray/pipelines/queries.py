@@ -5270,3 +5270,67 @@ FROM per ORDER BY doc_id
 
 
 QUERIES.update({"dup_span_stats": QueryDef(dup_span_stats, DUP_SPAN_SQL)})
+
+
+# --- distributed k-means over embeddings ---------------------------------------
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 iterations, deterministic init =
+    the 8 smallest vec_ids) — the iterative-algorithm gate. Every
+    iteration is one broadcast + one map_batches pass + a k×d grouped
+    sum; the milli/micro quantization discipline
+    (functions/similarity.py:kmeans_lloyd) keeps all distances exact
+    integers, so the SQL oracle replays both iterations bit-for-bit and
+    the gate hash-compares the final centroids themselves."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return F_sim.kmeans_lloyd(ds, k=8, iters=2)
+
+
+KMEANS_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS vm
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, vm
+  FROM e ORDER BY vec_id LIMIT 8
+), d1 AS (
+  SELECT e.vec_id, c.cid, e.vm,
+         list_sum(list_transform(range(1, len(e.vm) + 1),
+           i -> (e.vm[i] - c.vm[i]) * (e.vm[i] - c.vm[i]))) AS dist
+  FROM e CROSS JOIN c0 c
+), a1 AS (
+  SELECT vec_id, vm, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1
+), c1d AS (
+  SELECT cid, i, CAST(round((sum(v) * 1.0 / count(*)) * 1000.0, 0) AS BIGINT) AS cv
+  FROM (SELECT cid, unnest(vm) AS v, unnest(range(1, len(vm) + 1)) AS i FROM a1)
+  GROUP BY cid, i
+), c1 AS (
+  SELECT cid, list(cv ORDER BY i) AS vm FROM c1d GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, c.cid, e.vm,
+         list_sum(list_transform(range(1, len(e.vm) + 1),
+           i -> (e.vm[i] * 1000 - c.vm[i]) * (e.vm[i] * 1000 - c.vm[i]))) AS dist
+  FROM e CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, vm, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1
+), fin AS (
+  SELECT cid, i, sum(v) AS s, count(*) AS n
+  FROM (SELECT cid, unnest(vm) AS v, unnest(range(1, len(vm) + 1)) AS i FROM a2)
+  GROUP BY cid, i
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(i AS BIGINT) AS dim,
+       round(s * 1.0 / n / 1000.0, 6) AS centroid,
+       CAST(n AS BIGINT) AS n_points
+FROM fin ORDER BY cluster_id, dim
+"""
+
+
+QUERIES.update({"kmeans_embeddings": QueryDef(kmeans_embeddings, KMEANS_SQL)})

@@ -185,3 +185,30 @@ def test_simhash_no_pairs_returns_empty_with_schema(ray_session):
     )
     out = D.simhash_near_pairs(rd.from_arrow(t)).to_pylist()
     assert out == []
+
+
+def test_kmeans_lloyd_converges_and_is_partition_invariant(ray_session):
+    """Two well-separated blobs, k=2: every point lands with its blob's
+    centroid, cluster sizes are exact, and the result is identical at
+    different partition counts (associative partials)."""
+    import pandas as pd
+
+    from etl_ray.functions.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(6)
+    a = rng.normal(0.0, 0.02, (60, 8))
+    b = rng.normal(0.4, 0.02, (40, 8))
+    X = np.vstack([a, b])
+    df = pd.DataFrame({
+        "vec_id": np.arange(100, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in X],
+    })
+    got1 = kmeans_lloyd(rd.from_pandas(df).repartition(1), k=2, iters=2)
+    got5 = kmeans_lloyd(rd.from_pandas(df).repartition(5), k=2, iters=2)
+    pd.testing.assert_frame_equal(got1, got5)
+    sizes = got1.groupby("cluster_id")["n_points"].first().to_numpy()
+    assert sorted(sizes.tolist()) == [40, 60]
+    # the size-60 cluster's centroid ≈ 0.0, the size-40 one ≈ 0.4
+    for cid, grp in got1.groupby("cluster_id"):
+        target = 0.0 if grp["n_points"].iloc[0] == 60 else 0.4
+        assert np.allclose(grp["centroid"], target, atol=0.02)
