@@ -5334,3 +5334,181 @@ FROM fin ORDER BY cluster_id, dim
 
 
 QUERIES.update({"kmeans_embeddings": QueryDef(kmeans_embeddings, KMEANS_SQL)})
+
+
+# --- incrementally-maintained MinHash signature index --------------------------
+
+def cdc_incremental_sigs(sf_dir: str):
+    """Near-dup signature index maintained DELTA-BY-DELTA — the
+    north-star's "maintained, never recomputed" discipline applied to a
+    non-trivial derived index, not just additive aggregates: build the
+    per-key MinHash signature table once at checkpoint 0, then update it
+    for window 1 by recomputing ONLY the keys the window touched
+    (changed + added; removed keys drop), discovered with the same
+    full-outer sha diff as `cdc_snapshot_diff`. The oracle recomputes
+    every signature of the FINAL state from scratch — equality proves
+    the incremental maintenance converges to the from-scratch answer.
+
+    Scale shape: the checkpoint-0 build and the delta recompute are
+    embarrassingly-parallel map_batches; the driver only ever holds the
+    CHURNED key set (window-bounded), broadcast once via ray.put; the
+    surviving old signatures are filtered distributed (isin against the
+    broadcast set) and unioned with the delta signatures — the corpus
+    text is re-read only for churned keys.
+    """
+    mh = F_dedup.MinHashStage()  # constants shared with the SQL oracle
+    n_perm = mh.n_perm
+    sep = "\x1f"
+
+    eng = _run_doc_replay(sf_dir, variant="-incsig")
+    assert eng.store.current().checkpoint_id == 1
+
+    sig_fields = {f"s{i}": pa.int64() for i in range(n_perm)}
+    empty_sig = pa.table({"key": pa.array([], pa.string()),
+                          **{c: pa.array([], t) for c, t in sig_fields.items()}})
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_sig
+        key = pc.binary_join_element_wise(
+            t.column("repo"), t.column("path"), sep)
+        S = np.stack([
+            mh.signature(x or "")
+            for x in t.column("content").to_pandas()
+        ]).astype(np.int64)
+        return pa.table({"key": key,
+                         **{f"s{i}": pa.array(S[:, i]) for i in range(n_perm)}})
+
+    state_cols = ["repo", "path", "content"]
+    old_sigs = eng.final_state(columns=state_cols, as_of=0).map_batches(
+        sig_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    # --- churn discovery: sha-level diff of the two snapshots (driver
+    # holds only the churned keys — window-bounded, never the corpus)
+    def sha_keyed(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 tag: pa.array([], pa.string())})
+            key = pc.binary_join_element_wise(
+                t.column("repo"), t.column("path"), sep)
+            return pa.table({"key": key, tag: t.column("content_sha256")})
+        return fn
+
+    from etl_ray.stages.joins import shuffle_join
+
+    sha_cols = ["repo", "path", "content_sha256"]
+    diff = shuffle_join(
+        eng.final_state(columns=sha_cols, as_of=0).map_batches(
+            sha_keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True),
+        eng.final_state(columns=sha_cols).map_batches(
+            sha_keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True),
+        on="key", how="outer",
+        schemas=(pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
+                 pa.schema([("key", pa.string()), ("new_sha", pa.string())])),
+        n_buckets=_buckets_for(sf_dir, "documents"),
+    )
+
+    def churn_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "gone": pa.array([], pa.bool_())})
+        old_s, new_s = (t.column("old_sha").to_pandas(),
+                        t.column("new_sha").to_pandas())
+        churned = old_s.isna() | new_s.isna() | (old_s != new_s)
+        return pa.table({"key": t.column("key"),
+                         "gone": pa.array(new_s.isna().to_numpy())}).filter(
+            pa.array(churned.to_numpy()))
+
+    churn = pa.concat_tables([
+        t for t in ray.get(diff.map_batches(
+            churn_only, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()) if t.num_rows
+    ] or [pa.table({"key": pa.array([], pa.string()),
+                    "gone": pa.array([], pa.bool_())})])
+    churn_keys = churn.column("key").to_pandas().to_numpy(dtype=object)
+    fresh_keys = churn.filter(
+        pc.invert(churn.column("gone"))).column("key").to_pandas().to_numpy(
+        dtype=object)
+    churn_ref = ray.put(np.sort(churn_keys))
+    fresh_ref = ray.put(np.sort(fresh_keys))
+
+    def drop_churned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_sig
+        dead = ray.get(churn_ref)
+        keys = t.column("key").to_pandas().to_numpy(dtype=object)
+        return t.filter(pa.array(~np.isin(keys, dead)))
+
+    def keep_fresh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({c: pa.array([], pa.string())
+                             for c in ("repo", "path", "content")})
+        want = ray.get(fresh_ref)
+        keys = pc.binary_join_element_wise(
+            t.column("repo"), t.column("path"), sep).to_pandas().to_numpy(
+            dtype=object)
+        return t.filter(pa.array(np.isin(keys, want)))
+
+    survivors = old_sigs.map_batches(
+        drop_churned, batch_format="pyarrow", zero_copy_batch=True)
+    delta_sigs = eng.final_state(columns=state_cols).map_batches(
+        keep_fresh, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(sig_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    maintained = to_pandas_typed(survivors.union(delta_sigs), empty_sig)
+    # the incremental contract: the delta pass touched EXACTLY the fresh
+    # churned keys (a silent full recompute would make this gate vacuous)
+    n_delta = int(np.isin(
+        maintained["key"].to_numpy(dtype=object), fresh_keys).sum())
+    if n_delta != len(fresh_keys):
+        raise RuntimeError("incremental sig maintenance lost churned keys")
+    parts = maintained["key"].str.split(sep, n=1, expand=True)
+    maintained.insert(0, "path", parts[1])
+    maintained.insert(0, "repo", parts[0])
+    return maintained.drop(columns=["key"]).sort_values(
+        ["repo", "path"], ignore_index=True)
+
+
+def _incsig_sql() -> str:
+    a, b = F_dedup.minhash_params()
+    sig_exprs = ",\n    ".join(
+        f"CAST(coalesce(list_min(list_transform(sh, s -> "
+        f"(CAST({int(a[i])} AS HUGEINT) * s + {int(b[i])}) % 4294967296)), "
+        f"4294967295) AS BIGINT) AS s{i}"
+        for i in range(len(a))
+    )
+    return f"""
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v'
+           || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+), d AS (
+  SELECT repo, path,
+    list_transform(regexp_extract_all(lower(coalesce(content, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM fin
+), sgl AS (
+  SELECT repo, path,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+)
+SELECT repo, path,
+    {sig_exprs}
+FROM sgl ORDER BY repo, path
+"""
+
+
+QUERIES.update({
+    "cdc_incremental_sigs": QueryDef(cdc_incremental_sigs, _incsig_sql()),
+})

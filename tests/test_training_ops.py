@@ -132,3 +132,29 @@ def test_time_travel_read_matches_oracle_and_differs_from_current(ray_session):
     )
     cur = pd.DataFrame(QUERIES["cdc_replay_docs"].fn(SF))
     assert len(got) < len(cur)  # window-1 inserts are absent as-of ckpt 0
+
+
+def test_incremental_sigs_equal_from_scratch(ray_session):
+    """The delta-maintained MinHash index equals a from-scratch signature
+    pass over the same final state (engine-vs-engine; the SQL gate
+    separately pins both against DuckDB)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.functions.dedup import MinHashStage
+    from etl_ray.pipelines.queries import _run_doc_replay, cdc_incremental_sigs
+
+    got = cdc_incremental_sigs(SF)
+
+    mh = MinHashStage()
+    eng = _run_doc_replay(SF, variant="-incsig-scratch")
+    state = eng.final_state(columns=["repo", "path", "content"]).to_pandas()
+    sigs = np.stack([mh.signature(c or "") for c in state["content"]]).astype(np.int64)
+    want = state[["repo", "path"]].copy()
+    for i in range(mh.n_perm):
+        want[f"s{i}"] = sigs[:, i]
+    want = want.sort_values(["repo", "path"], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
