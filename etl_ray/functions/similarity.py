@@ -581,3 +581,61 @@ def kmeans_lloyd(
     out["n_points"] = out["n_points"].astype("int64")
     return out[["cluster_id", "dim", "centroid", "n_points"]].sort_values(
         ["cluster_id", "dim"], ignore_index=True)
+
+
+# --- int8 scalar quantization --------------------------------------------------
+
+def quantize_minmax(ds: rd.Dataset) -> np.ndarray:
+    """Global per-dimension (min, max) of the embedding column — the
+    scalar-quantization calibration pass. Per-batch partials are (d, 2)
+    arrays; the fold is min/max (exact, order-free), collected driver-side
+    at d-bounded size. Returns float64 (d, 2)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(
+            np.float64)
+        d = m.shape[1]
+        return pa.table({"dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                         "mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0))})
+
+    parts = [
+        t for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows
+    ]
+    df = pa.concat_tables(parts).to_pandas()
+    g = df.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
+    return np.stack([g["mn"].to_numpy(), g["mx"].to_numpy()], axis=1)
+
+
+def quantize_codes(ds: rd.Dataset, ranges: np.ndarray,
+                   id_col: str = "vec_id") -> rd.Dataset:
+    """int8-style scalar quantization: code = round((x-mn)/(mx-mn)*255)
+    per dimension (0 when the dimension is constant). The op sequence is
+    shared verbatim with the SQL oracle, so codes are bit-identical.
+    Returns a Dataset of (id, codes list<int64>)."""
+    ref = ray.put(ranges)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "codes": pa.array([], pa.list_(pa.int64()))})
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        r = ray.get(ref)
+        mn, mx = r[:, 0], r[:, 1]
+        span = mx - mn
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(
+            np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = round_half_away((m - mn) / span * 255.0, 0)
+        c = np.where(span == 0, 0, c).astype(np.int64)
+        return pa.table({id_col: t.column(id_col),
+                         "codes": pa.array(list(c))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

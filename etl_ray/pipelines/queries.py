@@ -5512,3 +5512,150 @@ FROM sgl ORDER BY repo, path
 QUERIES.update({
     "cdc_incremental_sigs": QueryDef(cdc_incremental_sigs, _incsig_sql()),
 })
+
+
+# --- int8 scalar quantization of embeddings ------------------------------------
+
+_QUANT_CODES_CTE = """
+ex AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), rng AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i
+), codes AS (
+  SELECT e.vec_id, e.i,
+         CAST(CASE WHEN r.mx = r.mn THEN 0
+              ELSE round((e.x - r.mn) / (r.mx - r.mn) * 255.0, 0)
+              END AS BIGINT) AS code
+  FROM ex e JOIN rng r ON r.i = e.i
+)"""
+
+
+def embedding_quantize(sf_dir: str):
+    """int8 scalar quantization — the storage/serving compression step
+    ANN stacks run before indexing (4× smaller vectors, exact integer
+    distance math downstream). Calibration = one per-dim min/max fold
+    (exact, order-free partials); codes = one broadcast + map_batches
+    pass. The op sequence is shared verbatim with the oracle, so every
+    code is hash-gated bit-for-bit."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ranges = F_sim.quantize_minmax(ds)
+    codes = F_sim.quantize_codes(ds, ranges)
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "dim": pa.array([], pa.int64()),
+                      "code": pa.array([], pa.int64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        c = np.stack(t.column("codes").to_pandas().to_numpy())
+        n, d = c.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "code": pa.array(c.ravel()),
+        })
+
+    out = codes.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values(
+        ["vec_id", "dim"], ignore_index=True)
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH {_QUANT_CODES_CTE}
+SELECT vec_id, CAST(i AS BIGINT) AS dim, code
+FROM codes ORDER BY vec_id, dim
+"""
+
+
+def knn_quantized_topk(sf_dir: str):
+    """Top-10 nearest neighbors in QUANTIZED space (exact integer L2
+    over the int8 codes) for queries vec_id<5 — the serving-path ANN
+    over compressed vectors. No float enters the ranking, so the full
+    result (distances included) hash-gates against the oracle."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ranges = F_sim.quantize_minmax(ds)
+    codes = F_sim.quantize_codes(ds, ranges)
+    k = 10
+
+    def q_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids < 5))
+
+    q_parts = [
+        t for t in ray.get(codes.map_batches(
+            q_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()) if t.num_rows
+    ]
+    qt = pa.concat_tables(q_parts)
+    q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    q_mat = np.stack(qt.column("codes").to_pandas().to_numpy())
+    q_ref = ray.put({"ids": q_ids, "mat": q_mat})
+
+    empty_cand = pa.table({"query_id": pa.array([], pa.int64()),
+                           "neighbor_id": pa.array([], pa.int64()),
+                           "dist": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cand
+        q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.stack(t.column("codes").to_pandas().to_numpy())
+        # (nq, nb) exact integer squared L2
+        d2 = ((q["mat"][:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        kk = min(k + 1, d2.shape[1])
+        # deterministic partial top-k: lexsort folds the id tie-break in
+        sel = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :kk]
+        nq = len(q["ids"])
+        return pa.table({
+            "query_id": pa.array(np.repeat(q["ids"], kk)),
+            "neighbor_id": pa.array(ids[sel].ravel()),
+            "dist": pa.array(np.take_along_axis(d2, sel, axis=1).ravel()),
+        })
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["neighbor_id"] != df["query_id"]]
+        df = df.sort_values(["query_id", "dist", "neighbor_id"], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("query_id", sort=False).head(k), preserve_index=False)
+
+    cand = codes.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_groups(cand, "query_id", topk_partition, n_buckets=8)
+    return to_pandas_typed(out, empty_cand).sort_values(
+        ["query_id", "dist", "neighbor_id"], ignore_index=True)
+
+
+KNN_QUANTIZED_SQL = f"""
+WITH {_QUANT_CODES_CTE}
+, cl AS (
+  SELECT vec_id, list(code ORDER BY i) AS c FROM codes GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, c AS qc FROM cl WHERE vec_id < 5
+), s AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qc) + 1),
+           j -> (qc[j] - c.c[j]) * (qc[j] - c.c[j]))) AS dist
+  FROM q CROSS JOIN cl c WHERE c.vec_id <> query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rn <= 10 ORDER BY query_id, dist, neighbor_id
+"""
+
+
+QUERIES.update({
+    "embedding_quantize": QueryDef(embedding_quantize, EMBEDDING_QUANTIZE_SQL),
+    "knn_quantized_topk": QueryDef(knn_quantized_topk, KNN_QUANTIZED_SQL),
+})

@@ -212,3 +212,32 @@ def test_kmeans_lloyd_converges_and_is_partition_invariant(ray_session):
     for cid, grp in got1.groupby("cluster_id"):
         target = 0.0 if grp["n_points"].iloc[0] == 60 else 0.4
         assert np.allclose(grp["centroid"], target, atol=0.02)
+
+
+def test_quantize_codes_range_and_partition_invariance(ray_session):
+    import pandas as pd
+
+    from etl_ray.functions.similarity import quantize_codes, quantize_minmax
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(0, 0.3, (200, 16)).astype(np.float32)
+    X[:, 3] = 0.5  # constant dimension → code 0 everywhere
+    df = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [r for r in X],
+    })
+    for parts in (1, 6):
+        ds = rd.from_pandas(df).repartition(parts)
+        ranges = quantize_minmax(ds)
+        codes = np.stack(
+            quantize_codes(ds, ranges).to_pandas()
+            .sort_values("vec_id")["codes"].to_numpy())
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert (codes[:, 3] == 0).all()
+        # min/max rows of each dim map to the endpoints
+        for j in (0, 1, 2):
+            assert codes[X[:, j].argmin(), j] == 0
+            assert codes[X[:, j].argmax(), j] == 255
+        if parts == 1:
+            base = codes
+    assert (base == codes).all()
