@@ -5659,3 +5659,41 @@ QUERIES.update({
     "embedding_quantize": QueryDef(embedding_quantize, EMBEDDING_QUANTIZE_SQL),
     "knn_quantized_topk": QueryDef(knn_quantized_topk, KNN_QUANTIZED_SQL),
 })
+
+
+# --- zone-map pruned range read -------------------------------------------------
+
+def cdc_recent_state(sf_dir: str):
+    """Range read with zone-map pruning — "give me the rows committed in
+    [lo, hi]" answered without scanning the lake: parquet-footer min/max
+    statistics skip whole files/chains, a dataset filter prunes row
+    groups, and a vectorized row filter makes the bound exact
+    (`ReplayEngine.final_state(commit_seq_range=...)`). The serving
+    primitive behind incremental consumers that poll "what changed since
+    commit X" when the changefeed is off."""
+    eng = _run_doc_replay(sf_dir, variant="-zone")
+    lo = 2500
+    return eng.final_state(
+        columns=["repo", "path", "commit_seq", "lang", "content_sha256"],
+        commit_seq_range=(lo, None),
+    ).to_pandas()
+
+
+CDC_RECENT_STATE_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v'
+           || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256
+FROM fin WHERE commit_seq >= 2500
+"""
+
+
+QUERIES.update({
+    "cdc_recent_state": QueryDef(cdc_recent_state, CDC_RECENT_STATE_SQL),
+})

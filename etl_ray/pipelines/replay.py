@@ -131,6 +131,46 @@ _CHANGES_EMPTY = pa.schema(
 ).empty_table()
 
 
+
+def prune_files_by_stats(
+    files: list[str], col: str, lo, hi
+) -> list[str]:
+    """Zone-map pruning from parquet FOOTERS: drop files whose row-group
+    min/max statistics for ``col`` prove no row can lie in [lo, hi]
+    (either bound None = unbounded). The footer IS the zone map — no
+    write-path sidecar to maintain, and the check is O(files) metadata
+    reads (same cost class as the ragged-schema footer check). A file
+    with no statistics for the column is conservatively kept; an empty
+    file is dropped. Reference analog: monthly RANGE partition pruning
+    (etl/insert/ensure_partitions.py) generalized to any stats column.
+    """
+    import pyarrow.parquet as _pq
+
+    kept = []
+    for f in files:
+        md = _pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        keep = False
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            st = None
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max:
+                keep = True  # no stats → cannot prune
+                break
+            if (hi is None or st.min <= hi) and (lo is None or st.max >= lo):
+                keep = True
+                break
+        if keep:
+            kept.append(f)
+    return kept
+
+
 @ray.remote
 def _stage_rejects_task(path: str, out_path: str, ckpt_id: int):
     """Quarantine one log segment's invalid rows into a staged DLQ file.
@@ -1262,12 +1302,23 @@ class ReplayEngine:
         return t
 
     def final_state(
-        self, columns: list[str] | None = None, as_of: int | None = None
+        self, columns: list[str] | None = None, as_of: int | None = None,
+        commit_seq_range: tuple[int | None, int | None] | None = None,
     ) -> rd.Dataset:
         """The lake's live rows as a streaming Dataset.
 
         Column pruning is pushed into the parquet read (only the
         requested columns + the tombstone flag leave storage).
+
+        ``commit_seq_range=(lo, hi)`` (either bound None = open): only
+        live rows whose commit_seq lies in the range. Pushed down THREE
+        levels: (1) whole files/chains are skipped via parquet-footer
+        zone maps (``prune_files_by_stats`` — a chain is skipped only
+        when every file in it excludes the range, which is sound
+        because a folded row's commit_seq is always one of the chain's
+        stored values), (2) a pyarrow dataset filter prunes row groups
+        inside the flat read, (3) a vectorized row filter makes the
+        bound exact on every path.
 
         ``as_of``: TIME TRAVEL — read the state exactly as committed at
         an earlier checkpoint id, without moving the current pointer.
@@ -1291,9 +1342,41 @@ class ReplayEngine:
         ]
         if not flat_files and not chained:
             raise ValueError("empty lake: no partitions committed yet")
+        cs_lo = cs_hi = None
+        if commit_seq_range is not None:
+            cs_lo, cs_hi = commit_seq_range
+            pruned_flat = prune_files_by_stats(
+                flat_files, "commit_seq", cs_lo, cs_hi)
+            pruned_chained = [
+                files for files in chained
+                if prune_files_by_stats(files, "commit_seq", cs_lo, cs_hi)
+            ]
+            if pruned_flat or pruned_chained:
+                flat_files, chained = pruned_flat, pruned_chained
+            else:
+                # nothing can match: return a TYPED empty dataset built
+                # from one footer schema (a filtered read would come back
+                # as Ray's columnless empty blocks and lose the schema)
+                import pyarrow.parquet as _pqz
+
+                src = flat_files[0] if flat_files else chained[0][0]
+                sch = _pqz.read_schema(src)
+
+                def _etype(c: str) -> pa.DataType:
+                    if sch.get_field_index(c) >= 0:
+                        return sch.field(c).type
+                    return pa.type_for_alias(
+                        m.payload_types.get(c, "string"))
+
+                out_cols = columns or [
+                    c for c in sch.names if c != "deleted"]
+                return rd.from_arrow(pa.table(
+                    {c: pa.array([], _etype(c)) for c in out_cols}))
         read_cols = None
         if columns:
             read_cols = list(dict.fromkeys([*columns, "deleted"]))
+            if commit_seq_range is not None:
+                read_cols = list(dict.fromkeys([*read_cols, "commit_seq"]))
         parts_ds = []
         if flat_files:
             # schema evolution can leave the lake's flat files RAGGED: a
@@ -1331,7 +1414,16 @@ class ReplayEngine:
                 uniform = flat_files
             ragged = [f for f in flat_files if f not in set(uniform)]
             if uniform:
-                parts_ds.append(rd.read_parquet(uniform, columns=want))
+                flt = None
+                if commit_seq_range is not None:
+                    import pyarrow.dataset as _pds
+
+                    flt = _pds.field("commit_seq") >= (
+                        cs_lo if cs_lo is not None else -(1 << 62))
+                    if cs_hi is not None:
+                        flt = flt & (_pds.field("commit_seq") <= cs_hi)
+                parts_ds.append(
+                    rd.read_parquet(uniform, columns=want, filter=flt))
             if ragged:
                 fill_types = {
                     n: pa.type_for_alias(t) for n, t in m.payload_types.items()
@@ -1410,11 +1502,21 @@ class ReplayEngine:
         ds = parts_ds[0]
         for extra in parts_ds[1:]:
             ds = ds.union(extra)
-        ds = ds.map_batches(
-            lambda t: t.filter(pc.invert(pc.fill_null(t.column("deleted"), False))),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        def _live(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(pc.fill_null(t.column("deleted"), False)))
+            if commit_seq_range is not None:
+                cs = t.column("commit_seq")
+                mask = None
+                if cs_lo is not None:
+                    mask = pc.greater_equal(cs, cs_lo)
+                if cs_hi is not None:
+                    hi_mask = pc.less_equal(cs, cs_hi)
+                    mask = hi_mask if mask is None else pc.and_(mask, hi_mask)
+                if mask is not None:
+                    t = t.filter(mask)
+            return t
+
+        ds = ds.map_batches(_live, batch_format="pyarrow", zero_copy_batch=True)
         if columns:
             ds = ds.select_columns(columns)
         return ds
