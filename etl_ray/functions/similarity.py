@@ -506,6 +506,8 @@ def kmeans_lloyd(
                            zero_copy_batch=True).to_arrow_refs())
         if t.num_rows
     ]
+    if not parts:
+        raise ValueError("kmeans_lloyd: empty input dataset")
     init = pa.concat_tables(parts)
     order = np.argsort(init.column("_id").to_numpy(zero_copy_only=False),
                        kind="stable")[:k]
@@ -534,10 +536,9 @@ def kmeans_lloyd(
             Xs = X * scale
             # (n, k, d) int64 — exact; batch × k × d bounded by batch_size
             d2 = ((Xs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-            best = ids_c[np.argmin(d2, axis=1)]  # first min = smallest cid
+            pos = np.argmin(d2, axis=1)  # first min = smallest cid
             kk, d = len(cen), X.shape[1]
             S = np.zeros((kk, d), dtype=np.int64)
-            pos = np.searchsorted(ids_c, best)
             np.add.at(S, pos, X)
             n = np.bincount(pos, minlength=kk).astype(np.int64)
             return pa.table({
@@ -567,10 +568,9 @@ def kmeans_lloyd(
             # it+1's centroids to integers so its distances stay exact
             mean_milli = folded["s"].to_numpy() / folded["n"].to_numpy()
             micro = round_half_away(mean_milli * 1000.0, 0).astype(np.int64)
-            cids = folded["cid"].to_numpy()[:: int(folded["dim"].max())]
             d = int(folded["dim"].max())
             C = micro.reshape(-1, d)
-            cids = np.ascontiguousarray(cids[: len(C)]).astype(np.int64)
+            cids = folded["cid"].to_numpy()[::d].astype(np.int64)
 
     out = stats.copy()
     out["centroid"] = round_half_away(
@@ -609,6 +609,8 @@ def quantize_minmax(ds: rd.Dataset) -> np.ndarray:
                            zero_copy_batch=True).to_arrow_refs())
         if t.num_rows
     ]
+    if not parts:
+        return np.empty((0, 2), dtype=np.float64)
     df = pa.concat_tables(parts).to_pandas()
     g = df.groupby("dim", sort=True).agg(mn=("mn", "min"), mx=("mx", "max"))
     return np.stack([g["mn"].to_numpy(), g["mx"].to_numpy()], axis=1)

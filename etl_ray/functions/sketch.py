@@ -640,6 +640,21 @@ def hll_distinct(ds: rd.Dataset, key_col: str):
     return grouped_by_bucket(combined, "_sb", 1, final).to_pandas()
 
 
+def fmix32_sql(inner: str, cols: list[str]) -> str:
+    """SQL replica of :func:`_fmix32` over subquery ``inner``, which must
+    yield the carried columns ``cols`` plus ``h0`` (= key % 4294967296,
+    non-negative). Returns a SELECT producing cols + ``hv``. ONE owner
+    for the xor/multiply constants — every fmix32-based oracle (HLL,
+    late events, reservoir sample) composes this builder, so the chain
+    can never drift from the engine's constants."""
+    pre = (", ".join(cols) + ", ") if cols else ""
+    return f"""SELECT {pre}CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
+    SELECT {pre}CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
+                % 4294967296 AS BIGINT) AS h4 FROM (
+      SELECT {pre}CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
+                  % 4294967296 AS BIGINT) AS h2 FROM ({inner})))"""
+
+
 def hll_sql(table: str, key_col: str) -> str:
     """DuckDB replica of :func:`hll_distinct` — identical hash, register
     split (integer div/mod = shift/mask for power-of-two), exact
@@ -648,14 +663,11 @@ def hll_sql(table: str, key_col: str) -> str:
     m, wbits = _HLL_M, _HLL_WBITS
     wmod = 1 << wbits
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    fm = fmix32_sql(
+        f"SELECT DISTINCT {key_col} % 4294967296 AS h0 FROM {table}", [])
     return f"""
 WITH h AS (
-  SELECT DISTINCT CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
-    SELECT CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h4 FROM (
-      SELECT CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
-                  % 4294967296 AS BIGINT) AS h2 FROM (
-        SELECT DISTINCT {key_col} % 4294967296 AS h0 FROM {table})))
+  SELECT DISTINCT hv FROM ({fm})
 ), reg AS (
   SELECT hv // {wmod} AS idx,
          max(CASE WHEN hv % {wmod} = 0 THEN {wbits} + 1

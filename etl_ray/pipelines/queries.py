@@ -4917,18 +4917,17 @@ def late_events(sf_dir: str):
         "event_id", ignore_index=True)
 
 
-LATE_EVENTS_SQL = f"""
+def _late_events_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT event_id, user_id, epoch_us(ts) AS tsu, "
+        "event_id % 4294967296 AS h0 FROM events",
+        ["event_id", "user_id", "tsu"],
+    )
+    return f"""
 WITH f AS (
-  SELECT event_id, user_id, tsu,
-         CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
-    SELECT event_id, user_id, tsu,
-           CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h4 FROM (
-      SELECT event_id, user_id, tsu,
-             CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
-                  % 4294967296 AS BIGINT) AS h2 FROM (
-        SELECT event_id, user_id, epoch_us(ts) AS tsu,
-               event_id % 4294967296 AS h0 FROM events)))
+  {fm}
 ), a AS (
   SELECT event_id, user_id, tsu,
          event_id + (hv % {_JITTER_SLOTS}) - {_JITTER_SLOTS // 2} AS apos
@@ -4946,7 +4945,7 @@ FROM w ORDER BY event_id
 """
 
 
-QUERIES.update({"late_events": QueryDef(late_events, LATE_EVENTS_SQL)})
+QUERIES.update({"late_events": QueryDef(late_events, _late_events_sql())})
 
 
 # --- fixed-size per-key reservoir sample --------------------------------------
@@ -5011,18 +5010,17 @@ def reservoir_sample_by_lang(sf_dir: str):
         ["lang", "sample_rank"], ignore_index=True)
 
 
-RESERVOIR_SQL = f"""
+def _reservoir_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT lang, doc_id, n_chars, doc_id % 4294967296 AS h0"
+        " FROM documents",
+        ["lang", "doc_id", "n_chars"],
+    )
+    return f"""
 WITH f AS (
-  SELECT lang, doc_id, n_chars,
-         CAST(xor(h4, h4 // 65536) AS BIGINT) AS hv FROM (
-    SELECT lang, doc_id, n_chars,
-           CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT) * 3266489909)
-                % 4294967296 AS BIGINT) AS h4 FROM (
-      SELECT lang, doc_id, n_chars,
-             CAST((CAST(xor(h0, h0 // 65536) AS HUGEINT) * 2246822507)
-                  % 4294967296 AS BIGINT) AS h2 FROM (
-        SELECT lang, doc_id, n_chars, doc_id % 4294967296 AS h0
-        FROM documents)))
+  {fm}
 ), r AS (
   SELECT lang, doc_id, n_chars,
          CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id)
@@ -5036,11 +5034,46 @@ ORDER BY lang, sample_rank
 
 
 QUERIES.update({
-    "reservoir_sample_by_lang": QueryDef(reservoir_sample_by_lang, RESERVOIR_SQL),
+    "reservoir_sample_by_lang": QueryDef(reservoir_sample_by_lang,
+                                         _reservoir_sql()),
 })
 
 
 # --- CDC snapshot diff: reconcile two checkpoints ------------------------------
+
+_DIFF_SEP = "\x1f"
+
+
+def _state_sha_diff(eng, n_buckets: int):
+    """Full-outer sha-level diff of the lake at checkpoint 0 vs current:
+    ONE outer `shuffle_join` exchange over (key = repo␟path, sha) rows
+    streamed from both manifest snapshots. Shared by the snapshot-diff
+    gate and the incremental signature maintenance — one owner for the
+    churn-discovery shape."""
+    from etl_ray.stages.joins import shuffle_join
+
+    def keyed(tag):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return pa.table({"key": pa.array([], pa.string()),
+                                 tag: pa.array([], pa.string())})
+            key = pc.binary_join_element_wise(
+                t.column("repo"), t.column("path"), _DIFF_SEP)
+            return pa.table({"key": key, tag: t.column("content_sha256")})
+        return fn
+
+    cols = ["repo", "path", "content_sha256"]
+    return shuffle_join(
+        eng.final_state(columns=cols, as_of=0).map_batches(
+            keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True),
+        eng.final_state(columns=cols).map_batches(
+            keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True),
+        on="key", how="outer",
+        schemas=(pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
+                 pa.schema([("key", pa.string()), ("new_sha", pa.string())])),
+        n_buckets=n_buckets,
+    )
+
 
 def cdc_snapshot_diff(sf_dir: str):
     """Snapshot reconciliation — diff the lake state at checkpoint 0
@@ -5057,35 +5090,10 @@ def cdc_snapshot_diff(sf_dir: str):
     rows on either side are exactly the adds/removes. No driver
     materialization until the final (diff-sized) result.
     """
-    from etl_ray.stages.joins import shuffle_join
-
     eng = _run_doc_replay(sf_dir, variant="-diff")
     assert eng.store.current().checkpoint_id == 1
-    cols = ["repo", "path", "content_sha256"]
-    sep = "\x1f"
-
-    def keyed(tag):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or not t.column_names:
-                return pa.table({"key": pa.array([], pa.string()),
-                                 tag: pa.array([], pa.string())})
-            key = pc.binary_join_element_wise(
-                t.column("repo"), t.column("path"), sep)
-            return pa.table({"key": key, tag: t.column("content_sha256")})
-        return fn
-
-    old = eng.final_state(columns=cols, as_of=0).map_batches(
-        keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True)
-    new = eng.final_state(columns=cols).map_batches(
-        keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True)
-    joined = shuffle_join(
-        old, new, on="key", how="outer",
-        schemas=(
-            pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
-            pa.schema([("key", pa.string()), ("new_sha", pa.string())]),
-        ),
-        n_buckets=_buckets_for(sf_dir, "documents"),
-    )
+    sep = _DIFF_SEP
+    joined = _state_sha_diff(eng, _buckets_for(sf_dir, "documents"))
 
     empty_out = pa.table({
         "repo": pa.array([], pa.string()),
@@ -5103,7 +5111,7 @@ def cdc_snapshot_diff(sf_dir: str):
         change = np.where(old_s.isna(), "added",
                           np.where(new_s.isna(), "removed", "changed"))
         keep = old_s.isna() | new_s.isna() | (old_s != new_s)
-        parts = pc.split_pattern(t.column("key"), sep)
+        parts = pc.split_pattern(t.column("key"), sep, max_splits=1)
         return pa.table({
             "repo": pc.list_element(parts, 0),
             "path": pc.list_element(parts, 1),
@@ -5358,7 +5366,7 @@ def cdc_incremental_sigs(sf_dir: str):
     """
     mh = F_dedup.MinHashStage()  # constants shared with the SQL oracle
     n_perm = mh.n_perm
-    sep = "\x1f"
+    sep = _DIFF_SEP
 
     eng = _run_doc_replay(sf_dir, variant="-incsig")
     assert eng.store.current().checkpoint_id == 1
@@ -5385,29 +5393,7 @@ def cdc_incremental_sigs(sf_dir: str):
 
     # --- churn discovery: sha-level diff of the two snapshots (driver
     # holds only the churned keys — window-bounded, never the corpus)
-    def sha_keyed(tag):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or not t.column_names:
-                return pa.table({"key": pa.array([], pa.string()),
-                                 tag: pa.array([], pa.string())})
-            key = pc.binary_join_element_wise(
-                t.column("repo"), t.column("path"), sep)
-            return pa.table({"key": key, tag: t.column("content_sha256")})
-        return fn
-
-    from etl_ray.stages.joins import shuffle_join
-
-    sha_cols = ["repo", "path", "content_sha256"]
-    diff = shuffle_join(
-        eng.final_state(columns=sha_cols, as_of=0).map_batches(
-            sha_keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True),
-        eng.final_state(columns=sha_cols).map_batches(
-            sha_keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True),
-        on="key", how="outer",
-        schemas=(pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
-                 pa.schema([("key", pa.string()), ("new_sha", pa.string())])),
-        n_buckets=_buckets_for(sf_dir, "documents"),
-    )
+    diff = _state_sha_diff(eng, _buckets_for(sf_dir, "documents"))
 
     def churn_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
@@ -5582,18 +5568,21 @@ def knn_quantized_topk(sf_dir: str):
     codes = F_sim.quantize_codes(ds, ranges)
     k = 10
 
-    def q_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or not t.column_names:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.list_(pa.int64()))})
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids < 5))
+    # query codes from a SEPARATE predicate-pushdown read (row groups
+    # outside vec_id<5 never leave storage) — the corpus `codes` stream
+    # is then consumed exactly once, by the scan pass
+    import pyarrow.dataset as _pds
 
+    q_ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filter=_pds.field("vec_id") < 5)
     q_parts = [
-        t for t in ray.get(codes.map_batches(
-            q_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()) if t.num_rows
+        t for t in ray.get(
+            F_sim.quantize_codes(q_ds, ranges).to_arrow_refs())
+        if t.num_rows
     ]
+    if not q_parts:
+        raise ValueError("knn_quantized_topk: no query vectors (vec_id < 5)")
     qt = pa.concat_tables(q_parts)
     q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
     q_mat = np.stack(qt.column("codes").to_pandas().to_numpy())

@@ -1368,8 +1368,12 @@ class ReplayEngine:
                     return pa.type_for_alias(
                         m.payload_types.get(c, "string"))
 
-                out_cols = columns or [
-                    c for c in sch.names if c != "deleted"]
+                # mirror a non-empty read's schema: columns when pruned,
+                # else footer names ∪ evolved payload columns (incl.
+                # 'deleted' — the non-empty path keeps it when
+                # columns=None)
+                out_cols = columns or list(dict.fromkeys(
+                    [*sch.names, *m.payload_types.keys()]))
                 return rd.from_arrow(pa.table(
                     {c: pa.array([], _etype(c)) for c in out_cols}))
         read_cols = None

@@ -131,8 +131,9 @@ def shuffle_join(
     once to build the unified tagged layout (null-filled columns for the
     other side).
     "outer" emits unmatched rows of BOTH sides (the reconciliation /
-    snapshot-diff shape) — correctness per bucket is free because a
-    key's rows land in exactly one bucket on both sides.
+    snapshot-diff shape) — per-bucket correctness holds because a key's
+    rows land in exactly one bucket on both sides; salting breaks that
+    invariant for unmatched rows, so outer + salt_threshold is rejected.
 
     "semi" keeps left rows whose key appears on the right; "anti" keeps
     left rows whose key does NOT (the reference's NOT-IN backfill scans,
@@ -154,6 +155,13 @@ def shuffle_join(
     ``left``; swap the call if the right side is the skewed one.
     """
     b = n_buckets or default_buckets()
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if how == "outer" and salt_threshold is not None:
+        # salting replicates hot right rows across salt buckets; an outer
+        # merge would emit the replicas in salt buckets with no left rows
+        # as phantom unmatched rows (and the matched copy elsewhere)
+        raise ValueError("salt_threshold is not supported with how='outer'")
     # .schema() on a transformed Dataset forces a limit(1) partial
     # execution (~0.5-1.5 s each on this VM) — callers that know their
     # schemas pass them explicitly
@@ -167,8 +175,6 @@ def shuffle_join(
         # right rows into buckets that ALREADY hold a congruent replica —
         # duplicated join output. Spread cannot exceed b anyway.
         hot = {k: min(s, b) for k, s in hot.items() if s > 1}
-    if how not in ("inner", "left", "outer", "semi", "anti"):
-        raise ValueError(f"unsupported how={how!r}")
     l_fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     r_fields = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     if on not in l_fields or on not in r_fields:
