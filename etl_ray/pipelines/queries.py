@@ -5802,3 +5802,77 @@ FROM per ORDER BY doc_id
 QUERIES.update({
     "unigram_logprob_score": QueryDef(unigram_logprob_score, UNIGRAM_LP_SQL),
 })
+
+
+# --- one-pass ROLLUP grouping sets ---------------------------------------------
+
+def rollup_repo_lang(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in ONE pass — every batch's combiner
+    emits partials for ALL THREE grouping sets at once ((lang, source),
+    (lang), ()) with a sentinel level column, so one exchange produces
+    the whole rollup cube slice; the reference computes its multi-level
+    heatmap cascade as separate sequential groupbys per level
+    (etl/rollup/apply_rollups.py:59-135) — this is the fused shape.
+    Sentinel '(all)' marks rolled-up columns (DuckDB's NULL marker is
+    normalized identically on both sides so the hash gate can compare).
+    """
+    docs = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    ALL = "(all)"
+
+    empty_part = pa.table({
+        "lvl": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "sum_chars": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_part
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pandas(),
+            "source": t.column("source").to_pandas(),
+            "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
+        })
+        outs = []
+        g2 = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        g2.insert(0, "lvl", 2)
+        outs.append(g2)
+        g1 = df.groupby(["lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        g1.insert(0, "lvl", 1)
+        g1["source"] = ALL
+        outs.append(g1[["lvl", "lang", "source", "n_docs", "sum_chars"]])
+        g0 = pd.DataFrame({"lvl": [0], "lang": [ALL], "source": [ALL],
+                           "n_docs": [len(df)],
+                           "sum_chars": [int(df["n_chars"].sum())]})
+        outs.append(g0)
+        out = pd.concat(outs, ignore_index=True)
+        out["lvl"] = out["lvl"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = F_agg.grouped_sum(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lvl", "lang", "source"], empty_part,
+    )
+    return res.sort_values(["lvl", "lang", "source"], ignore_index=True)
+
+
+ROLLUP_SQL = """
+SELECT CAST(CASE WHEN lang IS NULL THEN 0
+            WHEN source IS NULL THEN 1 ELSE 2 END AS BIGINT) AS lvl,
+       COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+ORDER BY lvl, lang, source
+"""
+
+
+QUERIES.update({"rollup_repo_lang": QueryDef(rollup_repo_lang, ROLLUP_SQL)})
