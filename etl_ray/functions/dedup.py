@@ -252,6 +252,17 @@ def candidate_pairs_partition(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
+def containment(text_a: str, text_b: str, k: int = 5) -> float:
+    """Asymmetric containment |A∩B| / |A| over k-token shingle sets —
+    detects b SUBSUMING a (quotes, boilerplate, doc+appendix), which
+    symmetric Jaccard under-scores. Vacuously 1.0 when A is empty."""
+    a = set(_shingle_hashes(text_a, k).tolist())
+    b = set(_shingle_hashes(text_b, k).tolist())
+    if not a:
+        return 1.0
+    return len(a & b) / len(a)
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact k-token-shingle Jaccard — the verification kernel."""
     sa = set(_shingle_hashes(text_a, k).tolist())
@@ -343,6 +354,7 @@ def _verify_pairs_bucketed(
     threshold: float,
     id_col: str,
     n_buckets: int,
+    metric: str = "jaccard",
 ) -> rd.Dataset:
     """Exact-Jaccard verify of candidate (a, b) pairs WITHOUT broadcasting
     corpus text: texts are pruned to candidate ids (ids-only broadcast),
@@ -383,7 +395,7 @@ def _verify_pairs_bucketed(
     if not id_tables or sum(t.num_rows for t in id_tables) == 0:
         return rd.from_arrow(
             pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+                      metric: pa.array([], pa.float64())})
         )
     wanted = pc.unique(pa.concat_tables(id_tables).column("id").combine_chunks())
     wanted_ref = ray.put(wanted)
@@ -459,17 +471,19 @@ def _verify_pairs_bucketed(
     with_a = join_side("a", pairs, "text_a", ["a", "b"])
     with_ab = join_side("b", with_a, "text_b", ["a", "b", "text_a"])
 
+    metric_fn = {"jaccard": jaccard, "containment": containment}[metric]
+
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         from etl_ray.functions.rounding import round_half_away
 
         js = [
-            jaccard(ta, tb, k)
+            metric_fn(ta, tb, k)
             for ta, tb in zip(batch["text_a"], batch["text_b"])
         ]
         batch = batch.copy()
-        batch["jaccard"] = round_half_away(np.asarray(js, dtype=np.float64), 6)
-        batch = batch[batch["jaccard"] >= threshold]
-        out = batch[["a", "b", "jaccard"]].copy()
+        batch[metric] = round_half_away(np.asarray(js, dtype=np.float64), 6)
+        batch = batch[batch[metric] >= threshold]
+        out = batch[["a", "b", metric]].copy()
         # the union-join null-fills turned the id columns float — restore
         out["a"] = out["a"].astype("int64")
         out["b"] = out["b"].astype("int64")

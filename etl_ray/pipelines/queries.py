@@ -5876,3 +5876,73 @@ ORDER BY lvl, lang, source
 
 
 QUERIES.update({"rollup_repo_lang": QueryDef(rollup_repo_lang, ROLLUP_SQL)})
+
+
+# --- asymmetric containment pairs ----------------------------------------------
+
+def containment_pairs(sf_dir: str):
+    """Asymmetric containment |A∩B| / |A| over the planted pair domain —
+    detects b SUBSUMING a (the planted dup is the base doc + trailing
+    tokens, so containment(a→b) = 1.0 while Jaccard < 1): the signal
+    dedup pipelines use for quotes / boilerplate / doc+appendix that
+    symmetric Jaccard under-scores. Same bucketed pair⋈text join as the
+    Jaccard verify (functions/dedup.py:_verify_pairs_bucketed,
+    metric="containment"), no text broadcast."""
+    docs = _docs_with_dups(sf_dir)
+
+    def planted(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        base = t.filter(pa.array(ids % 10 == 0))
+        a = base.column("doc_id").cast(pa.int64())
+        return pa.table({"a": a, "b": pc.add(a, 100000)})
+
+    pairs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        planted, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = F_dedup._verify_pairs_bucketed(
+        docs, pairs.materialize(), k=3, threshold=-1.0, id_col="doc_id",
+        n_buckets=_buckets_for(sf_dir, "documents"), metric="containment",
+    )
+    return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
+CONTAINMENT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM all_docs
+), sgl AS (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(th) = 1 THEN [th[1]]
+         WHEN len(th) = 2 THEN [(th[1] * 31 + th[2]) % 4294967296]
+         ELSE list_transform(range(1, len(th) - 1),
+                i -> ((th[i] * 31 + th[i+1]) % 4294967296 * 31 + th[i+2]) % 4294967296)
+    END AS sh
+  FROM d
+), p AS (
+  SELECT doc_id AS a, doc_id + 100000 AS b
+  FROM documents WHERE doc_id % 10 = 0
+), v AS (
+  SELECT p.a, p.b,
+    list_distinct(xa.sh) AS da, list_distinct(xb.sh) AS db
+  FROM p JOIN sgl xa ON xa.doc_id = p.a JOIN sgl xb ON xb.doc_id = p.b
+)
+SELECT a, b,
+  round(CASE WHEN len(da) = 0 THEN 1.0
+             ELSE len(list_filter(da, x -> list_contains(db, x))) * 1.0
+                  / len(da) END, 6) AS containment
+FROM v ORDER BY a, b
+"""
+
+
+QUERIES.update({"containment_pairs": QueryDef(containment_pairs, CONTAINMENT_SQL)})

@@ -179,3 +179,15 @@ def test_cosine_normalize_handles_zero_vectors():
     m = _normalize(np.array([[0.0, 0.0], [3.0, 4.0]]))
     assert np.allclose(m[1], [0.6, 0.8])
     assert np.allclose(m[0], [0.0, 0.0])
+
+
+def test_containment_asymmetric_vs_jaccard():
+    from etl_ray.functions.dedup import containment, jaccard
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = a + " eta theta iota kappa"
+    # b subsumes a: containment(a→b) is total, jaccard is not
+    assert containment(a, b, k=3) == 1.0
+    assert containment(b, a, k=3) < 1.0
+    assert jaccard(a, b, k=3) < 1.0
+    assert containment("", b, k=3) == 1.0  # vacuous
