@@ -5946,3 +5946,127 @@ FROM v ORDER BY a, b
 
 
 QUERIES.update({"containment_pairs": QueryDef(containment_pairs, CONTAINMENT_SQL)})
+
+
+# --- complex-event pattern matching ---------------------------------------------
+
+def event_pattern_counts(sf_dir: str):
+    """MATCH_RECOGNIZE-style pattern scan: per user, count occurrences
+    of view → view → purchase with NO intervening event between the
+    steps (contiguous in the user's (ts, event_id) order) — the
+    complex-event-processing operator streaming engines expose. ONE
+    bucketed exchange per user; inside the partition the user's ordered
+    event types collapse to a 1-char-per-event string and a compiled
+    regex counts matches ('vvp' cannot self-overlap, so non-overlapping
+    counting is total) — both engines share the encoding and the
+    pattern, so counts hash-gate exactly.
+    Reference analog: the stop-detection state machine (SURVEY K5)
+    generalized from a hand-rolled scan to a declarative pattern."""
+    import re as _re
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    code = {"view": "v", "click": "c", "purchase": "p",
+            "signup": "s", "error": "e"}
+    pat = _re.compile("vvp")
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "ts": t.column("ts").to_numpy(zero_copy_only=False),
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+            "sym": t.column("event_type").to_pandas().map(code),
+        }).sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = df.groupby("user_id", sort=False)["sym"]
+        seqs = g.agg("".join)
+        out = pd.DataFrame({
+            "user_id": seqs.index.to_numpy(),
+            "n_events": g.size().to_numpy().astype(np.int64),
+            "n_matches": np.array(
+                [len(pat.findall(s)) for s in seqs], dtype=np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = bucketed_groups(ev, "user_id", scan,
+                          n_buckets=_buckets_for(sf_dir, "events"))
+    return to_pandas_typed(out, empty).sort_values(
+        "user_id", ignore_index=True)
+
+
+EVENT_PATTERN_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                    ELSE 'e' END, '' ORDER BY ts, event_id) AS seq,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vvp')) AS BIGINT) AS n_matches
+FROM s ORDER BY user_id
+"""
+
+
+def ntile_events(sf_dir: str):
+    """Per-key NTILE(4) — each user's events split into value quartiles
+    (SQL window-function semantics: earlier tiles take the remainder).
+    One bucketed exchange + a vectorized per-partition pass: lexsort by
+    (user, milli-value, id) then tile = floor(rank*4/n) with SQL's
+    remainder distribution, computed from cumcounts — no per-key Python
+    dispatch."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64()),
+                      "tile": pa.array([], pa.int64())})
+
+    def tiles(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0, 0
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+            "vm": vm,
+        }).sort_values(["user_id", "vm", "event_id"], kind="stable")
+        n = df.groupby("user_id", sort=False)["vm"].transform("size").to_numpy()
+        r = df.groupby("user_id", sort=False).cumcount().to_numpy()
+        # SQL NTILE(k): first (n % k) tiles get ceil(n/k) rows, rest floor
+        k = 4
+        big, rem = n // k, n % k
+        cutoff = rem * (big + 1)
+        tile = np.where(r < cutoff,
+                        r // np.maximum(big + 1, 1),
+                        rem + (r - cutoff) // np.maximum(big, 1)) + 1
+        df["tile"] = np.minimum(tile, k).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["user_id", "event_id", "tile"]], preserve_index=False)
+
+    out = bucketed_groups(ev, "user_id", tiles,
+                          n_buckets=_buckets_for(sf_dir, "events"))
+    return to_pandas_typed(out, empty).sort_values(
+        ["user_id", "event_id"], ignore_index=True)
+
+
+NTILE_SQL = """
+SELECT user_id, event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+            ORDER BY CAST(round(value * 1000, 0) AS BIGINT), event_id)
+            AS BIGINT) AS tile
+FROM events ORDER BY user_id, event_id
+"""
+
+
+QUERIES.update({
+    "event_pattern_counts": QueryDef(event_pattern_counts, EVENT_PATTERN_SQL),
+    "ntile_events": QueryDef(ntile_events, NTILE_SQL),
+})
