@@ -6070,3 +6070,84 @@ QUERIES.update({
     "event_pattern_counts": QueryDef(event_pattern_counts, EVENT_PATTERN_SQL),
     "ntile_events": QueryDef(ntile_events, NTILE_SQL),
 })
+
+
+# --- weighted sample (Efraimidis–Spirakis) --------------------------------------
+
+_WSAMPLE_K = 16
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): inclusion probability ∝ n_chars — the "sample long/high-
+    quality docs more" primitive of training-data curation. Rank =
+    −ln(u)/w with u a deterministic fmix32 uniform in (0, 1]; the k
+    smallest ranks win. The keep-k partial is associative and bounded
+    (k rows per block), merged by one single-group reduce — never a
+    global sort. Ranks are rounded to 9 dp on both engines before
+    ranking (ties broken by doc_id), so the gate hash-compares the
+    selection AND the ranks."""
+    from etl_ray.functions.sketch import _fmix32
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    k = _WSAMPLE_K
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "rk": pa.array([], pa.float64()),
+                      "_sb": pa.array([], pa.int32())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_fmix32(ids).astype(np.float64) + 1.0) / 4294967296.0
+        rk = round_half_away(-np.log(u) / w, 9)
+        df = pd.DataFrame({"doc_id": ids, "n_chars": t.column(
+            "n_chars").to_numpy(zero_copy_only=False), "rk": rk})
+        df = df.sort_values(["rk", "doc_id"], kind="stable").head(k)
+        df["_sb"] = np.zeros(len(df), np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["rk", "doc_id"], kind="stable").head(k)
+        return pa.Table.from_pandas(
+            df[["doc_id", "n_chars", "rk"]], preserve_index=False)
+
+    from etl_ray.stages.keyed import grouped_by_bucket
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = grouped_by_bucket(partials, "_sb", 1, final,
+                            empty_table=final(empty))
+    return to_pandas_typed(out, final(empty)).sort_values(
+        ["rk", "doc_id"], ignore_index=True)
+
+
+def _weighted_sample_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT doc_id, n_chars, doc_id % 4294967296 AS h0 FROM documents",
+        ["doc_id", "n_chars"],
+    )
+    return f"""
+WITH f AS (
+  {fm}
+), r AS (
+  SELECT doc_id, n_chars,
+         round(-ln((hv + 1) / 4294967296.0) / n_chars, 9) AS rk
+  FROM f
+), s AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rk, doc_id) AS rn FROM r
+)
+SELECT doc_id, n_chars, rk FROM s WHERE rn <= {_WSAMPLE_K}
+ORDER BY rk, doc_id
+"""
+
+
+QUERIES.update({
+    "weighted_sample_docs": QueryDef(weighted_sample_docs,
+                                     _weighted_sample_sql()),
+})

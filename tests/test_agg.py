@@ -219,3 +219,31 @@ def test_reservoir_sample_fixed_size_and_partition_invariant(ray_session, tmp_pa
     assert sizes["big"] == _RESERVOIR_N
     assert sizes["tiny"] == 5  # group smaller than n → whole group
     assert got["sample_rank"].le(_RESERVOIR_N).all()
+
+
+def test_weighted_sample_biased_toward_weight(ray_session, tmp_path):
+    """A-ES: heavy items are sampled far above their count share, and
+    the selection is partition-invariant."""
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import _WSAMPLE_K, weighted_sample_docs
+
+    n = 2000
+    w = np.where(np.arange(n) < 100, 50_000, 10).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": w,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   sf / "documents.parquet")
+    got = weighted_sample_docs(str(sf))
+    assert len(got) == _WSAMPLE_K
+    # heavy docs are 5% of rows but ~99.6% of weight: expect near-total
+    heavy = (got["doc_id"] < 100).sum()
+    assert heavy >= _WSAMPLE_K - 2
+    assert got["rk"].is_monotonic_increasing
