@@ -94,3 +94,11 @@ def test_shuffle_join_outer_keeps_both_sides(ray_session):
     # declared integer dtypes restored (not float64-widened)
     assert str(got["lv"].dtype) == "Int64"
     assert str(got["rv"].dtype) == "Int64"
+
+
+def test_shuffle_join_outer_rejects_salting(ray_session):
+    left = pd.DataFrame({"k": [1], "lv": [1]})
+    right = pd.DataFrame({"k": [1], "rv": [2]})
+    with pytest.raises(ValueError, match="salt_threshold"):
+        shuffle_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", how="outer", salt_threshold=10)
