@@ -114,3 +114,65 @@ def documents_as_media(batch: pa.Table) -> pa.Table:
             "meta_duration_ms": pa.array(np.zeros(n, np.int32)),
         }
     )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video row → one row per sampled frame.
+
+    Uniform sampling: n = min(max_frames, ceil(duration/1000 ms)) frames
+    at ts = i * duration // n (exact integer math — the sampling layout
+    is the contract; the per-frame pixel decode stays behind
+    ``_decode_stub`` like the other media kernels). Explode happens
+    INSIDE the stage so the wide payload column is dropped before any
+    exchange; a real decoder slots into ``__init__``/per-frame hook
+    without changing the layout.
+    """
+
+    def __init__(self, max_frames: int = 8):
+        self.max_frames = max_frames
+        # real pipeline: self.codec = open_decoder(...)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "media_id": pa.array([], pa.int64()),
+            "n_frames": pa.array([], pa.int64()),
+            "frame_idx": pa.array([], pa.int64()),
+            "frame_ts_ms": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0 or "media_id" not in batch.column_names:
+            return empty
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        dur = batch.column("meta_duration_ms").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = np.minimum(self.max_frames, -(-dur // 1000))
+        n = np.maximum(n, 1)
+        reps = n.astype(np.int64)
+        media = np.repeat(ids, reps)
+        nf = np.repeat(reps, reps)
+        idx = np.concatenate([np.arange(k, dtype=np.int64) for k in reps]) \
+            if len(reps) else np.empty(0, np.int64)
+        durs = np.repeat(dur, reps)
+        ts = idx * durs // nf
+        return pa.table({
+            "media_id": pa.array(media),
+            "n_frames": pa.array(nf),
+            "frame_idx": pa.array(idx),
+            "frame_ts_ms": pa.array(ts),
+        })
+
+
+def sample_frames(ds: rd.Dataset, max_frames: int = 8,
+                  concurrency: int = 4, batch_size: int = 256) -> rd.Dataset:
+    """Media dataset → sampled-frame dataset (payload dropped in-stage)."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(_frame_sample_task, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def _frame_sample_task(batch: pa.Table, max_frames: int = 8) -> pa.Table:
+    return FrameSampleStage(max_frames)(batch)

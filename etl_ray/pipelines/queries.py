@@ -6151,3 +6151,55 @@ QUERIES.update({
     "weighted_sample_docs": QueryDef(weighted_sample_docs,
                                      _weighted_sample_sql()),
 })
+
+
+# --- video frame sampling --------------------------------------------------------
+
+def frame_sample(sf_dir: str):
+    """Deterministic uniform frame sampling over video rows — one output
+    row per sampled frame (n = min(8, ceil(duration/1s)), ts = exact
+    integer i·dur//n), exploded INSIDE the stage so the wide payload
+    never crosses an exchange (functions/multimodal.py:FrameSampleStage;
+    the per-frame pixel decode is the documented stub, the sampling
+    layout is the gated contract). Durations derive deterministically
+    from doc_id so the oracle replays the schedule bit-for-bit."""
+    from etl_ray.functions import multimodal as F_mm2
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_video(t: pa.Table) -> pa.Table:
+        m = F_mm.documents_as_media(t)
+        ids = m.column("media_id").to_numpy(zero_copy_only=False)
+        dur = ((ids % 40) + 1) * 500  # 0.5 s – 20 s
+        return m.set_column(
+            m.column_names.index("meta_duration_ms"), "meta_duration_ms",
+            pa.array(dur.astype(np.int32)))
+
+    media = docs.map_batches(as_video, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = F_mm2.sample_frames(media, max_frames=8)
+    proto = F_mm2.FrameSampleStage(8)(pa.table({}))
+    return to_pandas_typed(out, proto).sort_values(
+        ["media_id", "frame_idx"], ignore_index=True)
+
+
+FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         ((doc_id % 40) + 1) * 500 AS dur
+  FROM documents
+), n AS (
+  SELECT media_id, dur,
+         least(8, (dur + 999) // 1000) AS n_frames
+  FROM v
+)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * dur // n_frames AS BIGINT) AS frame_ts_ms
+FROM n, unnest(range(0, n_frames)) t(i)
+ORDER BY media_id, frame_idx
+"""
+
+
+QUERIES.update({"frame_sample": QueryDef(frame_sample, FRAME_SAMPLE_SQL)})

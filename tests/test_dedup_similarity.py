@@ -241,3 +241,26 @@ def test_quantize_codes_range_and_partition_invariance(ray_session):
         if parts == 1:
             base = codes
     assert (base == codes).all()
+
+
+def test_frame_sample_layout(ray_session):
+    """Uniform frame schedule: counts follow duration, timestamps are
+    exact integer positions, short clips still yield one frame."""
+    import pandas as pd
+
+    from etl_ray.functions.multimodal import FrameSampleStage
+
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["video"] * 3),
+        "payload": pa.array([b"x", b"y", b"z"], pa.binary()),
+        "meta_width": pa.array([0, 0, 0], pa.int32()),
+        "meta_height": pa.array([0, 0, 0], pa.int32()),
+        "meta_duration_ms": pa.array([400, 2500, 20000], pa.int32()),
+    })
+    out = FrameSampleStage(8)(t).to_pandas()
+    g = out.groupby("media_id")
+    assert g.size().tolist() == [1, 3, 8]          # ceil(0.4)=1, ceil(2.5)=3, cap 8
+    m3 = out[out.media_id == 3]
+    assert m3["frame_ts_ms"].tolist() == [i * 20000 // 8 for i in range(8)]
+    assert (out.groupby("media_id")["n_frames"].nunique() == 1).all()
