@@ -106,6 +106,24 @@ def cmd_rejects(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Print the snapshot diff between two checkpoints as JSON lines
+    (added / removed / changed per key) — `ReplayEngine.diff`."""
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    ds = ReplayEngine(args.lake).diff(args.since, to_ckpt=args.until)
+    n = 0
+    for row in ds.iter_rows():
+        print(json.dumps(row, default=str))
+        n += 1
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_get(args) -> int:
     """Point-lookup one key's live row (no Ray session needed — the
     routing hash locates the single partition file)."""
@@ -300,6 +318,16 @@ def main(argv=None) -> int:
                     help="last checkpoint id (inclusive)")
     ch.add_argument("--num-cpus", type=int, default=None)
     ch.set_defaults(fn=cmd_changes)
+
+    df = sub.add_parser("diff", help="snapshot diff between two "
+                        "checkpoints (added/removed/changed per key)")
+    df.add_argument("--lake", required=True)
+    df.add_argument("--since", type=int, required=True,
+                    help="FROM checkpoint id")
+    df.add_argument("--until", type=int, default=None,
+                    help="TO checkpoint id (default: current)")
+    df.add_argument("--num-cpus", type=int, default=None)
+    df.set_defaults(fn=cmd_diff)
 
     rj = sub.add_parser("rejects", help="print the dead-letter queue "
                                         "(JSON lines)")

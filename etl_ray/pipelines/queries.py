@@ -5044,37 +5044,6 @@ QUERIES.update({
 _DIFF_SEP = "\x1f"
 
 
-def _state_sha_diff(eng, n_buckets: int):
-    """Full-outer sha-level diff of the lake at checkpoint 0 vs current:
-    ONE outer `shuffle_join` exchange over (key = repo␟path, sha) rows
-    streamed from both manifest snapshots. Shared by the snapshot-diff
-    gate and the incremental signature maintenance — one owner for the
-    churn-discovery shape."""
-    from etl_ray.stages.joins import shuffle_join
-
-    def keyed(tag):
-        def fn(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0 or not t.column_names:
-                return pa.table({"key": pa.array([], pa.string()),
-                                 tag: pa.array([], pa.string())})
-            key = pc.binary_join_element_wise(
-                t.column("repo"), t.column("path"), _DIFF_SEP)
-            return pa.table({"key": key, tag: t.column("content_sha256")})
-        return fn
-
-    cols = ["repo", "path", "content_sha256"]
-    return shuffle_join(
-        eng.final_state(columns=cols, as_of=0).map_batches(
-            keyed("old_sha"), batch_format="pyarrow", zero_copy_batch=True),
-        eng.final_state(columns=cols).map_batches(
-            keyed("new_sha"), batch_format="pyarrow", zero_copy_batch=True),
-        on="key", how="outer",
-        schemas=(pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
-                 pa.schema([("key", pa.string()), ("new_sha", pa.string())])),
-        n_buckets=n_buckets,
-    )
-
-
 def cdc_snapshot_diff(sf_dir: str):
     """Snapshot reconciliation — diff the lake state at checkpoint 0
     vs the current checkpoint and classify every key as added / removed
@@ -5084,45 +5053,23 @@ def cdc_snapshot_diff(sf_dir: str):
     rollback + reload day-diff discipline (98_rollback.sql — erase and
     recompute) replaced by an O(state) distributed compare.
 
-    Shape: both sides stream out of the lake with only (repo, path,
-    sha) columns, get a composite join key, and meet in ONE full-OUTER
-    `shuffle_join` exchange (stages/joins.py, how="outer") — unmatched
-    rows on either side are exactly the adds/removes. No driver
+    Gates the first-class engine API `ReplayEngine.diff` (CLI `diff`):
+    both sides stream out of the lake with only (repo, path, sha)
+    columns and meet in ONE full-OUTER `shuffle_join` exchange — the
+    unmatched rows are exactly the adds/removes. No driver
     materialization until the final (diff-sized) result.
     """
     eng = _run_doc_replay(sf_dir, variant="-diff")
     assert eng.store.current().checkpoint_id == 1
-    sep = _DIFF_SEP
-    joined = _state_sha_diff(eng, _buckets_for(sf_dir, "documents"))
-
-    empty_out = pa.table({
+    out = eng.diff(0, n_buckets=_buckets_for(sf_dir, "documents"))
+    proto = pa.table({
         "repo": pa.array([], pa.string()),
         "path": pa.array([], pa.string()),
         "change": pa.array([], pa.string()),
         "old_sha": pa.array([], pa.string()),
         "new_sha": pa.array([], pa.string()),
     })
-
-    def classify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or not t.column_names:
-            return empty_out
-        old_s = t.column("old_sha").to_pandas()
-        new_s = t.column("new_sha").to_pandas()
-        change = np.where(old_s.isna(), "added",
-                          np.where(new_s.isna(), "removed", "changed"))
-        keep = old_s.isna() | new_s.isna() | (old_s != new_s)
-        parts = pc.split_pattern(t.column("key"), sep, max_splits=1)
-        return pa.table({
-            "repo": pc.list_element(parts, 0),
-            "path": pc.list_element(parts, 1),
-            "change": pa.array(change),
-            "old_sha": pa.array(old_s.fillna("")),
-            "new_sha": pa.array(new_s.fillna("")),
-        }).filter(pa.array(keep.to_numpy()))
-
-    out = joined.map_batches(classify, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return to_pandas_typed(out, empty_out).sort_values(
+    return to_pandas_typed(out, proto).sort_values(
         ["repo", "path"], ignore_index=True)
 
 
@@ -5391,25 +5338,24 @@ def cdc_incremental_sigs(sf_dir: str):
     old_sigs = eng.final_state(columns=state_cols, as_of=0).map_batches(
         sig_batch, batch_format="pyarrow", zero_copy_batch=True)
 
-    # --- churn discovery: sha-level diff of the two snapshots (driver
-    # holds only the churned keys — window-bounded, never the corpus)
-    diff = _state_sha_diff(eng, _buckets_for(sf_dir, "documents"))
-
+    # --- churn discovery: the engine's snapshot diff (driver holds only
+    # the churned keys — window-bounded, never the corpus; diff rows are
+    # already classified and diff-sized by construction)
     def churn_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return pa.table({"key": pa.array([], pa.string()),
                              "gone": pa.array([], pa.bool_())})
-        old_s, new_s = (t.column("old_sha").to_pandas(),
-                        t.column("new_sha").to_pandas())
-        churned = old_s.isna() | new_s.isna() | (old_s != new_s)
-        return pa.table({"key": t.column("key"),
-                         "gone": pa.array(new_s.isna().to_numpy())}).filter(
-            pa.array(churned.to_numpy()))
+        key = pc.binary_join_element_wise(
+            t.column("repo"), t.column("path"), sep)
+        gone = pc.equal(t.column("change"), "removed")
+        return pa.table({"key": key, "gone": gone})
 
     churn = pa.concat_tables([
-        t for t in ray.get(diff.map_batches(
-            churn_only, batch_format="pyarrow", zero_copy_batch=True
-        ).to_arrow_refs()) if t.num_rows
+        t for t in ray.get(
+            eng.diff(0, n_buckets=_buckets_for(sf_dir, "documents"))
+            .map_batches(churn_only, batch_format="pyarrow",
+                         zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows
     ] or [pa.table({"key": pa.array([], pa.string()),
                     "gone": pa.array([], pa.bool_())})])
     churn_keys = churn.column("key").to_pandas().to_numpy(dtype=object)

@@ -1525,6 +1525,80 @@ class ReplayEngine:
             ds = ds.select_columns(columns)
         return ds
 
+    def diff(self, from_ckpt: int, to_ckpt: int | None = None,
+             n_buckets: int | None = None) -> rd.Dataset:
+        """Snapshot reconciliation: classify every key as added / removed
+        / changed between two committed checkpoints (``to_ckpt=None`` =
+        current), from the two manifest snapshots alone — no log re-read.
+
+        ONE full-outer ``shuffle_join`` exchange over (repo␟path, sha)
+        rows streamed from both states; unchanged keys are dropped, so
+        the result is diff-sized. The distributed answer to "what did
+        these windows do to the table?" — the reference reaches the same
+        truth only by erase-and-reload (98_rollback.sql). Output columns:
+        repo, path, change ∈ {added, removed, changed}, old_sha, new_sha
+        (empty string where absent).
+        """
+        from etl_ray.stages.joins import shuffle_join
+
+        sep = "\x1f"
+        cols = ["repo", "path", "content_sha256"]
+
+        def keyed(tag):
+            def fn(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0 or not t.column_names:
+                    return pa.table({"key": pa.array([], pa.string()),
+                                     tag: pa.array([], pa.string())})
+                key = pc.binary_join_element_wise(
+                    t.column("repo"), t.column("path"), sep)
+                return pa.table({"key": key, tag: t.column("content_sha256")})
+            return fn
+
+        joined = shuffle_join(
+            self.final_state(columns=cols, as_of=from_ckpt).map_batches(
+                keyed("old_sha"), batch_format="pyarrow",
+                zero_copy_batch=True),
+            self.final_state(columns=cols, as_of=to_ckpt).map_batches(
+                keyed("new_sha"), batch_format="pyarrow",
+                zero_copy_batch=True),
+            on="key", how="outer",
+            schemas=(
+                pa.schema([("key", pa.string()), ("old_sha", pa.string())]),
+                pa.schema([("key", pa.string()), ("new_sha", pa.string())]),
+            ),
+            n_buckets=n_buckets,
+        )
+
+        empty_out = pa.table({
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "change": pa.array([], pa.string()),
+            "old_sha": pa.array([], pa.string()),
+            "new_sha": pa.array([], pa.string()),
+        })
+
+        def classify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return empty_out
+            import numpy as np
+
+            old_s = t.column("old_sha").to_pandas()
+            new_s = t.column("new_sha").to_pandas()
+            change = np.where(old_s.isna(), "added",
+                              np.where(new_s.isna(), "removed", "changed"))
+            keep = old_s.isna() | new_s.isna() | (old_s != new_s)
+            parts = pc.split_pattern(t.column("key"), sep, max_splits=1)
+            return pa.table({
+                "repo": pc.list_element(parts, 0),
+                "path": pc.list_element(parts, 1),
+                "change": pa.array(change),
+                "old_sha": pa.array(old_s.fillna("")),
+                "new_sha": pa.array(new_s.fillna("")),
+            }).filter(pa.array(keep.to_numpy()))
+
+        return joined.map_batches(classify, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
     def summary(self, name: str) -> pa.Table:
         """One of summary_repo_lang / summary_by_repo / summary_by_lang."""
         import pyarrow.parquet as pq

@@ -90,3 +90,48 @@ def test_gc_and_rollback_cli(ray_session, tmp_path, capsys):
     assert cli.main(["gc", "--lake", lake, "--keep", "1"]) == 0
     gc = json.loads(capsys.readouterr().out.strip())
     assert gc["keep_checkpoints"] == 1
+
+
+def test_diff_cli_classifies_window_effects(ray_session, tmp_path, capsys):
+    """`diff --since 0`: the second window's effects come back classified,
+    and they reconcile against the two final_state snapshots."""
+    log = str(tmp_path / "log")
+    lake = str(tmp_path / "lake")
+    assert cli.main(["generate", "--out", log, "--n-keys", "300",
+                     "--scenario", "mixed", "--n-files", "4"]) == 0
+    capsys.readouterr()
+    # two windows: half the events per window
+    import pyarrow.parquet as pq
+    import os
+    n = sum(pq.read_metadata(os.path.join(log, f)).num_rows
+            for f in os.listdir(log) if f.endswith(".parquet"))
+    assert cli.main(["replay", "--events", log, "--lake", lake,
+                     "--window-events", str(max(1, n // 2))]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["windows_run"] >= 2
+
+    assert cli.main(["diff", "--lake", lake, "--since", "0"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines() if line]
+    assert rows, "second window must change something"
+    kinds = {r["change"] for r in rows}
+    assert kinds <= {"added", "removed", "changed"}
+    # reconcile against the engine's own snapshots
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    eng = ReplayEngine(lake)
+    old = eng.final_state(columns=["repo", "path", "content_sha256"],
+                          as_of=0).to_pandas()
+    new = eng.final_state(columns=["repo", "path", "content_sha256"]).to_pandas()
+    om = {(r.repo, r.path): r.content_sha256 for r in old.itertuples()}
+    nm = {(r.repo, r.path): r.content_sha256 for r in new.itertuples()}
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    got = {(r["repo"], r["path"]): r["change"] for r in rows}
+    assert got == want
