@@ -134,7 +134,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dup_span_stats", "kmeans_embeddings", "cdc_incremental_sigs",
         "knn_quantized_topk", "cdc_recent_state", "unigram_logprob_score",
         "rollup_repo_lang", "containment_pairs", "event_pattern_counts",
-        "weighted_sample_docs", "frame_sample",
+        "weighted_sample_docs", "frame_sample", "pagerank_dupgraph",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -6149,3 +6149,143 @@ ORDER BY media_id, frame_idx
 
 
 QUERIES.update({"frame_sample": QueryDef(frame_sample, FRAME_SAMPLE_SQL)})
+
+
+# --- PageRank over the near-dup graph --------------------------------------------
+
+def pagerank_dupgraph(sf_dir: str):
+    """PageRank (2 power iterations, damping 0.85) over the undirected
+    MinHash near-dup graph — the third iterative-algorithm gate (after
+    k-means and the connected-components Pregel loop): per iteration,
+    ONE shuffle join ships each node's rank to its edges, a grouped sum
+    folds contributions per target, and a second (node-sized) join
+    re-attaches degrees. EXACT integer mass discipline — rank starts at
+    10^6 micro-units, contribution = r // deg, update = 150000 +
+    (85·s) // 100 — so both engines iterate bit-for-bit and the final
+    ranks hash-gate. Scale shape: edges never leave the cluster; rank
+    tables are node-sized datasets, never driver-materialized."""
+    from etl_ray.stages.joins import shuffle_join
+
+    nb = _buckets_for(sf_dir, "documents")
+    ds = _docs_with_dups(sf_dir)
+    pairs = F_dedup.minhash_dedup_pairs(ds, threshold=0.5, n_buckets=nb)
+
+    empty_edges = pa.table({"src": pa.array([], pa.int64()),
+                            "dst": pa.array([], pa.int64())})
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_edges
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    # the verified pair table is dup-sized (≪ corpus — the MinHash
+    # pipeline's documented invariant); lift it back into a Dataset so
+    # the iterations stay distributed
+    edges = rd.from_arrow(both_dirs(pairs)).materialize()
+    # materialized once: consumed by the degree fold + both iterations
+
+    empty_deg = pa.table({"src": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_deg
+        u, c = np.unique(t.column("src").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"src": pa.array(u.astype(np.int64)),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    degrees_df = F_agg.grouped_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True), ["src"], empty_deg)
+    degrees = rd.from_arrow(pa.Table.from_pandas(
+        degrees_df, preserve_index=False))
+
+    ranks = rd.from_arrow(pa.table({
+        "src": pa.array(degrees_df["src"].to_numpy(np.int64)),
+        "r": pa.array(np.full(len(degrees_df), 1_000_000, dtype=np.int64)),
+        "deg": pa.array(degrees_df["deg"].to_numpy(np.int64)),
+    }))
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    rank_schema = pa.schema([("src", pa.int64()), ("r", pa.int64()),
+                             ("deg", pa.int64())])
+    deg_schema = pa.schema([("src", pa.int64()), ("deg", pa.int64())])
+    s_schema = pa.schema([("src", pa.int64()), ("s", pa.int64())])
+
+    empty_contrib = pa.table({"dst": pa.array([], pa.int64()),
+                              "s": pa.array([], pa.int64())})
+
+    for _ in range(2):
+        joined = shuffle_join(edges, ranks, on="src", n_buckets=nb,
+                              schemas=(edge_schema, rank_schema))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return empty_contrib
+            r = t.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"dst": t.column("dst").cast(pa.int64()),
+                             "s": pa.array(r // d)})
+
+        s_df = F_agg.grouped_sum(
+            joined.map_batches(contrib, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            ["dst"], empty_contrib,
+        ).rename(columns={"dst": "src"})
+        s_ds = rd.from_arrow(pa.Table.from_pandas(s_df, preserve_index=False))
+        upd = shuffle_join(degrees, s_ds, on="src", n_buckets=nb,
+                           schemas=(deg_schema, s_schema))
+
+        def new_rank(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return rank_schema.empty_table()
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "src": t.column("src").cast(pa.int64()),
+                "r": pa.array(150_000 + (85 * s) // 100),
+                "deg": t.column("deg").cast(pa.int64()),
+            })
+
+        ranks = upd.map_batches(new_rank, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    out = to_pandas_typed(ranks, rank_schema.empty_table()).rename(
+        columns={"src": "doc_id", "r": "rank_micro", "deg": "degree"})
+    return out[["doc_id", "rank_micro", "degree"]].sort_values(
+        "doc_id", ignore_index=True)
+
+
+def _pagerank_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()}
+, e AS (
+  SELECT a AS src, b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM mh_pairs
+), deg AS (
+  SELECT src AS node, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r, deg FROM deg
+), s1 AS (
+  SELECT e.dst AS node, sum(r0.r // r0.deg) AS s
+  FROM e JOIN r0 ON r0.node = e.src GROUP BY e.dst
+), r1 AS (
+  SELECT d.node, CAST(150000 + (85 * s1.s) // 100 AS BIGINT) AS r, d.deg
+  FROM deg d JOIN s1 ON s1.node = d.node
+), s2 AS (
+  SELECT e.dst AS node, sum(r1.r // r1.deg) AS s
+  FROM e JOIN r1 ON r1.node = e.src GROUP BY e.dst
+), r2 AS (
+  SELECT d.node, CAST(150000 + (85 * s2.s) // 100 AS BIGINT) AS r, d.deg
+  FROM deg d JOIN s2 ON s2.node = d.node
+)
+SELECT node AS doc_id, r AS rank_micro, CAST(deg AS BIGINT) AS degree
+FROM r2 ORDER BY doc_id
+"""
+
+
+QUERIES.update({"pagerank_dupgraph": QueryDef(pagerank_dupgraph, _pagerank_sql())})

