@@ -143,3 +143,50 @@ def test_final_state_commit_seq_range_matches_post_filter(ray_session, tmp_path)
         commit_seq_range=(10**12, None))
     assert empty_ds.schema().names == ["repo", "path", "commit_seq"]
     assert empty_ds.count() == 0
+
+
+def test_commit_seq_range_on_chained_lake(ray_session, tmp_path):
+    """Zone-map range reads fold merge-on-read chains correctly: a chain
+    is pruned only when EVERY file excludes the range, and folded rows
+    filter exactly like a full read."""
+    import os
+
+    import pandas as pd
+
+    from etl_ray.generator import generate_events, write_event_log
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    saved = {k: os.environ.get(k) for k in
+             ("ETL_RAY_DELTA_CHAIN", "ETL_RAY_CHAIN_MAX",
+              "ETL_RAY_COMPACT_RATIO")}
+    os.environ.update({"ETL_RAY_DELTA_CHAIN": "1", "ETL_RAY_CHAIN_MAX": "8",
+                       "ETL_RAY_COMPACT_RATIO": "1.1"})
+    try:
+        log = tmp_path / "log"
+        lake = str(tmp_path / "lake")
+        write_event_log(
+            generate_events(n_keys=300, seed=13, scenario="mixed"),
+            str(log), n_files=4)
+        eng = ReplayEngine(lake, num_partitions=8)
+        import pyarrow.parquet as pq
+        n = sum(pq.read_metadata(os.path.join(str(log), f)).num_rows
+                for f in os.listdir(str(log)) if f.endswith(".parquet"))
+        eng.replay(str(log), window_events=max(1, n // 2))
+        m = eng.store.current()
+        assert any(p.get("deltas") for p in m.partitions.values()), \
+            "fixture must actually form a chain"
+
+        full = eng.final_state(columns=["repo", "path", "commit_seq"]).to_pandas()
+        lo, hi = int(full.commit_seq.quantile(0.3)), int(full.commit_seq.quantile(0.8))
+        got = eng.final_state(
+            columns=["repo", "path", "commit_seq"], commit_seq_range=(lo, hi)
+        ).to_pandas().sort_values(["repo", "path"], ignore_index=True)
+        want = full[(full.commit_seq >= lo) & (full.commit_seq <= hi)].sort_values(
+            ["repo", "path"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
