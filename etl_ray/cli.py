@@ -113,10 +113,8 @@ def cmd_diff(args) -> int:
     from etl_ray.pipelines.replay import ReplayEngine
 
     ds = ReplayEngine(args.lake).diff(args.since, to_ckpt=args.until)
-    n = 0
     for row in ds.iter_rows():
         print(json.dumps(row, default=str))
-        n += 1
     if owned:
         import ray
 

@@ -117,7 +117,10 @@ def documents_as_media(batch: pa.Table) -> pa.Table:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: video row → one row per sampled frame.
+    """Stateless frame-sampling kernel: video row → one row per sampled
+    frame (run task-based via ``sample_frames`` — there is no per-actor
+    state; a real decoder that loads a codec would move this behind an
+    actor pool like ``DecodeFeatureStage``).
 
     Uniform sampling: n = min(max_frames, ceil(duration/1000 ms)) frames
     at ts = i * duration // n (exact integer math — the sampling layout
@@ -162,7 +165,7 @@ class FrameSampleStage:
 
 
 def sample_frames(ds: rd.Dataset, max_frames: int = 8,
-                  concurrency: int = 4, batch_size: int = 256) -> rd.Dataset:
+                  batch_size: int = 256) -> rd.Dataset:
     """Media dataset → sampled-frame dataset (payload dropped in-stage)."""
     import functools
 

@@ -5041,7 +5041,7 @@ QUERIES.update({
 
 # --- CDC snapshot diff: reconcile two checkpoints ------------------------------
 
-_DIFF_SEP = "\x1f"
+from etl_ray.pipelines.replay import DIFF_SEP as _DIFF_SEP
 
 
 def cdc_snapshot_diff(sf_dir: str):
@@ -5776,9 +5776,13 @@ def rollup_repo_lang(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty_part
+        # real NULL keys are normalized to '(null)' BEFORE grouping on
+        # BOTH engines — pandas groupby would silently drop them while
+        # the lvl-0 total counts them, and a raw NULL would collide with
+        # the rollup marker in the oracle's grouping-set detection
         df = pd.DataFrame({
-            "lang": t.column("lang").to_pandas(),
-            "source": t.column("source").to_pandas(),
+            "lang": t.column("lang").to_pandas().fillna("(null)"),
+            "source": t.column("source").to_pandas().fillna("(null)"),
             "n_chars": t.column("n_chars").to_numpy(zero_copy_only=False),
         })
         outs = []
@@ -5809,13 +5813,18 @@ def rollup_repo_lang(sf_dir: str):
 
 
 ROLLUP_SQL = """
+WITH d AS (
+  SELECT COALESCE(lang, '(null)') AS lang,
+         COALESCE(source, '(null)') AS source, n_chars
+  FROM documents
+)
 SELECT CAST(CASE WHEN lang IS NULL THEN 0
             WHEN source IS NULL THEN 1 ELSE 2 END AS BIGINT) AS lvl,
        COALESCE(lang, '(all)') AS lang,
        COALESCE(source, '(all)') AS source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
+FROM d
 GROUP BY ROLLUP(lang, source)
 ORDER BY lvl, lang, source
 """
@@ -5837,6 +5846,9 @@ def containment_pairs(sf_dir: str):
     docs = _docs_with_dups(sf_dir)
 
     def planted(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:  # columnless empty blocks
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         base = t.filter(pa.array(ids % 10 == 0))
         a = base.column("doc_id").cast(pa.int64())
@@ -5927,7 +5939,7 @@ def event_pattern_counts(sf_dir: str):
             "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
             "ts": t.column("ts").to_numpy(zero_copy_only=False),
             "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
-            "sym": t.column("event_type").to_pandas().map(code),
+            "sym": t.column("event_type").to_pandas().map(code).fillna("e"),
         }).sort_values(["user_id", "ts", "event_id"], kind="stable")
         g = df.groupby("user_id", sort=False)["sym"]
         seqs = g.agg("".join)
@@ -6114,6 +6126,8 @@ def frame_sample(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def as_video(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:  # columnless empty blocks
+            return F_mm.MEDIA_SCHEMA.empty_table()
         m = F_mm.documents_as_media(t)
         ids = m.column("media_id").to_numpy(zero_copy_only=False)
         dur = ((ids % 40) + 1) * 500  # 0.5 s – 20 s
@@ -6198,17 +6212,32 @@ def pagerank_dupgraph(sf_dir: str):
         return pa.table({"src": pa.array(u.astype(np.int64)),
                          "deg": pa.array(c.astype(np.int64))})
 
-    degrees_df = F_agg.grouped_sum(
-        edges.map_batches(deg_partial, batch_format="pyarrow",
-                          zero_copy_batch=True), ["src"], empty_deg)
-    degrees = rd.from_arrow(pa.Table.from_pandas(
-        degrees_df, preserve_index=False))
+    def fold_deg(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby("src", sort=False, as_index=False)["deg"].sum()
+        g["deg"] = g["deg"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    ranks = rd.from_arrow(pa.table({
-        "src": pa.array(degrees_df["src"].to_numpy(np.int64)),
-        "r": pa.array(np.full(len(degrees_df), 1_000_000, dtype=np.int64)),
-        "deg": pa.array(degrees_df["deg"].to_numpy(np.int64)),
-    }))
+    # degrees and ranks stay DATASETS end to end — rank state never
+    # round-trips through the driver (node tables can be corpus-sized)
+    degrees = bucketed_groups(
+        edges.map_batches(deg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "src", fold_deg, n_buckets=nb,
+    ).materialize()  # consumed by both iterations' re-joins
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        return pa.table({
+            "src": t.column("src").cast(pa.int64()),
+            "r": pa.array(np.full(t.num_rows, 1_000_000, dtype=np.int64)),
+            "deg": t.column("deg").cast(pa.int64()),
+        })
+
+    ranks = degrees.map_batches(init_rank, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     rank_schema = pa.schema([("src", pa.int64()), ("r", pa.int64()),
@@ -6231,12 +6260,18 @@ def pagerank_dupgraph(sf_dir: str):
             return pa.table({"dst": t.column("dst").cast(pa.int64()),
                              "s": pa.array(r // d)})
 
-        s_df = F_agg.grouped_sum(
+        def fold_s(t: pa.Table) -> pa.Table:
+            g = t.to_pandas().groupby("dst", sort=False,
+                                      as_index=False)["s"].sum()
+            g = g.rename(columns={"dst": "src"})
+            g["s"] = g["s"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        s_ds = bucketed_groups(
             joined.map_batches(contrib, batch_format="pyarrow",
                                zero_copy_batch=True),
-            ["dst"], empty_contrib,
-        ).rename(columns={"dst": "src"})
-        s_ds = rd.from_arrow(pa.Table.from_pandas(s_df, preserve_index=False))
+            "dst", fold_s, n_buckets=nb,
+        )
         upd = shuffle_join(degrees, s_ds, on="src", n_buckets=nb,
                            schemas=(deg_schema, s_schema))
 

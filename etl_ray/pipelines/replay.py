@@ -132,6 +132,11 @@ _CHANGES_EMPTY = pa.schema(
 
 
 
+#: composite (repo, path) join-key separator used by ``ReplayEngine.diff``
+#: and every consumer that reconstructs keys from its output
+DIFF_SEP = "\x1f"
+
+
 def prune_files_by_stats(
     files: list[str], col: str, lo, hi
 ) -> list[str]:
@@ -1541,7 +1546,7 @@ class ReplayEngine:
         """
         from etl_ray.stages.joins import shuffle_join
 
-        sep = "\x1f"
+        sep = DIFF_SEP
         cols = ["repo", "path", "content_sha256"]
 
         def keyed(tag):

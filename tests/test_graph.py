@@ -159,16 +159,28 @@ def test_semi_join_with_salting_matches(ray_session):
     assert sorted(got["lv"]) == sorted(want["lv"])
 
 
-def test_pagerank_star_graph_ranks_hub_highest(ray_session, tmp_path):
-    """On a star graph the hub out-ranks every leaf; total mass stays
-    near n × 10^6 (integer floor loses at most deg per division)."""
-    import numpy as np
+def test_pagerank_query_matches_duckdb(ray_session):
+    """Drive the REAL distributed pipeline at sf0.001 and compare to the
+    SQL oracle in-repo (the external gate does the same at sf0.01)."""
+    import duckdb
     import pandas as pd
-    import pyarrow.parquet as pq
 
-    # craft documents whose minhash pairs form a star is brittle — drive
-    # the integer power iteration directly instead via the same update
-    # rule the query uses
+    from etl_ray.pipelines.queries import _pagerank_sql, pagerank_dupgraph
+
+    got = pagerank_dupgraph("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.execute(_pagerank_sql()).df()
+    want["doc_id"] = want["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_pagerank_star_graph_ranks_hub_highest(ray_session, tmp_path):
+    """On a star graph the hub out-ranks every leaf (unit check of the
+    integer update rule itself)."""
+
     def iterate(edges, nodes, iters=2):
         deg = {n: 0 for n in nodes}
         for s, _ in edges:
