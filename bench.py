@@ -135,7 +135,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "knn_quantized_topk", "cdc_recent_state", "unigram_logprob_score",
         "rollup_repo_lang", "containment_pairs", "event_pattern_counts",
         "weighted_sample_docs", "frame_sample", "pagerank_dupgraph",
-        "ntile_events",
+        "ntile_events", "json_props_extract", "cohort_retention",
+        "char_entropy_quality", "jsonl_roundtrip",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -6324,3 +6324,312 @@ FROM r2 ORDER BY doc_id
 
 
 QUERIES.update({"pagerank_dupgraph": QueryDef(pagerank_dupgraph, _pagerank_sql())})
+
+
+# ===================== semi-structured extraction + JSONL source round-trip
+
+
+def json_props_extract(sf_dir: str):
+    """Semi-structured field extraction — pull a typed value out of a
+    JSON string column and aggregate it, the classic log-ingest step
+    (every CDC/event stream carries a JSON ``props``/``payload`` blob).
+    Extraction is ONE vectorized re2 kernel (``pc.extract_regex``, named
+    group) per batch — never ``json.loads`` per row — followed by a
+    per-batch combiner, so the exchange carries ≤ |event_types| partial
+    rows per block regardless of event count.
+
+    Reference semantic: the message-payload column parse in the cleaning
+    gate (etl/cleaning/clean_data.py:54-87 reads typed fields out of the
+    raw AIS message struct)."""
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+    empty = pa.table({
+        "event_type": pa.array([], pa.string()),
+        "n_events": pa.array([], pa.int64()),
+        "sum_k": pa.array([], pa.int64()),
+        "max_k": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ex = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        tt = pa.table({"event_type": t.column("event_type"), "k": k})
+        tt = tt.filter(pc.is_valid(tt.column("k")))
+        if tt.num_rows == 0:
+            return empty
+        df = (
+            tt.to_pandas()
+            .groupby("event_type", sort=False, as_index=False)
+            .agg(n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        )
+        for c in ("n_events", "sum_k", "max_k"):
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # max is not sum-mergeable: merge (sum over n/sum, max over max) in one
+    # tiny grouped pass — |event_types| rows total
+    merged = F_agg.bucketed_groups_multi(
+        partials, ["event_type"],
+        lambda t: _merge_props_partials(t, empty),
+        n_buckets=8, empty=empty,
+    )
+    return to_pandas_typed(merged, empty).sort_values(
+        "event_type", ignore_index=True)
+
+
+def _merge_props_partials(t: pa.Table, empty: pa.Table) -> pa.Table:
+    if t.num_rows == 0 or not t.column_names:
+        return empty
+    df = (
+        t.to_pandas()
+        .groupby("event_type", sort=False, as_index=False)
+        .agg(n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+             max_k=("max_k", "max"))
+    )
+    for c in ("n_events", "sum_k", "max_k"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+JSON_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """JSONL (newline-delimited JSON) sink + source round-trip — the
+    interchange format of LLM-data pipelines. The documents table is
+    exported with ``Dataset.write_json`` (one JSONL file per block,
+    streamed — never driver-materialized), read back with
+    ``ray.data.read_json``, and every row's content is sha256'd so the
+    gate proves the round-trip LOSSLESS (escaping, unicode, field
+    fidelity), not just row-complete. The oracle computes the same rows
+    from the parquet view — equality means parquet → JSONL → engine
+    introduced zero mutations.
+
+    Reference semantic: the reference's CSV-file interchange between
+    cleaning and loading stages (etl/insert/file_inserter.py) recast to
+    the JSONL format used for corpus shards."""
+    import shutil as _sh
+
+    out_dir = os.path.join(
+        "/tmp/etl_ray_jsonl", os.path.basename(sf_dir.rstrip("/")))
+    _sh.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": pc.fill_null(t.column("lang"), ""),
+            "text": pc.fill_null(t.column("text"), ""),
+        })
+
+    docs.map_batches(coalesce, batch_format="pyarrow",
+                     zero_copy_batch=True).write_json(out_dir)
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+        "text_sha256": pa.array([], pa.string()),
+    })
+
+    def digest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        from etl_ray.hashing import sha256_hex
+
+        txt = t.column("text")
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "lang": t.column("lang"),
+            "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+            "text_sha256": sha256_hex(txt),
+        })
+
+    back = rd.read_json(out_dir).map_batches(
+        digest, batch_format="pyarrow")
+    return to_pandas_typed(back, empty).sort_values(
+        "doc_id", ignore_index=True)
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       COALESCE(lang, '') AS lang,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+       sha256(COALESCE(text, '')) AS text_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+# ===================== character-entropy quality + cohort retention
+
+
+def char_entropy_quality(sf_dir: str):
+    """Per-document character-level Shannon entropy — the quality filter
+    that catches degenerate generations (single-char floods score ~0
+    nats; natural text ~3-4.5). Zero-shuffle: whole docs are row-scalar,
+    so one ``map_batches`` pass computes each doc's code-point histogram
+    (vectorized ``np.unique`` per doc) and folds it to an EXACT integer:
+    each distinct char's surprisal ln(n/c) is rounded to int64 micro-nats
+    once (the ``unigram_logprob_score`` discipline — the only float op is
+    ln of an identical double on both engines), so the gate
+    hash-compares the sums exactly.
+
+    Reference semantic: the per-message plausibility scores of the
+    cleaning gate (etl/cleaning/clean_data.py:123-148) as a
+    corpus-quality feature."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64()),
+        "surprisal_micro": pa.array([], pa.int64()),
+        "entropy_nats": pa.array([], pa.float64()),
+    })
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids, ns, ss = [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            n = int(cp.size)
+            lnm = round_half_away(
+                np.log(n / counts) * 1_000_000.0, 0).astype(np.int64)
+            ids.append(did)
+            ns.append(n)
+            ss.append(int((counts * lnm).sum()))
+        if not ids:
+            return empty
+        n_arr = np.array(ns, dtype=np.int64)
+        s_arr = np.array(ss, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(n_arr),
+            "surprisal_micro": pa.array(s_arr),
+            "entropy_nats": pa.array(
+                round_half_away(s_arr / n_arr / 1_000_000.0, 6)),
+        })
+
+    out = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values("doc_id", ignore_index=True)
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substr(text, gs.i + 1, 1) AS c
+  FROM documents, LATERAL (
+    SELECT UNNEST(range(0, length(COALESCE(text, '')))) AS i) gs
+  WHERE length(COALESCE(text, '')) > 0
+), cnt AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id
+), per AS (
+  SELECT cnt.doc_id,
+         sum(cnt.k * CAST(round(ln(t.n * 1.0 / cnt.k) * 1000000.0, 0)
+                          AS BIGINT)) AS s,
+         max(t.n) AS n
+  FROM cnt JOIN tot t USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(s AS BIGINT) AS surprisal_micro,
+       round(s * 1.0 / n / 1000000.0, 6) AS entropy_nats
+FROM per ORDER BY doc_id
+"""
+
+
+def cohort_retention(sf_dir: str):
+    """Cohort-retention matrix — the product-analytics rollup: assign
+    each user to the cohort of their first active day, then count users
+    active at each (cohort, day-offset). Two bounded exchanges: users
+    bucket-hash to partitions where each user's first day + distinct
+    active days collapse to (cohort, offset) pairs (≤ days² rows per
+    user-partition), then one grouped count merge. The events table
+    transits once; nothing is driver-materialized.
+
+    Reference semantic: the date-dimension daily rollups
+    (etl/rollup/apply_rollups.py:59-107) composed with a first-seen fold
+    (bulk_inserter.py lazy dim load)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    empty_pairs = pa.table({
+        "cohort_date": pa.array([], pa.string()),
+        "day_offset": pa.array([], pa.int64()),
+        "n_users": pa.array([], pa.int64()),
+    })
+
+    def per_user_pairs(t: pa.Table) -> pa.Table:
+        """One bucket's users: distinct (user, day) → (cohort, offset)."""
+        if t.num_rows == 0 or not t.column_names:
+            return empty_pairs
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        days = pc.cast(pc.floor_temporal(t.column("ts"), unit="day"),
+                       pa.date32()).to_numpy(zero_copy_only=False)
+        days_i = days.astype("datetime64[D]").astype(np.int64)
+        pairs = np.unique(np.stack([uid, days_i], axis=1), axis=0)
+        u, d = pairs[:, 0], pairs[:, 1]
+        # first index of each user run (pairs sorted by user then day)
+        first = np.zeros(len(u), dtype=bool)
+        if len(u):
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        cohort = np.repeat(d[first], np.diff(
+            np.append(np.flatnonzero(first), len(u))))
+        off = d - cohort
+        key = np.stack([cohort, off], axis=1)
+        kk, cnt = np.unique(key, axis=0, return_counts=True)
+        dates = kk[:, 0].astype("datetime64[D]")
+        return pa.table({
+            "cohort_date": pa.array(
+                np.datetime_as_string(dates, unit="D").astype(object),
+                pa.string()),
+            "day_offset": pa.array(kk[:, 1].astype(np.int64)),
+            "n_users": pa.array(cnt.astype(np.int64)),
+        })
+
+    pairs = bucketed_groups(ev, "user_id", per_user_pairs,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    out = F_agg.grouped_sum(pairs, ["cohort_date", "day_offset"], empty_pairs)
+    return out.sort_values(["cohort_date", "day_offset"], ignore_index=True)
+
+
+COHORT_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), c AS (
+  SELECT user_id, min(d) AS cohort_d FROM ud GROUP BY user_id
+)
+SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_date,
+       CAST(datediff('day', c.cohort_d, ud.d) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({
+    "json_props_extract": QueryDef(json_props_extract, JSON_PROPS_SQL),
+    "jsonl_roundtrip": QueryDef(jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
+    "char_entropy_quality": QueryDef(char_entropy_quality, CHAR_ENTROPY_SQL),
+    "cohort_retention": QueryDef(cohort_retention, COHORT_RETENTION_SQL),
+})

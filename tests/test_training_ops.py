@@ -177,3 +177,88 @@ def test_unigram_logprob_score_flags_rare_tokens(ray_session):
     assert np.allclose(got["avg_nats"], recomputed, atol=1e-9)
     # surprisal is bounded by the corpus-uniform extremes
     assert got["avg_nats"].between(0, 30).all()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["json_props_extract", "jsonl_roundtrip", "char_entropy_quality",
+     "cohort_retention"],
+)
+def test_round3_tail_ops_match_oracle(ray_session, name):
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES[name]
+    got = _norm(pd.DataFrame(q.fn(SF)))
+    want = _norm(_oracle(q.sql))
+    pd.testing.assert_frame_equal(
+        got.astype(str), want.astype(str), check_dtype=False
+    )
+
+
+def test_char_entropy_degenerate_doc_scores_zero(ray_session):
+    """A single-character flood has exactly zero entropy; a doc with all
+    distinct chars scores ln(n). The kernel is driven through a real
+    Dataset to exercise the batch path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.pipelines import queries as Q
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aaaaaaaa", "abcdefgh"], pa.string()),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        df = Q.QUERIES["char_entropy_quality"].fn(d)
+    df = df.set_index("doc_id")
+    assert df.loc[1, "surprisal_micro"] == 0
+    assert df.loc[1, "entropy_nats"] == 0.0
+    # 8 distinct chars of 8: entropy = ln(8)
+    assert abs(df.loc[2, "entropy_nats"] - np.log(8)) < 1e-5
+
+
+def test_cohort_retention_offsets_nonnegative_and_day0_complete(ray_session):
+    """Every user appears in their own cohort at offset 0, so the
+    offset-0 user count summed over cohorts equals the distinct-user
+    count; offsets are never negative."""
+    import duckdb
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["cohort_retention"].fn(SF)
+    assert (df["day_offset"] >= 0).all()
+    n_users = _oracle("SELECT count(DISTINCT user_id) AS n FROM events")["n"][0]
+    assert df.loc[df["day_offset"] == 0, "n_users"].sum() == n_users
+
+
+def test_jsonl_roundtrip_preserves_escaping(ray_session):
+    """Quotes, backslashes, newlines and unicode survive the JSONL
+    round-trip byte-exactly (sha256 of the text equals the source's)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines import queries as Q
+
+    texts = ['he said "hi"\\n', "tab\there", "unié中", "a\nb"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "text": pa.array(texts, pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        df = Q.QUERIES["jsonl_roundtrip"].fn(d)
+    df = df.sort_values("doc_id", ignore_index=True)
+    for i, s in enumerate(texts):
+        assert df.loc[i, "text_sha256"] == hashlib.sha256(s.encode()).hexdigest()
