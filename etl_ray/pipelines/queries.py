@@ -13,6 +13,9 @@ query). Reference file:line cites are to /root/reference.
 from __future__ import annotations
 
 import hashlib
+import io
+import json
+import math
 import os
 import shutil
 from dataclasses import dataclass
@@ -6329,18 +6332,84 @@ QUERIES.update({"pagerank_dupgraph": QueryDef(pagerank_dupgraph, _pagerank_sql()
 # ===================== semi-structured extraction + JSONL source round-trip
 
 
+_I64_LIM = float(2 ** 63)
+
+
+def _try_cast_k_int64(s: str):
+    """Scalar mirror of DuckDB ``TRY_CAST(<string> AS BIGINT)``: numeric
+    strings round half away from zero; anything unparseable or outside
+    int64 is NULL."""
+    try:
+        v = float(s)
+    except (TypeError, ValueError):
+        return None
+    r = math.copysign(math.floor(abs(v) + 0.5), v)
+    if not (-_I64_LIM <= r < _I64_LIM):
+        return None
+    return int(r)
+
+
+def _json_k_rowwise(raw: list) -> list:
+    """Per-row fallback mirroring ``CASE WHEN json_valid(props) THEN
+    TRY_CAST(json_extract_string(props,'$.k') AS BIGINT) END`` — used
+    only when the columnar NDJSON parse rejects a batch (mixed value
+    types, invalid rows, raw newlines)."""
+    out = []
+    for s in raw:
+        try:
+            obj = json.loads(s) if s is not None else None
+        except ValueError:
+            obj = None
+        v = obj.get("k") if isinstance(obj, dict) else None
+        if isinstance(v, bool) or v is None or isinstance(v, (dict, list)):
+            out.append(None)
+        elif isinstance(v, int):
+            out.append(v if -_I64_LIM <= v < _I64_LIM else None)
+        elif isinstance(v, float):
+            out.append(_try_cast_k_int64(repr(v)))
+        elif isinstance(v, str):
+            out.append(_try_cast_k_int64(v))
+        else:
+            out.append(None)
+    return out
+
+
+def _json_k_column(col) -> pa.Array:
+    """Lower a parsed top-level ``k`` column (whatever type the JSON
+    carried) to the int64 the oracle's TRY_CAST produces."""
+    typ = col.type
+    if pa.types.is_integer(typ):
+        return col.cast(pa.int64()) if typ != pa.int64() else col
+    if pa.types.is_floating(typ):
+        a = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        r = np.copysign(np.floor(np.abs(a) + 0.5), a)
+        ok = np.isfinite(r) & (r >= -_I64_LIM) & (r < _I64_LIM)
+        vals = np.where(ok, r, 0.0).astype(np.int64)
+        return pa.array(vals, pa.int64(), mask=~ok)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([None if s is None else _try_cast_k_int64(s)
+                         for s in col.to_pylist()], pa.int64())
+    return pa.nulls(len(col), pa.int64())
+
+
 def json_props_extract(sf_dir: str):
     """Semi-structured field extraction — pull a typed value out of a
     JSON string column and aggregate it, the classic log-ingest step
     (every CDC/event stream carries a JSON ``props``/``payload`` blob).
-    Extraction is ONE vectorized re2 kernel (``pc.extract_regex``, named
-    group) per batch — never ``json.loads`` per row — followed by a
-    per-batch combiner, so the exchange carries ≤ |event_types| partial
-    rows per block regardless of event count.
+    Each batch is parsed in ONE columnar ``pyarrow.json`` NDJSON read
+    (valid JSON contains no raw newlines, so newline-joining the column
+    is a faithful framing) — real top-level ``$.k`` semantics (nested
+    objects do NOT match), never ``json.loads`` per row on the happy
+    path; a per-row fallback covers batches the column-typed parser
+    rejects (mixed value types, malformed rows). Extraction is followed
+    by a per-batch combiner, so the exchange carries ≤ |event_types|
+    partial rows per block regardless of event count.
 
     Reference semantic: the message-payload column parse in the cleaning
     gate (etl/cleaning/clean_data.py:54-87 reads typed fields out of the
     raw AIS message struct)."""
+    import pyarrow.json as pj
+
     ev = _read(sf_dir, "events", columns=["event_type", "props"])
     empty = pa.table({
         "event_type": pa.array([], pa.string()),
@@ -6349,11 +6418,29 @@ def json_props_extract(sf_dir: str):
         "max_k": pa.array([], pa.int64()),
     })
 
+    def extract_k(props) -> pa.Array:
+        raw = pc.fill_null(props, "{}")
+        # blank / whitespace-only rows would vanish from the NDJSON
+        # framing (shifting every later row); rewrite them to the
+        # empty object, which yields the same NULL the oracle computes
+        raw = pc.if_else(
+            pc.equal(pc.utf8_trim_whitespace(raw), ""),
+            pa.scalar("{}"), raw)
+        joined = "\n".join(raw.to_pylist())
+        try:
+            parsed = pj.read_json(io.BytesIO(joined.encode("utf-8")))
+            if parsed.num_rows == len(raw):
+                if "k" not in parsed.column_names:
+                    return pa.nulls(len(raw), pa.int64())
+                return _json_k_column(parsed.column("k").combine_chunks())
+        except pa.ArrowInvalid:
+            pass
+        return pa.array(_json_k_rowwise(raw.to_pylist()), pa.int64())
+
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty
-        ex = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
-        k = pc.struct_field(ex, "k").cast(pa.int64())
+        k = extract_k(t.column("props").combine_chunks())
         tt = pa.table({"event_type": t.column("event_type"), "k": k})
         tt = tt.filter(pc.is_valid(tt.column("k")))
         if tt.num_rows == 0:
@@ -6396,7 +6483,9 @@ def _merge_props_partials(t: pa.Table, empty: pa.Table) -> pa.Table:
 JSON_PROPS_SQL = """
 WITH x AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
   FROM events
 )
 SELECT event_type,
@@ -6422,11 +6511,11 @@ def jsonl_roundtrip(sf_dir: str):
     Reference semantic: the reference's CSV-file interchange between
     cleaning and loading stages (etl/insert/file_inserter.py) recast to
     the JSONL format used for corpus shards."""
-    import shutil as _sh
-
-    out_dir = os.path.join(
-        "/tmp/etl_ray_jsonl", os.path.basename(sf_dir.rstrip("/")))
-    _sh.rmtree(out_dir, ignore_errors=True)
+    # key the scratch dir on (full path, pid) — basename alone collides
+    # when two checkouts or two concurrent processes share an sf name
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = f"/tmp/etl_ray_jsonl/{tag}-{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def coalesce(t: pa.Table) -> pa.Table:
@@ -6450,6 +6539,17 @@ def jsonl_roundtrip(sf_dir: str):
         "text_sha256": pa.array([], pa.string()),
     })
 
+    # an all-empty input writes zero JSONL shards and read_json would
+    # raise "no input files" — return the typed empty frame the oracle
+    # computes instead
+    try:
+        shards = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    except FileNotFoundError:
+        shards = []
+    if not shards:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return empty.to_pandas()
+
     def digest(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty
@@ -6465,8 +6565,11 @@ def jsonl_roundtrip(sf_dir: str):
 
     back = rd.read_json(out_dir).map_batches(
         digest, batch_format="pyarrow")
-    return to_pandas_typed(back, empty).sort_values(
-        "doc_id", ignore_index=True)
+    try:
+        return to_pandas_typed(back, empty).sort_values(
+            "doc_id", ignore_index=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 JSONL_ROUNDTRIP_SQL = """

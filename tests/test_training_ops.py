@@ -228,8 +228,6 @@ def test_cohort_retention_offsets_nonnegative_and_day0_complete(ray_session):
     """Every user appears in their own cohort at offset 0, so the
     offset-0 user count summed over cohorts equals the distinct-user
     count; offsets are never negative."""
-    import duckdb
-
     from etl_ray.pipelines.queries import QUERIES
 
     df = QUERIES["cohort_retention"].fn(SF)
@@ -262,3 +260,63 @@ def test_jsonl_roundtrip_preserves_escaping(ray_session):
     df = df.sort_values("doc_id", ignore_index=True)
     for i, s in enumerate(texts):
         assert df.loc[i, "text_sha256"] == hashlib.sha256(s.encode()).hexdigest()
+
+
+TRICKY_PROPS = [
+    '{"k": 3}', '{"k" : 7}', '{"k":-4}', None, "", "   ", "not json",
+    "null", '{"k": "12"}', '{"k": "abc"}', '{"k": 2.5}', '{"k": -2.5}',
+    '{"k": true}', '{"k": null}', '{"k": [1]}', '{"k": {"x": 1}}',
+    '{"a": {"k": 9}}', "{}", '{"k": 99999999999999999999}',
+    '{"k": "99999999999999999999"}',
+]
+
+
+def _duckdb_k(props_list):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INTEGER, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(enumerate(props_list)))
+    return [r[0] for r in con.execute(
+        """SELECT CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END FROM t ORDER BY i"""
+    ).fetchall()]
+
+
+def test_json_k_rowwise_matches_duckdb_try_cast():
+    """The per-row fallback mirrors the oracle expression exactly on
+    hostile inputs: invalid JSON, nesting, bools, floats (half-away
+    rounding), numeric strings, int64 overflow."""
+    from etl_ray.pipelines.queries import _json_k_rowwise
+
+    want = _duckdb_k(TRICKY_PROPS)
+    got = _json_k_rowwise(TRICKY_PROPS)
+    for g, w, p in zip(got, want, TRICKY_PROPS):
+        assert g == w, (p, g, w)
+
+
+def test_json_props_extract_end_to_end_hostile(ray_session, tmp_path):
+    """Full query vs oracle over a synthetic events table whose props
+    exercise every fallback path (mixed types force the per-row path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    props = TRICKY_PROPS * 3
+    et = [f"t{i % 4}" for i in range(len(props))]
+    pq.write_table(
+        pa.table({"event_type": pa.array(et),
+                  "props": pa.array(props, pa.string())}),
+        tmp_path / "events.parquet")
+    q = QUERIES["json_props_extract"]
+    got = q.fn(str(tmp_path))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(q.sql).df()
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(got)).astype(str), _norm(want).astype(str),
+        check_dtype=False)
