@@ -6418,6 +6418,20 @@ def json_props_extract(sf_dir: str):
         "max_k": pa.array([], pa.int64()),
     })
 
+    def ndjson_buffer(raw: pa.Array):
+        """Newline-frame the whole column in C: wrap the flat string
+        array in a one-element list and ``binary_join`` it — one Arrow
+        buffer, no per-row Python (~30× faster than joining a pylist).
+        int32 list offsets cap the joined batch at 2 GB; Ray blocks are
+        ~128 MB so the ``.encode`` fallback is for safety only."""
+        try:
+            flat = raw.cast(pa.string())
+            one = pa.ListArray.from_arrays(
+                pa.array([0, len(flat)], pa.int32()), flat)
+            return pc.binary_join(one, "\n")[0].as_buffer()
+        except (pa.ArrowInvalid, pa.ArrowCapacityError):
+            return pa.py_buffer("\n".join(raw.to_pylist()).encode("utf-8"))
+
     def extract_k(props) -> pa.Array:
         raw = pc.fill_null(props, "{}")
         # blank / whitespace-only rows would vanish from the NDJSON
@@ -6426,9 +6440,11 @@ def json_props_extract(sf_dir: str):
         raw = pc.if_else(
             pc.equal(pc.utf8_trim_whitespace(raw), ""),
             pa.scalar("{}"), raw)
-        joined = "\n".join(raw.to_pylist())
+        if isinstance(raw, pa.ChunkedArray):
+            raw = (raw.combine_chunks().chunk(0) if raw.num_chunks
+                   else pa.array([], pa.string()))
         try:
-            parsed = pj.read_json(io.BytesIO(joined.encode("utf-8")))
+            parsed = pj.read_json(pa.BufferReader(ndjson_buffer(raw)))
             if parsed.num_rows == len(raw):
                 if "k" not in parsed.column_names:
                     return pa.nulls(len(raw), pa.int64())
