@@ -6752,3 +6752,110 @@ QUERIES.update({
     "char_entropy_quality": QueryDef(char_entropy_quality, CHAR_ENTROPY_SQL),
     "cohort_retention": QueryDef(cohort_retention, COHORT_RETENTION_SQL),
 })
+
+# ===================== per-key regression fold (exact integer moments)
+
+
+def user_value_trend(sf_dir: str):
+    """Per-key two-variable statistical fold: the OLS slope of event
+    value over time per user, computed as a distributed covariance
+    aggregate with EXACT integer arithmetic end to end. Each batch is
+    reduced to per-user moment partials (n, Σx, Σy, Σxy, Σx²) — all
+    sum-mergeable int64, so ONE grouped-sum exchange carries ≤ |users|
+    tiny rows per block regardless of event count; the slope closes
+    driver-side on the final small frame in arbitrary-precision Python
+    ints (the only division in the query, after all folding).
+
+    x is seconds since 2024-01-01 (the generator's epoch — small
+    offsets keep Σx² comfortably inside int64 at bench scale; a 100-TB
+    deployment re-bases x per key range or widens the fold to int128
+    hi/lo pairs), y is the exact milli-unit value.
+    slope_micro = 10⁶·(nΣxy−ΣxΣy) / (nΣx²−(Σx)²), truncated toward
+    zero to mirror DuckDB HUGEINT division; degenerate users (den = 0:
+    one event, or every event in the same second) emit the documented
+    0 sentinel so the column stays non-null int64 on both engines.
+
+    Reference semantic: the per-key derived-motion numeric folds of the
+    heatmap rollups (etl/rollup/sql/heatmaps/02_delta_cog.sql — ordered
+    per-key deltas aggregated to cell statistics) generalized to a
+    regression moment fold."""
+    X0 = 1_704_067_200  # epoch seconds of 2024-01-01 UTC
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n_events": pa.array([], pa.int64()),
+        "sum_x": pa.array([], pa.int64()),
+        "sum_y_milli": pa.array([], pa.int64()),
+        "sum_xy": pa.array([], pa.int64()),
+        "sum_xx": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        x = (t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000 - X0)
+        y = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0, 0
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "n_events": np.ones(len(x), dtype=np.int64),
+            "sum_x": x, "sum_y_milli": y, "sum_xy": x * y, "sum_xx": x * x,
+        })
+        out = df.groupby("user_id", sort=False, as_index=False).sum()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = F_agg.grouped_sum(partials, ["user_id"], empty,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    # close the slope on the small per-user frame: Python ints are
+    # arbitrary precision, so n·Σxy − Σx·Σy cannot silently wrap the
+    # way an int64 numpy product would (DuckDB side uses HUGEINT)
+    num = [int(n) * int(xy) - int(sx) * int(sy)
+           for n, xy, sx, sy in zip(out["n_events"], out["sum_xy"],
+                                    out["sum_x"], out["sum_y_milli"])]
+    den = [int(n) * int(xx) - int(sx) * int(sx)
+           for n, xx, sx in zip(out["n_events"], out["sum_xx"],
+                                out["sum_x"])]
+    slope = [0 if d == 0
+             else (1 if v >= 0 else -1) * (abs(v) * 1_000_000 // d)
+             for v, d in zip(num, den)]
+    out["slope_micro"] = pd.array(slope, dtype="int64")
+    return out.sort_values("user_id", ignore_index=True)
+
+
+USER_VALUE_TREND_SQL = """
+WITH pts AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 1704067200 AS x,
+         CAST(round(value * 1000, 0) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y_milli,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n_events, sum_x, sum_y_milli, sum_xy, sum_xx,
+       CASE WHEN n_events * CAST(sum_xx AS HUGEINT)
+                 - CAST(sum_x AS HUGEINT) * sum_x = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST((1000000 * (n_events * CAST(sum_xy AS HUGEINT)
+                                  - CAST(sum_x AS HUGEINT) * sum_y_milli))
+                      // (n_events * CAST(sum_xx AS HUGEINT)
+                          - CAST(sum_x AS HUGEINT) * sum_x) AS BIGINT)
+       END AS slope_micro
+FROM s ORDER BY user_id
+"""
+
+
+QUERIES.update({
+    "user_value_trend": QueryDef(user_value_trend, USER_VALUE_TREND_SQL),
+})

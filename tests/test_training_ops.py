@@ -182,7 +182,7 @@ def test_unigram_logprob_score_flags_rare_tokens(ray_session):
 @pytest.mark.parametrize(
     "name",
     ["json_props_extract", "jsonl_roundtrip", "char_entropy_quality",
-     "cohort_retention"],
+     "cohort_retention", "user_value_trend"],
 )
 def test_round3_tail_ops_match_oracle(ray_session, name):
     from etl_ray.pipelines.queries import QUERIES
@@ -319,4 +319,42 @@ def test_json_props_extract_end_to_end_hostile(ray_session, tmp_path):
     want = con.execute(q.sql).df()
     pd.testing.assert_frame_equal(
         _norm(pd.DataFrame(got)).astype(str), _norm(want).astype(str),
+        check_dtype=False)
+
+
+def test_user_value_trend_exact_slope_and_degenerate_sentinel(ray_session, tmp_path):
+    """A perfectly linear user recovers the exact slope in micro-units;
+    a constant-timestamp user emits the documented 0 sentinel; and the
+    full query matches its oracle on the same synthetic table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    X0 = 1_704_067_200
+    us = 1_000_000
+    rows = {
+        "event_id": list(range(5)),
+        "user_id": [1, 1, 1, 2, 2],
+        # user 1: value = 2.5 + 2.0 * x  -> slope 2000 milli/s = 2e9 micro
+        # user 2: both events in the same second -> den = 0 -> sentinel
+        "ts": pa.array(
+            [(X0 + 0) * us, (X0 + 1) * us, (X0 + 2) * us,
+             (X0 + 50) * us, (X0 + 50) * us + 1],
+            pa.timestamp("us")),
+        "value": [2.5, 4.5, 6.5, 9.0, 11.0],
+    }
+    pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+    df = QUERIES["user_value_trend"].fn(str(tmp_path)).set_index("user_id")
+    assert df.loc[1, "slope_micro"] == 2_000_000_000
+    assert df.loc[1, "n_events"] == 3
+    assert df.loc[2, "slope_micro"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(QUERIES["user_value_trend"].sql).df()
+    pd.testing.assert_frame_equal(
+        _norm(df.reset_index()).astype(str), _norm(want).astype(str),
         check_dtype=False)
