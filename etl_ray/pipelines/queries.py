@@ -6859,3 +6859,71 @@ FROM s ORDER BY user_id
 QUERIES.update({
     "user_value_trend": QueryDef(user_value_trend, USER_VALUE_TREND_SQL),
 })
+
+
+# ===================== Markov transition matrix (ordered lead/lag fold)
+
+
+def event_transitions(sf_dir: str):
+    """Event-type transition matrix — the Markov structure of per-user
+    event sequences (session modeling / next-action features). The
+    sequence operator is `lead()` over (user, ts, event_id) order,
+    Ray-Data-shaped: users are hash-bucketed so every user's events
+    land in ONE partition task (the `bucketed_groups` exchange), each
+    partition does one C lexsort + one vectorized shift (boundary rows
+    where the user changes are masked — never a Python loop), and
+    emits ≤ |types|² count partials; a tiny grouped-sum merge closes
+    the matrix. Events transit the exchange once.
+
+    Reference semantic: the trajectory builder's ordered per-key scan
+    (etl/trajectory/builder.py consumes time-sorted per-vessel points)
+    folded to a transition count statistic."""
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({
+        "from_type": pa.array([], pa.string()),
+        "to_type": pa.array([], pa.string()),
+        "n_transitions": pa.array([], pa.int64()),
+    })
+
+    def transitions(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2 or not t.column_names:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({
+            "from_type": et[:-1][same_user],
+            "to_type": et[1:][same_user],
+        })
+        if pairs.empty:
+            return empty
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n_transitions"))
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = bucketed_groups(ev, "user_id", transitions,
+                               n_buckets=_buckets_for(sf_dir, "events"))
+    out = F_agg.grouped_sum(partials, ["from_type", "to_type"], empty)
+    return out.sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({
+    "event_transitions": QueryDef(event_transitions, EVENT_TRANSITIONS_SQL),
+})

@@ -358,3 +358,20 @@ def test_user_value_trend_exact_slope_and_degenerate_sentinel(ray_session, tmp_p
     pd.testing.assert_frame_equal(
         _norm(df.reset_index()).astype(str), _norm(want).astype(str),
         check_dtype=False)
+
+
+def test_event_transitions_conserves_rows_and_matches_oracle(ray_session):
+    """Total transition count equals Σ_user (n_events − 1) — no pair is
+    dropped or double-counted across bucket boundaries — and the full
+    matrix matches the lead() oracle."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES["event_transitions"]
+    got = q.fn(SF)
+    per_user = _oracle(
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id")
+    assert got["n_transitions"].sum() == (per_user["n"] - 1).sum()
+    want = _oracle(q.sql)
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(got)).astype(str), _norm(want).astype(str),
+        check_dtype=False)
