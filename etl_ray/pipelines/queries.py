@@ -6927,3 +6927,84 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES.update({
     "event_transitions": QueryDef(event_transitions, EVENT_TRANSITIONS_SQL),
 })
+
+
+# ===================== deterministic corpus split assignment
+
+
+def split_assign(sf_dir: str):
+    """Deterministic train/val/test split — the final corpus-prep step
+    before training: every document is assigned by an avalanche hash of
+    its id (fmix32, the repo-wide SQL-twinned constants), so the split
+    is reproducible run-over-run, machine-independent, and stable under
+    corpus growth (a new doc never moves an old one). 80/10/10 by
+    ``hash % 100`` per stratum. Pure map + per-batch combiner — ZERO
+    data shuffle; only ≤ |langs|×3 partial rows transit the exchange.
+    The gate hashes (count, Σ doc_id) per (lang, split): any
+    misassigned document changes ``sum_doc_id``, so the full
+    assignment — not just the split sizes — is oracle-pinned.
+
+    Reference semantic: the reference's deterministic partition routing
+    (etl/insert/partitioned_inserter.py hash-routes rows to stable
+    shards) applied to the ML split convention."""
+    from etl_ray.functions import sketch as F_sketch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    empty = pa.table({
+        "lang": pa.array([], pa.string()),
+        "split": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "sum_doc_id": pa.array([], pa.int64()),
+    })
+    names = np.array(["train", "val", "test"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hv = F_sketch._fmix32(ids) % np.uint64(100)
+        idx = np.where(hv < 80, 0, np.where(hv < 90, 1, 2))
+        df = pd.DataFrame({
+            "lang": pc.fill_null(t.column("lang"), "").to_pandas(),
+            "split": names[idx],
+            "n_docs": np.ones(len(ids), np.int64),
+            "sum_doc_id": ids.astype(np.int64),
+        })
+        out = df.groupby(["lang", "split"], sort=False, as_index=False).sum()
+        for c in ("n_docs", "sum_doc_id"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = F_agg.grouped_sum(partials, ["lang", "split"], empty)
+    return out.sort_values(["lang", "split"], ignore_index=True)
+
+
+def _split_assign_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT COALESCE(lang, '') AS lang, doc_id, "
+        "doc_id % 4294967296 AS h0 FROM documents",
+        ["lang", "doc_id"],
+    )
+    return f"""
+WITH f AS ({fm}),
+a AS (
+  SELECT lang,
+         CASE WHEN hv % 100 < 80 THEN 'train'
+              WHEN hv % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id
+  FROM f
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({
+    "split_assign": QueryDef(split_assign, _split_assign_sql()),
+})

@@ -375,3 +375,26 @@ def test_event_transitions_conserves_rows_and_matches_oracle(ray_session):
     pd.testing.assert_frame_equal(
         _norm(pd.DataFrame(got)).astype(str), _norm(want).astype(str),
         check_dtype=False)
+
+
+def test_split_assign_proportions_and_determinism(ray_session):
+    """The hash split is ~80/10/10 overall, covers every document
+    exactly once, is deterministic across runs, and matches its
+    oracle."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES["split_assign"]
+    a = q.fn(SF)
+    b = q.fn(SF)
+    pd.testing.assert_frame_equal(a, b)
+
+    n_docs = _oracle("SELECT count(*) AS n FROM documents")["n"][0]
+    assert a["n_docs"].sum() == n_docs
+    frac = a.groupby("split")["n_docs"].sum() / n_docs
+    assert 0.7 < frac["train"] < 0.9
+    assert frac["val"] < 0.2 and frac["test"] < 0.2
+
+    want = _oracle(q.sql)
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(a)).astype(str), _norm(want).astype(str),
+        check_dtype=False)
