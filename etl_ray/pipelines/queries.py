@@ -7008,3 +7008,116 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES.update({
     "split_assign": QueryDef(split_assign, _split_assign_sql()),
 })
+
+
+# ===================== bigram collocations (PMI)
+
+
+def bigram_pmi(sf_dir: str):
+    """Top-20 bigram collocations with exact-micro-nat PMI — the
+    corpus-statistics op behind phrase mining / tokenizer-merge
+    candidates (BPE's pair-frequency step IS the n_pair column).
+    ONE corpus pass emits both statistics per batch — unigram counts
+    (w2 = '' sentinel; tokens are never empty) and adjacent-pair counts
+    (vectorized shift with a doc-boundary mask, the event_transitions
+    kernel applied to token streams) — merged by one composite-key
+    grouped sum; ranking is by the exact integer pair count (ties →
+    lexicographic), so no float enters the ordering, and PMI =
+    ln(p(xy)/(p(x)p(y))) is computed once per surviving pair at micro
+    precision (the ``unigram_logprob_score`` ln-of-identical-doubles
+    discipline). Driver holds the merged vocabulary table — bounded by
+    vocab², not corpus; a 100-TB run caps it with a min-count floor
+    pushed into the partial (drop n=1 pairs per batch loses exactness
+    only below the floor).
+
+    Reference semantic: the two-level corpus statistics of the rollup
+    cascade (etl/rollup/apply_rollups.py:59-135, child stat × parent
+    stat) recast as pointwise mutual information."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty = pa.table({
+        "w1": pa.array([], pa.string()),
+        "w2": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""  # \s+ split leaves '' only at text edges
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) == 0:
+            return empty
+        same = doc_idx[1:] == doc_idx[:-1]
+        uni = pd.DataFrame({"w1": flat, "w2": ""})
+        pairs = pd.DataFrame({"w1": flat[:-1][same], "w2": flat[1:][same]})
+        df = pd.concat([uni, pairs], ignore_index=True)
+        out = (df.groupby(["w1", "w2"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = F_agg.grouped_sum(partials, ["w1", "w2"], empty)
+    uni = merged[merged["w2"] == ""].set_index("w1")["n"]
+    pairs = merged[merged["w2"] != ""]
+    t_tok = float(uni.sum())
+    t_pair = float(pairs["n"].sum())
+    top = pairs.sort_values(["n", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(20)
+    cx = top["w1"].map(uni).to_numpy(dtype=np.float64)
+    cy = top["w2"].map(uni).to_numpy(dtype=np.float64)
+    npair = top["n"].to_numpy(dtype=np.float64)
+    pmi = round_half_away(
+        np.log((npair / t_pair) / ((cx / t_tok) * (cy / t_tok)))
+        * 1_000_000.0, 0).astype(np.int64)
+    return pd.DataFrame({
+        "w1": top["w1"].to_numpy(),
+        "w2": top["w2"].to_numpy(),
+        "n_pair": top["n"].to_numpy(),
+        "pmi_micro": pmi,
+    })
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS l
+  FROM documents
+), uni AS (
+  SELECT unnest(l) AS w FROM toks
+), ucnt AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+), ttok AS (
+  SELECT sum(c) AS t FROM ucnt
+), pi AS (
+  SELECT l, unnest(range(1, len(l))) AS i FROM toks
+), pcnt AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pi GROUP BY 1, 2
+), tpair AS (
+  SELECT sum(n_pair) AS t FROM pcnt
+), top AS (
+  SELECT w1, w2, n_pair FROM pcnt
+  ORDER BY n_pair DESC, w1, w2 LIMIT 20
+)
+SELECT t.w1, t.w2, t.n_pair,
+       CAST(round(ln((t.n_pair * 1.0 / (SELECT t FROM tpair))
+                     / ((u1.c * 1.0 / (SELECT t FROM ttok))
+                        * (u2.c * 1.0 / (SELECT t FROM ttok))))
+                  * 1000000.0, 0) AS BIGINT) AS pmi_micro
+FROM top t
+JOIN ucnt u1 ON u1.w = t.w1
+JOIN ucnt u2 ON u2.w = t.w2
+ORDER BY t.n_pair DESC, t.w1, t.w2
+"""
+
+
+QUERIES.update({
+    "bigram_pmi": QueryDef(bigram_pmi, BIGRAM_PMI_SQL),
+})

@@ -398,3 +398,38 @@ def test_split_assign_proportions_and_determinism(ray_session):
     pd.testing.assert_frame_equal(
         _norm(pd.DataFrame(a)).astype(str), _norm(want).astype(str),
         check_dtype=False)
+
+
+def test_bigram_pmi_known_corpus(ray_session, tmp_path):
+    """On a crafted corpus the top pair and its PMI are known in closed
+    form, and the full query matches its oracle on the same table."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    # "new york" appears 3x and never apart; fillers share no pairs
+    texts = ["new york new york new york", "alpha beta", "gamma delta"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet")
+    df = QUERIES["bigram_pmi"].fn(str(tmp_path))
+    top = df.iloc[0]
+    assert (top["w1"], top["w2"], top["n_pair"]) == ("new", "york", 3)
+    # T_tok=10, T_pair=7; p(xy)=3/7, p(new)=p(york)=3/10
+    want = float(round_half_away(
+        math.log((3 / 7) / ((3 / 10) * (3 / 10))) * 1e6, 0))
+    assert top["pmi_micro"] == want
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(QUERIES["bigram_pmi"].sql).df()
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(df)).astype(str), _norm(oracle).astype(str),
+        check_dtype=False)
