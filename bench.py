@@ -137,7 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "weighted_sample_docs", "frame_sample", "pagerank_dupgraph",
         "ntile_events", "json_props_extract", "cohort_retention",
         "char_entropy_quality", "jsonl_roundtrip", "user_value_trend",
-        "event_transitions", "split_assign", "bigram_pmi",
+        "event_transitions", "split_assign", "bigram_pmi", "assoc_event_pairs",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -7121,3 +7121,112 @@ ORDER BY t.n_pair DESC, t.w1, t.w2
 QUERIES.update({
     "bigram_pmi": QueryDef(bigram_pmi, BIGRAM_PMI_SQL),
 })
+
+
+# ===================== association pairs (market-basket lift)
+
+
+def assoc_event_pairs(sf_dir: str):
+    """Unordered event-type co-occurrence per user with exact micro-nat
+    lift — the market-basket statistic (which behaviors co-occur in the
+    same user, independent of order; the complement of the ordered
+    ``event_transitions`` matrix). Per batch, (user, type) is distinct-
+    ified (combiner); users are hash-bucketed whole, each bucket does
+    one vectorized self-merge to unordered pairs (t1 < t2 — bounded by
+    |types|²/2 rows per user) and emits three sentinel-tagged partial
+    families through ONE composite-key grouped sum: pair counts,
+    per-type user counts (t2 = ''), and the distinct-user count
+    (t1 = t2 = ''; event types are never empty). lift =
+    ln(p(xy)/(p(x)p(y))) over user-probabilities at micro precision
+    (the ln-of-identical-doubles discipline); the pair list itself is
+    ranked by exact integers only.
+
+    Reference semantic: the co-occurrence rollup family of
+    apply_rollups.py:59-135 (two child stats × a parent denominator)
+    as association mining."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    empty = pa.table({
+        "t1": pa.array([], pa.string()),
+        "t2": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def distinct_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string())})
+        return pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["user_id", "event_type"]),
+            preserve_index=False)
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = t.to_pandas().drop_duplicates(["user_id", "event_type"])
+        c = df.groupby("event_type", sort=False).size().reset_index(name="n")
+        cnt = pd.DataFrame({"t1": c["event_type"], "t2": "", "n": c["n"]})
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        p = (m.groupby(["event_type_x", "event_type_y"], sort=False)
+             .size().reset_index(name="n"))
+        p.columns = ["t1", "t2", "n"]
+        u = pd.DataFrame({"t1": [""], "t2": [""],
+                          "n": [df["user_id"].nunique()]})
+        out = pd.concat([cnt, p, u], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    dist = ev.map_batches(distinct_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    partials = bucketed_groups(dist, "user_id", pairs_fn,
+                               n_buckets=_buckets_for(sf_dir, "events"))
+    merged = F_agg.grouped_sum(partials, ["t1", "t2"], empty)
+    n_users = float(merged.loc[(merged["t1"] == "") & (merged["t2"] == ""),
+                               "n"].sum())
+    cmap = (merged[(merged["t2"] == "") & (merged["t1"] != "")]
+            .set_index("t1")["n"])
+    pairs = merged[(merged["t1"] != "") & (merged["t2"] != "")]
+    pairs = pairs.sort_values(["t1", "t2"], ignore_index=True)
+    cx = pairs["t1"].map(cmap).to_numpy(dtype=np.float64)
+    cy = pairs["t2"].map(cmap).to_numpy(dtype=np.float64)
+    nb = pairs["n"].to_numpy(dtype=np.float64)
+    lift = round_half_away(
+        np.log((nb / n_users) / ((cx / n_users) * (cy / n_users)))
+        * 1_000_000.0, 0).astype(np.int64)
+    return pd.DataFrame({
+        "t1": pairs["t1"].to_numpy(),
+        "t2": pairs["t2"].to_numpy(),
+        "n_both": pairs["n"].to_numpy(),
+        "lift_micro": lift,
+    })
+
+
+ASSOC_PAIRS_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), u AS (
+  SELECT count(DISTINCT user_id) AS nu FROM events
+), c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1
+), p AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       CAST(round(ln((p.n_both * 1.0 / (SELECT nu FROM u))
+                     / ((c1.c * 1.0 / (SELECT nu FROM u))
+                        * (c2.c * 1.0 / (SELECT nu FROM u))))
+                  * 1000000.0, 0) AS BIGINT) AS lift_micro
+FROM p
+JOIN c c1 ON c1.event_type = p.t1
+JOIN c c2 ON c2.event_type = p.t2
+ORDER BY p.t1, p.t2
+"""
+
+
+QUERIES.update({
+    "assoc_event_pairs": QueryDef(assoc_event_pairs, ASSOC_PAIRS_SQL),
+})

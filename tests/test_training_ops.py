@@ -433,3 +433,22 @@ def test_bigram_pmi_known_corpus(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         _norm(pd.DataFrame(df)).astype(str), _norm(oracle).astype(str),
         check_dtype=False)
+
+
+def test_assoc_event_pairs_symmetric_bounds_and_oracle(ray_session):
+    """Pair counts are bounded by each member's user count, the pair set
+    is the unordered upper triangle, and the query matches its oracle."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    q = QUERIES["assoc_event_pairs"]
+    got = q.fn(SF)
+    assert (got["t1"] < got["t2"]).all()
+    per_type = _oracle(
+        "SELECT event_type, count(DISTINCT user_id) AS c FROM events "
+        "GROUP BY 1").set_index("event_type")["c"]
+    assert (got["n_both"] <= got["t1"].map(per_type)).all()
+    assert (got["n_both"] <= got["t2"].map(per_type)).all()
+    want = _oracle(q.sql)
+    pd.testing.assert_frame_equal(
+        _norm(pd.DataFrame(got)).astype(str), _norm(want).astype(str),
+        check_dtype=False)
