@@ -179,12 +179,30 @@ class LshBucketStage:
         return batch.append_column("bucket", pa.array(bucket))
 
 
+def rademacher_signs(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from the fmix32 parity bit — the
+    SQL-replicable plane family (sign-random-projection with Rademacher
+    entries is a valid cosine LSH; Charikar 2002 needs only symmetric
+    zero-mean directions, not Gaussians). Key layout
+    ``(table*n_planes + plane)*65536 + dim`` is replayed verbatim by the
+    oracle (see NEARDUP_SQL in pipelines/queries.py)."""
+    from etl_ray.functions.sketch import _fmix32
+
+    tp = np.arange(n_tables * n_planes, dtype=np.int64)
+    keys = (tp[:, None] * 65536 + np.arange(dim, dtype=np.int64)[None, :]).reshape(-1)
+    bits = _fmix32(keys.astype(np.uint64)) & np.uint64(1)
+    return np.where(bits == 1, 1, -1).astype(np.int64).reshape(
+        n_tables * n_planes, dim
+    )
+
+
 def lsh_near_duplicates(
     ds: rd.Dataset,
     threshold: float = 0.95,
     n_planes: int = 10,
     id_col: str = "vec_id",
     n_tables: int = 1,
+    sql_exact: bool = False,
 ) -> pa.Table:
     """Embedding near-dup pairs (cosine ≥ threshold) via LSH buckets.
 
@@ -197,12 +215,36 @@ def lsh_near_duplicates(
     recall costs bandwidth, not extra exchanges. Duplicated findings
     across tables are dropped at the tiny pair set, never recomputed
     against the corpus.
+
+    ``sql_exact=True`` switches the plane family from seeded Gaussians
+    to :func:`rademacher_signs` and the bucket-bit test to an EXACT
+    integer dot over micro-quantized embeddings
+    (``round_half_away(x*1e6)`` as int64 — order-independent, so numpy's
+    sum order and DuckDB's agree bit-for-bit), making the whole pair set
+    hash-gateable against a DuckDB oracle that replays the bucketing
+    constant-for-constant. Scale shape is unchanged: one bucket
+    exchange, in-bucket verify only, never a corpus materialization.
     """
     dim = len(ds.take(1)[0]["embedding"])
+
+    signs = rademacher_signs(n_tables, n_planes, dim) if sql_exact else None
 
     # task-based: plane generation from a fixed seed is microseconds —
     # an actor pool's spawn cost dwarfs the state it would keep
     def lsh_bucket(batch: pa.Table) -> pa.Table:
+        if sql_exact:
+            m = _matrix(batch.column("embedding"))
+            q = round_half_away(m * 1e6, 0).astype(np.int64)
+            dots = q @ signs.T                      # (rows, n_tables*n_planes), exact
+            bits = (dots > 0).astype(np.int64)
+            outs = []
+            for ti in range(n_tables):
+                bkt = np.zeros(batch.num_rows, dtype=np.int64)
+                for p in range(n_planes):
+                    bkt |= bits[:, ti * n_planes + p] << p
+                outs.append(batch.append_column(
+                    "bucket", pa.array(bkt + (ti << n_planes))))
+            return pa.concat_tables(outs)
         outs = []
         for ti in range(n_tables):
             t = LshBucketStage(dim=dim, n_planes=n_planes, seed=7 + ti)(batch)

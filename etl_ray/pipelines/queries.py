@@ -1110,23 +1110,61 @@ FROM (
 """
 
 
+_NEARDUP_PLANES = 4     # 16 buckets/table at test scale; grows with corpus
+_NEARDUP_TABLES = 8     # multi-table recall (~0.62 at sim 0.25 here)
+_NEARDUP_DIM = 64
+_NEARDUP_THR = 0.25     # synthetic vectors are near-orthogonal
+
+
 def embedding_neardup(sf_dir: str):
-    """Exact cosine near-dup pairs within label=0 (threshold 0.25 —
-    synthetic vectors are near-orthogonal, so higher thresholds return
-    nothing). Brute-force on the small filtered side."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
-    return F_sim.brute_force_near_duplicates(
-        ds, threshold=0.25, predicate=lambda t: pc.equal(t.column("label"), 0)
+    """Cosine near-dup pairs over the WHOLE corpus via multi-table LSH
+    (functions/similarity.py:lsh_near_duplicates, sql_exact planes):
+    one bucket exchange + in-bucket verify — no corpus broadcast, no
+    driver materialization, no O(n²) full matmul (the brute-force path
+    is kept only as the bounded-side recall oracle in tests). The DuckDB
+    oracle replays the fmix32-Rademacher plane hash, the micro-quantized
+    integer bucket dot, and the in-bucket cosine verify
+    constant-for-constant, so the APPROXIMATE pair set itself is
+    hash-gated. Reference analog: duplicate-point pruning
+    (etl/cleaning/clean_data.py:40-61) recast as embedding near-dup."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return F_sim.lsh_near_duplicates(
+        ds, threshold=_NEARDUP_THR, n_planes=_NEARDUP_PLANES,
+        n_tables=_NEARDUP_TABLES, sql_exact=True,
     )
 
 
-NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label = 0)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.25
+def _neardup_sql() -> str:
+    """DuckDB replica of the sql_exact LSH path: same plane keys →
+    fmix32 parity signs, same int64 micro-quantized bucket dots, same
+    composite (table, bucket) co-bucketing, same rounded cosine verify."""
+    from etl_ray.functions.sketch import fmix32_sql
+
+    P, T, D = _NEARDUP_PLANES, _NEARDUP_TABLES, _NEARDUP_DIM
+    keys_inner = f"""SELECT t, p, d, ((t*{P}+p)*65536 + d) % 4294967296 AS h0
+  FROM (SELECT unnest(range({T})) AS t),
+       (SELECT unnest(range({P})) AS p),
+       (SELECT unnest(range({D})) AS d)"""
+    fm = fmix32_sql(keys_inner, ["t", "p", "d"])
+    return f"""
+WITH sgn AS (SELECT t, p, d, CASE WHEN hv % 2 = 1 THEN 1 ELSE -1 END AS s FROM ({fm})),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT vec_id, generate_subscripts(v,1)-1 AS d,
+              CAST(round(unnest(v)*1000000) AS BIGINT) AS qx FROM e),
+dots AS (SELECT vec_id, t, p, sum(qx*s) AS dot
+         FROM qv JOIN sgn USING (d) GROUP BY 1,2,3),
+bkt AS (SELECT vec_id, t, t*{1 << P} + sum(CASE WHEN dot > 0 THEN (1<<p) ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+SELECT a, b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {_NEARDUP_THR}
+ORDER BY a, b
 """
+
+
+NEARDUP_SQL = _neardup_sql()
 
 
 # ================================================================ multimodal

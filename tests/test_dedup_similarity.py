@@ -129,6 +129,48 @@ def test_lsh_multi_table_recall_dominates_single(ray_session):
     assert len(many) >= len(one)
 
 
+def test_lsh_sql_exact_subset_of_brute_force_truth(ray_session):
+    """The sql_exact (fmix32-Rademacher, integer-dot) plane family is the
+    gated production path: its pair set must be a subset of the exact
+    brute-force truth (LSH never invents pairs) with bounded recall, and
+    it must be bit-deterministic across runs (the DuckDB oracle replays
+    the bucketing, so any nondeterminism would flap the gate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(33)
+    base = rng.normal(size=(40, 16))
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+        ids.append(2 * i)
+        vecs.append(v + rng.normal(scale=0.02, size=16))
+        ids.append(2 * i + 1)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    truth = {
+        (r["a"], r["b"])
+        for r in S.brute_force_near_duplicates(ds, threshold=0.98).to_pylist()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in S.lsh_near_duplicates(ds, threshold=0.98, n_planes=8,
+                                       n_tables=4, sql_exact=True).to_pylist()
+    }
+    again = {
+        (r["a"], r["b"])
+        for r in S.lsh_near_duplicates(ds, threshold=0.98, n_planes=8,
+                                       n_tables=4, sql_exact=True).to_pylist()
+    }
+    assert got <= truth
+    assert len(got & truth) / len(truth) >= 0.9
+    assert got == again
+
+
 def test_multimodal_feature_plumbing(ray_session):
     docs = rd.from_arrow(_corpus())
     media = docs.map_batches(M.documents_as_media, batch_format="pyarrow")
