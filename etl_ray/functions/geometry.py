@@ -35,9 +35,14 @@ def douglas_peucker_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray
         ys = y[i0 + 1:i1]
         dx = x[i1] - x[i0]
         dy = y[i1] - y[i0]
-        seg_len = np.hypot(dx, dy)
+        # sqrt(dx²+dy²), NOT np.hypot: hypot's overflow-safe algorithm can
+        # differ from sqrt by an ulp, and the DuckDB oracle replays this
+        # exact IEEE expression (multiply/add/sqrt are all correctly
+        # rounded, so both engines see bit-identical distances — argmax
+        # ties and the eps comparison can never diverge)
+        seg_len = np.sqrt(dx * dx + dy * dy)
         if seg_len == 0.0:
-            d = np.hypot(xs - x[i0], ys - y[i0])
+            d = np.sqrt((xs - x[i0]) ** 2 + (ys - y[i0]) ** 2)
         else:
             # perpendicular distance to the chord
             d = np.abs(dy * (xs - x[i0]) - dx * (ys - y[i0])) / seg_len

@@ -2339,13 +2339,17 @@ FROM dense GROUP BY tile_x, tile_y
 """
 
 
+_SIMPLIFY_EPS = 50.0    # ~48% of points kept on the synthetic paths
+
+
 def simplify_events_path(sf_dir: str):
     """Douglas-Peucker polyline simplification per user (SURVEY F9,
     simplify_trajectories.sql:2): each user's (minutes-since-epoch,
-    value) path simplified at eps=0.5; emits per-user point counts and
-    the simplified-value checksum. Deterministic (golden-fixture-gated in
-    tests/test_geometry.py; DP recursion is not SQL-expressible, so no
-    DuckDB oracle — the driver records the rows-only check)."""
+    value) path simplified at eps=50; emits the FULL kept-index mask
+    (comma-joined) plus an exact milli-quantized value checksum, both
+    hash-gated against a DuckDB recursive-CTE oracle that replays the
+    farthest-point split (same IEEE distance expression — see
+    functions/geometry.py — same first-index argmax tie rule)."""
     from etl_ray.functions.geometry import douglas_peucker_mask
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
@@ -2355,17 +2359,69 @@ def simplify_events_path(sf_dir: str):
         u = df["user_id"].to_numpy()
         x = df["ts"].to_numpy().astype("datetime64[m]").astype(np.float64)
         y = df["value"].to_numpy()
+        my = round_half_away(y * 1000.0, 0).astype(np.int64)
         starts = np.flatnonzero(~_prev_same_key(u))
         ends = np.append(starts[1:], len(u))
         rows = []
         for s, e in zip(starts, ends):
-            m = douglas_peucker_mask(x[s:e], y[s:e], eps=0.5)
+            m = douglas_peucker_mask(x[s:e], y[s:e], eps=_SIMPLIFY_EPS)
             rows.append((int(u[s]), int(e - s), int(m.sum()),
-                         float(round_half_away(y[s:e][m].sum(), 3))))
-        out = pd.DataFrame(rows, columns=["user_id", "n_points", "n_kept", "kept_value_sum"])
+                         ",".join(map(str, np.flatnonzero(m))),
+                         int(my[s:e][m].sum())))
+        out = pd.DataFrame(rows, columns=["user_id", "n_points", "n_kept",
+                                          "kept_idx", "kept_value_msum"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed_groups(ds, "user_id", simplify_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+
+
+_SIMPLIFY_DIST = """(CASE WHEN sqrt((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)) = 0.0
+        THEN sqrt((p.x-a.x)*(p.x-a.x)+(p.y-a.y)*(p.y-a.y))
+        ELSE abs((b.y-a.y)*(p.x-a.x)-(b.x-a.x)*(p.y-a.y))
+             / sqrt((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)) END)"""
+
+# Recursive farthest-point split: each `segs` row is a chord (i0, i1);
+# the recursive term finds the interior point of max perpendicular
+# distance (> eps, first index on ties — ORDER BY dist DESC, i ASC is
+# numpy argmax's rule) and emits the two child chords. Kept points are
+# exactly the union of chord endpoints.
+SIMPLIFY_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS i,
+         CAST(floor(epoch(ts)/60.0) AS DOUBLE) AS x,
+         value AS y
+  FROM events
+), nn AS (SELECT user_id, count(*) AS n FROM pts GROUP BY 1),
+segs AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS i0, CAST(n-1 AS BIGINT) AS i1 FROM nn
+  UNION ALL
+  SELECT user_id,
+         CASE w.k WHEN 0 THEN i0 ELSE j END AS i0,
+         CASE w.k WHEN 0 THEN j ELSE i1 END AS i1
+  FROM (
+    SELECT s.user_id, s.i0, s.i1,
+      (SELECT p.i FROM pts p
+         JOIN pts a ON a.user_id = s.user_id AND a.i = s.i0
+         JOIN pts b ON b.user_id = s.user_id AND b.i = s.i1
+        WHERE p.user_id = s.user_id AND p.i > s.i0 AND p.i < s.i1
+          AND {_SIMPLIFY_DIST} > {_SIMPLIFY_EPS}
+        ORDER BY {_SIMPLIFY_DIST} DESC, p.i ASC LIMIT 1) AS j
+    FROM segs s WHERE s.i1 - s.i0 >= 2
+  ) s2, (SELECT unnest([0, 1]) AS k) w
+  WHERE s2.j IS NOT NULL
+),
+kept AS (
+  SELECT DISTINCT user_id, i FROM (
+    SELECT user_id, i0 AS i FROM segs UNION ALL SELECT user_id, i1 AS i FROM segs)
+)
+SELECT k.user_id, CAST(nn.n AS BIGINT) AS n_points, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(CAST(k.i AS VARCHAR), ',' ORDER BY k.i) AS kept_idx,
+       CAST(sum(CAST(round(p.y*1000) AS BIGINT)) AS BIGINT) AS kept_value_msum
+FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.i = k.i
+JOIN nn ON nn.user_id = k.user_id
+GROUP BY 1, nn.n
+"""
 
 
 def join_order_lineitem(sf_dir: str):
@@ -2637,7 +2693,7 @@ QUERIES.update(
         "cdc_repair_fold": QueryDef(cdc_repair_fold, CDC_REPAIR_FOLD_SQL),
         "ngram_jaccard_pairs": QueryDef(ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
         "sliding_window": QueryDef(sliding_window, SLIDING_WINDOW_SQL),
-        "simplify_events_path": QueryDef(simplify_events_path, None),
+        "simplify_events_path": QueryDef(simplify_events_path, SIMPLIFY_SQL),
         "knn_cosine_ivf": QueryDef(knn_cosine_ivf, KNN_IVF_SQL),
         "sampled_docs": QueryDef(sampled_docs, SAMPLED_DOCS_SQL),
     }
