@@ -1170,50 +1170,76 @@ NEARDUP_SQL = _neardup_sql()
 # ================================================================ multimodal
 
 def media_metadata(sf_dir: str):
-    """Multimodal plumbing: documents→opaque binary payloads, typed
-    metadata extracted per batch (byte length); SQL-checkable half of the
-    media path."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
-
-    def meta(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "media_id": t.column("media_id"),
-                "kind": t.column("kind"),
-                "byte_len": pc.cast(pc.binary_length(t.column("payload")), pa.int64()),
-            }
-        )
-
-    return ds.map_batches(meta, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    """Multimodal metadata over REAL containers: documents → genuine
+    BMP/WAV payloads (functions/multimodal.py:synthesize_media), then a
+    header-parse stage re-derives width/height (BMP DIB header) and
+    duration (WAV fmt/data chunks) FROM THE BYTES. The oracle recomputes
+    the expected header values from the synthesis rule, so a decoder
+    that misreads any header field fails the hash."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(F_mm.synthesize_media, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(F_mm.parse_media_meta, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
 
 
 MEDIA_METADATA_SQL = """
-SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+-- synthesis rule: even doc_id → 16x16 24-bit BMP (54-byte headers +
+-- 768 pixel bytes, rows 4-aligned); odd → 256-sample 16-bit PCM WAV
+-- (44-byte canonical header + 512 data bytes) at 8 kHz = exactly 32 ms
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 822 ELSE 556 END AS BIGINT) AS byte_len,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 32 END AS BIGINT) AS duration_ms
 FROM documents
 """
 
 
 def multimodal_features(sf_dir: str):
-    """Actor-pool decode/feature stage over opaque payloads (decode is a
-    deterministic stub — see functions/multimodal.py). Gated on the
-    decode CHECKSUM invariant (sum of the decoded byte window / 255),
-    which the SQL oracle reproduces; the random-projection feature vector
-    itself stays engine-side (model output, not SQL-expressible)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(F_mm.documents_as_media, batch_format="pyarrow", zero_copy_batch=True)
+    """Actor-pool REAL-decode/feature stage: genuine BMP/WAV payloads
+    are decoded back to pixels/samples (functions/multimodal.py
+    decode_bmp/decode_wav — pure numpy, no codec libs) and gated on
+    exact-integer decode statistics (image: Σ pixel bytes + max pixel;
+    audio: Σ|sample| + max|sample|). Payload content is fmix32-derived,
+    so the SQL oracle recomputes the statistics WITHOUT parsing binaries
+    — any engine-side encode or decode defect breaks the hash. The
+    random-projection feature vector itself stays engine-side (model
+    output, not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(F_mm.synthesize_media, batch_format="pyarrow", zero_copy_batch=True)
     out = F_mm.extract_features(ds, concurrency=pool_size(), batch_size=256)
-    return out.select_columns(["media_id", "decode_checksum"]).to_pandas()
+    return out.select_columns(
+        ["media_id", "decode_checksum", "decode_peak"]).to_pandas()
 
 
-MULTIMODAL_FEATURES_SQL = """
--- payload = utf-8 text bytes; documents are ASCII so codepoint == byte
+def _multimodal_features_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    npx = 16 * 16 * 3
+    fm = fmix32_sql(
+        f"""SELECT doc_id,
+           (doc_id*4096 + CASE WHEN doc_id % 2 = 0 THEN i ELSE 1024 + i END)
+             % 4294967296 AS h0
+      FROM documents, (SELECT unnest(range({npx})) AS i)
+      WHERE (doc_id % 2 = 0) OR i < 256""",
+        ["doc_id"],
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN hv % 256
+              ELSE abs(hv % 65536 - 32768) END AS x
+  FROM ({fm})
+)
 SELECT CAST(doc_id AS BIGINT) AS media_id,
-       round(coalesce(list_sum([unicode(x) FOR x IN split(substr(text, 1, 4096), '')]), 0)
-             / 255.0, 6) AS decode_checksum
-FROM documents
+       CAST(sum(x) AS BIGINT) AS decode_checksum,
+       CAST(max(x) AS BIGINT) AS decode_peak
+FROM v GROUP BY 1
 """
+
+
+MULTIMODAL_FEATURES_SQL = _multimodal_features_sql()
 
 
 # ===================================================== CDC engine (flagship)
