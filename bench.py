@@ -138,6 +138,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ntile_events", "json_props_extract", "cohort_retention",
         "char_entropy_quality", "jsonl_roundtrip", "user_value_trend",
         "event_transitions", "split_assign", "bigram_pmi", "assoc_event_pairs",
+        "points_in_polygon", "simplify_events_path", "embedding_neardup",
+        "multimodal_features",
     ]
     q_times = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -59,3 +59,35 @@ def simplify_polyline(x: np.ndarray, y: np.ndarray, eps: float):
     """(x, y) arrays of the simplified polyline."""
     m = douglas_peucker_mask(np.asarray(x, float), np.asarray(y, float), eps)
     return np.asarray(x)[m], np.asarray(y)[m]
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray,
+                     poly_x: np.ndarray, poly_y: np.ndarray) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon test (odd crossing rule).
+
+    Reference analog: the ``sjoin(points, boundary, within)`` cleaning
+    filter (etl/cleaning/clean_data.py:62-67). Works for non-convex
+    polygons. One (n_points × n_edges) broadcast — the polygon is the
+    broadcast small side, points stream through in batches.
+
+    Edge rule is the classic strict half-open test: edge (v1, v2)
+    crosses the rightward ray from p iff ``(y1 > py) != (y2 > py)`` and
+    ``px < (x2-x1)·(py-y1)/(y2-y1) + x1``. Every comparison and the
+    intersection arithmetic are single correctly-rounded IEEE ops, so a
+    SQL oracle evaluating the same expression agrees bit-for-bit —
+    including points exactly on vertex latitudes. Polygons with
+    horizontal edges are fine (the parity test masks them out), but the
+    SQL twin evaluates the division eagerly, so callers gating against
+    DuckDB should use polygons with no zero-height edges.
+    """
+    px = np.asarray(px, np.float64)[:, None]
+    py = np.asarray(py, np.float64)[:, None]
+    x1 = np.asarray(poly_x, np.float64)[None, :]
+    y1 = np.asarray(poly_y, np.float64)[None, :]
+    x2 = np.roll(poly_x, -1).astype(np.float64)[None, :]
+    y2 = np.roll(poly_y, -1).astype(np.float64)[None, :]
+    straddles = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crossings = (straddles & (px < xint)).sum(axis=1)
+    return (crossings % 2 == 1)

@@ -7350,3 +7350,74 @@ ORDER BY p.t1, p.t2
 QUERIES.update({
     "assoc_event_pairs": QueryDef(assoc_event_pairs, ASSOC_PAIRS_SQL),
 })
+
+
+# --- point-in-polygon boundary filter ---------------------------------------------
+
+# irregular NON-convex hexagon (no horizontal edges — see
+# functions/geometry.py:point_in_polygon SQL-parity note)
+_PIP_POLY_X = (50.0, 450.0, 300.0, 420.0, 120.0, 200.0)
+_PIP_POLY_Y = (20.0, 80.0, 250.0, 460.0, 400.0, 220.0)
+
+
+def points_in_polygon(sf_dir: str):
+    """Geometric boundary filter (reference etl/cleaning/clean_data.py:
+    62-67, the sjoin(points, boundary, within) cleaning step): each
+    event maps to a synthetic point (x=value, y=event_id mod 497) and is
+    tested against a broadcast non-convex polygon with the vectorized
+    ray-casting kernel (functions/geometry.py:point_in_polygon). Pure
+    map — zero shuffles; the polygon is the broadcast small side (here a
+    closure constant; a real multi-thousand-vertex boundary rides
+    ray.put like semi_join_orders). Gate emits the PER-EVENT inside flag
+    so the oracle hash-checks every crossing-parity decision."""
+    from etl_ray.functions.geometry import point_in_polygon
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    poly_x = np.array(_PIP_POLY_X)
+    poly_y = np.array(_PIP_POLY_Y)
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "inside": pa.array([], pa.int64())})
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        px = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        py = (eid % 497).astype(np.float64)
+        m = point_in_polygon(px, py, poly_x, poly_y)
+        return pa.table({"event_id": pa.array(eid.astype(np.int64)),
+                         "inside": pa.array(m.astype(np.int64))})
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+
+
+def _pip_sql() -> str:
+    n = len(_PIP_POLY_X)
+    edges = ", ".join(
+        f"({_PIP_POLY_X[i]!r}, {_PIP_POLY_Y[i]!r}, "
+        f"{_PIP_POLY_X[(i + 1) % n]!r}, {_PIP_POLY_Y[(i + 1) % n]!r})"
+        for i in range(n)
+    )
+    return f"""
+WITH poly(x1, y1, x2, y2) AS (VALUES {edges}),
+pts AS (
+  SELECT event_id, value AS px, CAST(event_id % 497 AS DOUBLE) AS py
+  FROM events
+),
+c AS (
+  SELECT p.event_id,
+         count(*) FILTER (WHERE ((y1 > py) != (y2 > py))
+                            AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) AS k
+  FROM pts p CROSS JOIN poly GROUP BY 1
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS inside
+FROM c
+"""
+
+
+PIP_SQL = _pip_sql()
+
+QUERIES.update({
+    "points_in_polygon": QueryDef(points_in_polygon, PIP_SQL),
+})

@@ -44,3 +44,48 @@ def test_degenerate_inputs():
     y = np.array([0.0, 0.0, 0.0])
     m = douglas_peucker_mask(x, y, eps=1.0)
     assert m.tolist() == [True, True, True]
+
+
+def test_point_in_polygon_square():
+    import numpy as np
+
+    from etl_ray.functions.geometry import point_in_polygon
+
+    # unit square, slightly tilted so no edge is horizontal (SQL-parity rule)
+    qx = np.array([0.0, 10.0, 10.2, 0.2])
+    qy = np.array([0.0, 0.2, 10.2, 10.0])
+    px = np.array([5.0, 15.0, -1.0, 5.0, 5.0])
+    py = np.array([5.0, 5.0, 5.0, -2.0, 11.0])
+    assert point_in_polygon(px, py, qx, qy).tolist() == [
+        True, False, False, False, False]
+
+
+def test_point_in_polygon_nonconvex_notch():
+    import numpy as np
+
+    from etl_ray.functions.geometry import point_in_polygon
+
+    # arrowhead: (5, 4) sits inside the bounding box but inside the notch
+    qx = np.array([0.0, 10.0, 5.0])
+    qy = np.array([0.0, 1.0, 6.0])
+    notch_x = np.array([0.0, 10.0, 5.0, 5.0])
+    notch_y = np.array([0.0, 1.0, 2.0, 6.0])
+    inside_tri = point_in_polygon(np.array([5.0]), np.array([3.0]), qx, qy)
+    inside_notch = point_in_polygon(np.array([5.01]), np.array([3.0]),
+                                    notch_x, notch_y)
+    assert inside_tri.tolist() == [True]
+    assert inside_notch.tolist() == [False]  # carved out by the notch
+
+
+def test_point_in_polygon_deterministic_on_vertex_latitude():
+    import numpy as np
+
+    from etl_ray.functions.geometry import point_in_polygon
+
+    qx = np.array([0.0, 10.0, 10.0, 0.0])
+    qy = np.array([0.0, 1.0, 11.0, 10.0])
+    # point exactly at a vertex latitude: strict (y1 > py) != (y2 > py)
+    # rule must give the same answer on repeated evaluation
+    m1 = point_in_polygon(np.array([5.0]), np.array([1.0]), qx, qy)
+    m2 = point_in_polygon(np.array([5.0]), np.array([1.0]), qx, qy)
+    assert m1.tolist() == m2.tolist()
