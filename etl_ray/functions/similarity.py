@@ -527,6 +527,9 @@ def kmeans_lloyd(
     """
     from etl_ray.stages.agg import grouped_sum
 
+    if iters < 1:
+        raise ValueError(f"kmeans_lloyd: iters must be >= 1, got {iters}")
+
     empty_init = pa.table({
         "_id": pa.array([], pa.int64()),
         "_v": pa.array([], pa.list_(pa.int64())),
@@ -576,6 +579,16 @@ def kmeans_lloyd(
             cen, ids_c = cc["C"], cc["cids"]
             X = _milli_matrix(t.column("embedding"))
             Xs = X * scale
+            # int64 overflow guard: worst-case Σ_d (Δ)² must fit 2^63
+            # (micro-scaled values near 1e7 at d≈512 approach the edge —
+            # unbounded Python ints make the bound check itself safe)
+            m = max(int(np.abs(Xs).max(initial=0)),
+                    int(np.abs(cen).max(initial=0)))
+            if m and X.shape[1] * (2 * m) ** 2 >= 2 ** 63:
+                raise OverflowError(
+                    "kmeans_lloyd: |embedding| too large for exact int64 "
+                    f"distance math (max quantized magnitude {m} at "
+                    f"d={X.shape[1]})")
             # (n, k, d) int64 — exact; batch × k × d bounded by batch_size
             d2 = ((Xs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
             pos = np.argmin(d2, axis=1)  # first min = smallest cid

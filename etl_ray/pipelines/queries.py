@@ -5448,8 +5448,9 @@ def cdc_incremental_sigs(sf_dir: str):
     def sig_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
             return empty_sig
-        key = pc.binary_join_element_wise(
-            t.column("repo"), t.column("path"), sep)
+        from etl_ray.pipelines.replay import composite_key
+
+        key = composite_key(t.column("repo"), t.column("path"))
         S = np.stack([
             mh.signature(x or "")
             for x in t.column("content").to_pandas()
@@ -5468,8 +5469,9 @@ def cdc_incremental_sigs(sf_dir: str):
         if t.num_rows == 0 or not t.column_names:
             return pa.table({"key": pa.array([], pa.string()),
                              "gone": pa.array([], pa.bool_())})
-        key = pc.binary_join_element_wise(
-            t.column("repo"), t.column("path"), sep)
+        from etl_ray.pipelines.replay import composite_key
+
+        key = composite_key(t.column("repo"), t.column("path"))
         gone = pc.equal(t.column("change"), "removed")
         return pa.table({"key": key, "gone": gone})
 
@@ -5499,9 +5501,11 @@ def cdc_incremental_sigs(sf_dir: str):
         if t.num_rows == 0 or not t.column_names:
             return pa.table({c: pa.array([], pa.string())
                              for c in ("repo", "path", "content")})
+        from etl_ray.pipelines.replay import composite_key
+
         want = ray.get(fresh_ref)
-        keys = pc.binary_join_element_wise(
-            t.column("repo"), t.column("path"), sep).to_pandas().to_numpy(
+        keys = composite_key(
+            t.column("repo"), t.column("path")).to_pandas().to_numpy(
             dtype=object)
         return t.filter(pa.array(np.isin(keys, want)))
 
@@ -6183,6 +6187,12 @@ def weighted_sample_docs(sf_dir: str):
             return empty
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        # zero/negative weights are excluded IDENTICALLY on both engines
+        # (-ln(u)/0 is inf in numpy but NULL in DuckDB — a latent
+        # divergence on corpora containing empty docs)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        t = t.filter(pa.array(pos))
         u = (_fmix32(ids).astype(np.float64) + 1.0) / 4294967296.0
         rk = round_half_away(-np.log(u) / w, 9)
         df = pd.DataFrame({"doc_id": ids, "n_chars": t.column(
@@ -6219,7 +6229,7 @@ WITH f AS (
 ), r AS (
   SELECT doc_id, n_chars,
          round(-ln((hv + 1) / 4294967296.0) / n_chars, 9) AS rk
-  FROM f
+  FROM f WHERE n_chars > 0
 ), s AS (
   SELECT *, ROW_NUMBER() OVER (ORDER BY rk, doc_id) AS rn FROM r
 )

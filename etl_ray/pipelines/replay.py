@@ -137,6 +137,24 @@ _CHANGES_EMPTY = pa.schema(
 DIFF_SEP = "\x1f"
 
 
+def composite_key(repo: "pa.ChunkedArray | pa.Array",
+                  path: "pa.ChunkedArray | pa.Array"):
+    """Collision-free ``repo + DIFF_SEP + path`` composite key.
+
+    Decoding splits on the FIRST separator (``max_splits=1``), so a path
+    containing DIFF_SEP round-trips — but a repo containing it would
+    mis-split AND collide (('a','b\\x1fc') vs ('a\\x1fb','c') join to the
+    same bytes). Rejecting separator bytes in repo makes the encoding
+    injective; this is a per-batch vectorized check, not a per-row loop.
+    """
+    bad = pc.any(pc.match_substring(repo, DIFF_SEP)).as_py()
+    if bad:
+        raise ValueError(
+            "repo names must not contain the composite-key separator "
+            f"{DIFF_SEP!r} — (repo, path) keys would collide")
+    return pc.binary_join_element_wise(repo, path, DIFF_SEP)
+
+
 def prune_files_by_stats(
     files: list[str], col: str, lo, hi
 ) -> list[str]:
@@ -1554,8 +1572,7 @@ class ReplayEngine:
                 if t.num_rows == 0 or not t.column_names:
                     return pa.table({"key": pa.array([], pa.string()),
                                      tag: pa.array([], pa.string())})
-                key = pc.binary_join_element_wise(
-                    t.column("repo"), t.column("path"), sep)
+                key = composite_key(t.column("repo"), t.column("path"))
                 return pa.table({"key": key, tag: t.column("content_sha256")})
             return fn
 
