@@ -57,6 +57,44 @@ def ensure_event_log(sf: float, out_root: str = "/tmp/etl_ray_bench") -> tuple[s
     return log_dir, n_events
 
 
+def _dataset_stats() -> dict:
+    """Structured per-dataset / per-operator execution stats from Ray
+    Data's stats actor (the machine-readable analog of the reference's
+    per-run EXPLAIN ANALYZE persistence, 80_benchmark_results.sql).
+    Internal API — degrade to {} rather than fail the bench."""
+    try:
+        import ray
+        from ray.data._internal.stats import _get_or_create_stats_actor
+
+        return ray.get(_get_or_create_stats_actor().get_datasets.remote())
+    except Exception:
+        return {}
+
+
+def _new_dataset_stats(seen: dict) -> list[dict]:
+    """Compact operator-level rows for datasets that appeared since the
+    ``seen`` snapshot: wall span, total rows, and per-operator row/block
+    counts — enough to triage which stage dominates without a rerun."""
+    out = []
+    for ds_id, d in _dataset_stats().items():
+        if ds_id in seen:
+            continue
+        try:
+            out.append({
+                "dataset": ds_id,
+                "wall_sec": round((d.get("end_time") or 0)
+                                  - (d.get("start_time") or 0), 3),
+                "total_rows": d.get("total_rows"),
+                "operators": {
+                    k: {"rows": v.get("total_rows"), "blocks": v.get("total")}
+                    for k, v in (d.get("operators") or {}).items()
+                },
+            })
+        except Exception:
+            continue
+    return out
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -142,6 +180,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "multimodal_features",
     ]
     q_times = {}
+    q_stats = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
         q_names = []
     if q_names:
@@ -151,12 +190,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # session, not per query
         QUERIES["cdc_lww_latest"].fn(sf_dir)
     for name in q_names:
+        seen = _dataset_stats()
         t0 = time.perf_counter()
         res = QUERIES[name].fn(sf_dir)
         # force execution for lazy results
         if hasattr(res, "to_pandas"):
             res.to_pandas()
         q_times[name] = round(time.perf_counter() - t0, 3)
+        q_stats[name] = _new_dataset_stats(seen)
 
     out = {
         "metric": "cdc_replay_wall_sec",
@@ -167,6 +208,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "median_sec": round(median_sec, 3),
         "runs": [round(t, 3) for t in times],
         "queries": q_times,
+        "query_stats": q_stats,
         "sf": sf,
         "num_cpus": num_cpus,
     }
