@@ -368,7 +368,7 @@ def cdc_lww_latest(sf_dir: str):
         return t.filter(pa.array(last)).select(
             ["user_id", "ts", "event_type", "value"])
 
-    return bucketed_groups(ds, "user_id", last_per_user, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", last_per_user, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_LWW_LATEST_SQL = """
@@ -431,7 +431,7 @@ def cdc_sessionize(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", sess_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", sess_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_SESSIONIZE_SQL = """
@@ -470,7 +470,7 @@ def cdc_value_delta(sf_dir: str):
         out["total_delta"] = round_half_away(out["total_delta"], 3)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", delta_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", delta_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_VALUE_DELTA_SQL = """
@@ -507,7 +507,7 @@ def cdc_mode_event_type(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", mode_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", mode_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_MODE_SQL = """
@@ -558,7 +558,7 @@ def cdc_changes_compressed(sf_dir: str):
         out["n_changes"] = out["n_changes"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", changes_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", changes_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_CHANGES_SQL = """
@@ -767,7 +767,7 @@ def dedup_exact_docs(sf_dir: str):
         out["n_copies"] = out["n_copies"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "content_sha256", first_partition, n_buckets=_buckets_for(sf_dir, "documents")).to_pandas()
+    return bucketed_groups(ds, "content_sha256", first_partition, n_buckets=_buckets_for(sf_dir, "documents"))
 
 
 DEDUP_EXACT_SQL = """
@@ -1814,7 +1814,7 @@ def angular_delta(sf_dir: str):
         out["angular_delta"] = round_half_away(out["angular_delta"], 3)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", fold_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", fold_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 ANGULAR_DELTA_SQL = """
@@ -2042,7 +2042,7 @@ def cdc_attribution(sf_dir: str):
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", asof_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", asof_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_ATTRIBUTION_SQL = """
@@ -2253,7 +2253,7 @@ def cdc_repair_fold(sf_dir: str):
         g["sum_repaired"] = round_half_away(g["sum_repaired"], 3)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", run, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", run, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 CDC_REPAIR_FOLD_SQL = """
@@ -2398,7 +2398,7 @@ def simplify_events_path(sf_dir: str):
                                           "kept_idx", "kept_value_msum"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return bucketed_groups(ds, "user_id", simplify_partition, n_buckets=_buckets_for(sf_dir, "events")).to_pandas()
+    return bucketed_groups(ds, "user_id", simplify_partition, n_buckets=_buckets_for(sf_dir, "events"))
 
 
 _SIMPLIFY_DIST = """(CASE WHEN sqrt((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y)) = 0.0
