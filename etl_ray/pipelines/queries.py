@@ -879,10 +879,26 @@ def dedup_minhash_pairs(sf_dir: str):
     )
 
 
-def _minhash_pairs_cte() -> str:
+_ALL_DOCS_CTE = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0"""
+
+#: triple-dup corpus: docs with doc_id % 20 == 0 get a SECOND near-copy,
+#: so the near-dup graph contains genuine triangles (orig–A–B cliques)
+_TRIPLE_DOCS_CTE = _ALL_DOCS_CTE + """
+  UNION ALL
+  SELECT doc_id + 200000, text || ' trailing copy marker extras'
+  FROM documents WHERE doc_id % 20 = 0"""
+
+
+def _minhash_pairs_cte(all_docs_sql: str = _ALL_DOCS_CTE) -> str:
     """The MinHash+LSH pair pipeline as a WITH-clause body ending in the
-    ``mh_pairs(a, b, jaccard)`` CTE — shared by the pair gate and the
-    duplicate-cluster gate (which builds a recursive CTE on top)."""
+    ``mh_pairs(a, b, jaccard)`` CTE — shared by the pair gate, the
+    duplicate-cluster gate (which builds a recursive CTE on top), the
+    canonical-doc resolution and the triangle gate (which swaps in the
+    triple-dup corpus via ``all_docs_sql``)."""
     a, b = F_dedup.minhash_params()
     n_perm, n_bands = len(a), 6
     r = n_perm // n_bands
@@ -901,11 +917,7 @@ def _minhash_pairs_cte() -> str:
             f"SELECT doc_id, {bnd} AS band_id, CAST({expr} AS BIGINT) AS bh FROM sig"
         )
     bands_sql = "\n  UNION ALL ".join(band_selects)
-    return f"""all_docs AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
-  FROM documents WHERE doc_id % 10 = 0
+    return f"""all_docs AS ({all_docs_sql}
 ), d AS (
   SELECT doc_id,
     list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
