@@ -177,7 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "char_entropy_quality", "jsonl_roundtrip", "user_value_trend",
         "event_transitions", "split_assign", "bigram_pmi", "assoc_event_pairs",
         "points_in_polygon", "simplify_events_path", "embedding_neardup",
-        "multimodal_features",
+        "multimodal_features", "bpe_pair_counts", "user_zscore_outliers",
+        "corpus_mix_sample", "dedup_canonical", "dup_triangles",
     ]
     q_times = {}
     q_stats = {}

@@ -7443,3 +7443,390 @@ PIP_SQL = _pip_sql()
 QUERIES.update({
     "points_in_polygon": QueryDef(points_in_polygon, PIP_SQL),
 })
+
+
+# --- BPE first-merge pair statistics ----------------------------------------------
+
+_BPE_TOPK = 32
+
+
+def bpe_pair_counts(sf_dir: str):
+    """Tokenizer-induction primitive: the FIRST merge step of BPE —
+    corpus-wide counts of adjacent character pairs within words, top-K
+    by (count DESC, pair ASC). Per-batch partial counts are one
+    vectorized byte-bigram bincount (no Python loop over words: the
+    batch's words are joined with spaces, the 2-gram codes computed by
+    numpy slicing, boundary pairs masked), merged by a bounded
+    grouped-sum (≤ 26² groups) — the heavy token exchange of a real BPE
+    trainer collapses to k-bounded partials."""
+    import re as _re
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        txt = t.column("text").to_pandas().fillna("").str.lower()
+        words = _re.findall(r"[a-z]+", "\n".join(txt))
+        if not words:
+            return empty
+        a = np.frombuffer(" ".join(words).encode("ascii"), np.uint8)
+        if len(a) < 2:
+            return empty
+        code = a[:-1].astype(np.int32) * 256 + a[1:].astype(np.int32)
+        mask = (a[:-1] != 32) & (a[1:] != 32)
+        cnt = np.bincount(code[mask], minlength=1 << 16)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "pair": pa.array([chr(c >> 8) + chr(c & 255) for c in nz]),
+            "n": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    merged = F_agg.grouped_sum(partials, ["pair"], empty)
+    merged = merged.sort_values(["n", "pair"], ascending=[False, True],
+                                ignore_index=True).head(_BPE_TOPK)
+    return merged.reset_index(drop=True)
+
+
+BPE_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
+  FROM documents
+), p AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair
+  FROM w, unnest(range(1, length(word))) t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+# --- per-user z-score outlier flags -----------------------------------------------
+
+def user_zscore_outliers(sf_dir: str):
+    """Per-user anomaly counting: events whose value deviates more than
+    2σ from the user's mean. Statistics are exact-integer sums of
+    milli-quantized values (Σv, Σv²) so mean/variance are the same
+    correctly-rounded IEEE doubles on both engines; the z-test itself is
+    then a bit-identical float comparison. One bucket exchange on
+    user_id; per-partition work is a vectorized pandas groupby."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_outliers": pa.array([], pa.int64())})
+
+    def zpartition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = t.to_pandas()
+        vm = round_half_away(df["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        df = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "vm": vm})
+        g = df.groupby("user_id", sort=False)
+        st = g["vm"].agg(n="size", s="sum")
+        st["ss"] = g["vm"].apply(lambda x: int((x.to_numpy() ** 2).sum()))
+        st = st.reset_index()
+        m = df.merge(st, on="user_id")
+        n = m["n"].to_numpy(np.int64)
+        s = m["s"].to_numpy(np.int64)
+        ss = m["ss"].to_numpy(np.int64)
+        var_num = n * ss - s * s                       # exact int64
+        mean = s.astype(np.float64) / n                 # IEEE-identical to SQL
+        var = var_num.astype(np.float64) / (n * n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (m["vm"].to_numpy(np.float64) - mean) / np.sqrt(var)
+        flag = (var_num > 0) & (np.abs(z) > 2.0)
+        out = pd.DataFrame({"user_id": m["user_id"], "f": flag.astype(np.int64)})
+        res = out.groupby("user_id", sort=False, as_index=False).agg(
+            n_events=("f", "size"), n_outliers=("f", "sum"))
+        res["n_events"] = res["n_events"].astype("int64")
+        res["n_outliers"] = res["n_outliers"].astype("int64")
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", zpartition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+ZSCORE_SQL = """
+WITH m AS (
+  SELECT user_id, CAST(round(value*1000) AS BIGINT) AS vm FROM events
+), s AS (
+  SELECT user_id, count(*) AS n, sum(vm) AS s, sum(vm*vm) AS ss
+  FROM m GROUP BY 1
+)
+SELECT m.user_id,
+       CAST(any_value(n) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (n*ss - s*s) > 0
+                      AND abs((vm - s*1.0/n)
+                              / sqrt((n*ss - s*s)*1.0 / (n*n))) > 2.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM m JOIN s ON s.user_id = m.user_id
+GROUP BY 1
+"""
+
+
+# --- corpus mix sampling ------------------------------------------------------------
+
+_MIX_BUDGET = 200
+
+
+def corpus_mix_sample(sf_dir: str):
+    """Source-mix curation: deterministic hash-threshold sampling that
+    targets per-source proportions (w ∝ 1 + src_num % 3) under a total
+    budget — the 'rebalance the training mixture' primitive. Two-phase:
+    (1) one small grouped count per source, (2) driver computes the ≤
+    |sources| per-source keep rates (broadcast in the task closure), and
+    a map-only pass flags each doc by comparing its fmix32 uniform
+    against its source's rate. No shuffle beyond the count partials."""
+    from etl_ray.functions.sketch import _fmix32
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    empty_cnt = pa.table({"source": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cnt
+        df = t.to_pandas().groupby("source", sort=False, as_index=False).agg(
+            n=("doc_id", "size"))
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = F_agg.grouped_sum(
+        docs.map_batches(cnt_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), ["source"], empty_cnt)
+    src_num = counts["source"].str[3:].astype(int).to_numpy()
+    wt = 1.0 + (src_num % 3)
+    total_w = float(wt.sum())            # small ints in float64 — exact any order
+    rate = np.minimum(1.0, wt / total_w * float(_MIX_BUDGET)
+                      / counts["n"].to_numpy(np.float64))
+    rate_map = dict(zip(counts["source"], rate))
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "keep": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas()
+        u = (_fmix32(ids).astype(np.float64) + 1.0) / 4294967296.0
+        r = src.map(rate_map).to_numpy(np.float64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "source": t.column("source"),
+            "keep": pa.array((u < r).astype(np.int64)),
+        })
+
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mix_sample_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT doc_id, source, doc_id % 4294967296 AS h0 FROM documents",
+        ["doc_id", "source"],
+    )
+    return f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n,
+         1.0 + (CAST(substr(source, 4) AS INT) % 3) AS wt
+  FROM c
+), tw AS (SELECT sum(wt) AS s FROM w),
+r AS (
+  SELECT source, least(1.0, wt / (SELECT s FROM tw) * {_MIX_BUDGET} / n) AS rate
+  FROM w
+), f AS ({fm})
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.source,
+       CAST(CASE WHEN (hv + 1) / 4294967296.0 < r.rate THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f JOIN r ON r.source = f.source
+"""
+
+
+QUERIES.update({
+    "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
+    "user_zscore_outliers": QueryDef(user_zscore_outliers, ZSCORE_SQL),
+    "corpus_mix_sample": QueryDef(corpus_mix_sample, _mix_sample_sql()),
+})
+
+
+# --- canonical-doc resolution per duplicate cluster --------------------------------
+
+def dedup_canonical(sf_dir: str):
+    """Duplicate-cluster RESOLUTION: pick the best doc per near-dup
+    cluster (longest text, ties to the smallest doc_id) — the step that
+    turns cluster assignments into a deduplicated corpus keeping the
+    highest-quality representative rather than the arbitrary min-id.
+    Engine shape: pair discovery + Pregel connected components produce
+    the dup-sized label table, broadcast once; a map pass assigns every
+    doc its cluster (default: itself); one bucket exchange on cluster_id
+    picks the canonical row vectorized. The oracle replays pairs + a
+    recursive reach + a window argmax."""
+    from etl_ray.functions import graph as F_graph
+
+    ds = _docs_with_dups(sf_dir)
+    nb = _buckets_for(sf_dir, "documents")
+    pairs = F_dedup.minhash_dedup_pairs(ds, threshold=0.5, n_buckets=nb)
+    cc = F_graph.connected_components(pairs.select(["a", "b"]), n_buckets=nb
+                                      ).to_pandas()
+    lbl_ref = ray.put(dict(zip(cc["id"].astype("int64"),
+                               cc["cluster_id"].astype("int64"))))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64())})
+        m = ray.get(lbl_ref)
+        ids = t.column("doc_id").to_pandas().astype("int64")
+        nch = pc.cast(pc.utf8_length(
+            pc.fill_null(t.column("text"), "")), pa.int64())
+        return pa.table({
+            "doc_id": pa.array(ids.to_numpy()),
+            "cluster_id": pa.array(ids.map(m).fillna(ids).astype("int64").to_numpy()),
+            "n_chars": nch,
+        })
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["cluster_id", "n_chars", "doc_id"],
+            ascending=[True, False, True], kind="stable")
+        canon = df.groupby("cluster_id", sort=False)["doc_id"].transform("first")
+        df["canonical"] = (df["doc_id"] == canon).astype("int64")
+        return pa.Table.from_pandas(
+            df[["doc_id", "cluster_id", "n_chars", "canonical"]],
+            preserve_index=False)
+
+    asg = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_groups(asg, "cluster_id", pick, n_buckets=nb)
+
+
+def _dedup_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+nodes AS (
+  SELECT a AS id FROM mh_pairs UNION SELECT b FROM mh_pairs
+), edges AS (
+  SELECT a AS s, b AS t FROM mh_pairs UNION SELECT b, a FROM mh_pairs
+), reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.t, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+), lab AS (
+  SELECT id, min(lbl) AS l FROM reach GROUP BY 1
+), corpus AS (
+  SELECT doc_id, length(coalesce(text, '')) AS n_chars FROM all_docs
+), asg AS (
+  SELECT c.doc_id, coalesce(lab.l, c.doc_id) AS cluster_id, c.n_chars
+  FROM corpus c LEFT JOIN lab ON lab.id = c.doc_id
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) AS r
+  FROM asg
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS BIGINT) AS canonical
+FROM rn
+"""
+
+
+# --- triangle counting on the near-dup graph ---------------------------------------
+
+def _docs_with_triples(sf_dir: str) -> rd.Dataset:
+    """_docs_with_dups plus a SECOND near-copy (doc_id+200000) for
+    doc_id % 20 == 0 — the near-dup graph then contains genuine
+    orig–copyA–copyB triangles (the pairwise planted dups alone have
+    none)."""
+    ds = _docs_with_dups(sf_dir)
+
+    def extras(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return t
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        base = t.filter(pa.array((ids % 20 == 0) & (ids < 100000)))
+        new_text = pc.binary_join_element_wise(
+            pc.fill_null(base.column("text"), ""),
+            " trailing copy marker extras", "")
+        extra = pa.table({"doc_id": pc.add(base.column("doc_id"), 200000),
+                          "text": new_text, "lang": base.column("lang")})
+        return pa.concat_tables([t, extra])
+
+    return ds.map_batches(extras, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_triangles(sf_dir: str):
+    """Triangle enumeration on the near-dup graph — the graph-analytics
+    step after pair discovery (mutual-similarity cliques signal template
+    families / boilerplate). Distributed shape: wedge join (edges ⋈
+    edges on the shared middle vertex, a < mid < z by construction since
+    every edge is stored min<max) then a SEMI shuffle join closing the
+    wedge against the edge set on a collision-free composite key — two
+    edge-sized exchanges, never an adjacency matrix."""
+    from etl_ray.stages.joins import shuffle_join
+
+    ds = _docs_with_triples(sf_dir)
+    nb = _buckets_for(sf_dir, "documents")
+    e = F_dedup.minhash_dedup_pairs(ds, threshold=0.5, n_buckets=nb
+                                    ).select(["a", "b"])
+    e1 = rd.from_arrow(pa.table({"x": e.column("a"), "mid": e.column("b")}))
+    e2 = rd.from_arrow(pa.table({"mid": e.column("a"), "z": e.column("b")}))
+    wedges = shuffle_join(e1, e2, on="mid", n_buckets=nb)
+
+    def wedge_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "mid": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64())})
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = t.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("key", pa.array(x * 10_000_000 + z))
+
+    wk = wedges.map_batches(wedge_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ek = rd.from_arrow(pa.table({
+        "key": pa.array(
+            e.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            * 10_000_000
+            + e.column("b").to_numpy(zero_copy_only=False).astype(np.int64)),
+    }))
+    tri = shuffle_join(wk, ek, on="key", how="semi", n_buckets=nb)
+    empty = pa.table({"x": pa.array([], pa.int64()),
+                      "y": pa.array([], pa.int64()),
+                      "z": pa.array([], pa.int64())})
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        return pa.table({"x": t.column("x"), "y": t.column("mid"),
+                         "z": t.column("z")})
+
+    out = tri.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values(
+        ["x", "y", "z"], ignore_index=True)
+
+
+def _dup_triangles_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte(all_docs_sql=_TRIPLE_DOCS_CTE)}
+SELECT CAST(e1.a AS BIGINT) AS x, CAST(e1.b AS BIGINT) AS y,
+       CAST(e2.b AS BIGINT) AS z
+FROM mh_pairs e1
+JOIN mh_pairs e2 ON e2.a = e1.b
+JOIN mh_pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY x, y, z
+"""
+
+
+QUERIES.update({
+    "dedup_canonical": QueryDef(dedup_canonical, _dedup_canonical_sql()),
+    "dup_triangles": QueryDef(dup_triangles, _dup_triangles_sql()),
+})
