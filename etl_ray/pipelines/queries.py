@@ -7830,3 +7830,97 @@ QUERIES.update({
     "dedup_canonical": QueryDef(dedup_canonical, _dedup_canonical_sql()),
     "dup_triangles": QueryDef(dup_triangles, _dup_triangles_sql()),
 })
+
+# --- as-of join: enrich clicks with the latest prior purchase -----------------------
+
+def asof_clicks_purchases(sf_dir: str):
+    """AS-OF JOIN (stages/asof.py): every click event enriched with the
+    user's most recent purchase at-or-before the click — the temporal
+    backward lookup (SCD2 probe) the brief names as a custom operator
+    Ray Data lacks. One hash exchange on user_id co-partitions both
+    sides; in-bucket matching is a vectorized double-sorted merge with
+    Arrow-take value gathering. (user_id, ts) ties on the purchase side
+    resolve to the max event_id (tiebreak=...), replaying the oracle's
+    arg_max dedup exactly. Sentinels (0 / -1) keep unmatched rows
+    non-null int64 so the gate hash is dtype-stable on both engines."""
+    from etl_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "tsu": t.column("ts").cast(pa.int64())})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64()),
+                             "ref_event_id": pa.array([], pa.int64()),
+                             "ref_tsu": pa.array([], pa.int64()),
+                             "ref_value_milli": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        tsu = t.column("ts").cast(pa.int64())
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0, 0
+        ).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"), "tsu": tsu,
+                         "ref_event_id": t.column("event_id"),
+                         "ref_tsu": tsu, "ref_value_milli": pa.array(vm)})
+
+    left = ev.map_batches(mk_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(mk_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = asof_join(left, right, by="user_id", on="tsu",
+                       n_buckets=_buckets_for(sf_dir, "events"),
+                       tiebreak="ref_event_id")
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "ref_event_id": pa.array([], pa.int64()),
+                      "ref_value_milli": pa.array([], pa.int64()),
+                      "age_us": pa.array([], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        age = pc.subtract(t.column("tsu"), t.column("ref_tsu"))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ref_event_id": pc.fill_null(t.column("ref_event_id"), 0),
+            "ref_value_milli": pc.fill_null(t.column("ref_value_milli"), 0),
+            "age_us": pc.fill_null(age, -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rtsu,
+         max(event_id) AS ref_event_id,
+         arg_max(CAST(round(value * 1000) AS BIGINT), event_id)
+           AS ref_value_milli
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+       CAST(coalesce(r.ref_event_id, 0) AS BIGINT) AS ref_event_id,
+       CAST(coalesce(r.ref_value_milli, 0) AS BIGINT) AS ref_value_milli,
+       CAST(coalesce(l.tsu - r.rtsu, -1) AS BIGINT) AS age_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.rtsu
+"""
+
+
+QUERIES.update({
+    "asof_clicks_purchases": QueryDef(asof_clicks_purchases, ASOF_SQL),
+})

@@ -112,3 +112,60 @@ def test_dup_triangles_are_ordered_unique_and_planted(ray_session):
                   & (got["z"] == got["x"] + 200000)]
     assert (planted["x"] % 20 == 0).all()
     assert len(planted) > 0
+
+
+def test_asof_clicks_purchases_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["asof_clicks_purchases"].fn(SF)).sort_values(
+        "event_id", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    clicks = ev[ev["event_type"] == "click"]
+    pur = ev[ev["event_type"] == "purchase"]
+    assert len(got) == len(clicks)
+    # brute-force per-click backward lookup
+    for _, row in clicks.sample(25, random_state=7).iterrows():
+        cand = pur[(pur["user_id"] == row["user_id"])
+                   & (pur["ts"] <= row["ts"])]
+        g = got[got["event_id"] == row["event_id"]].iloc[0]
+        if cand.empty:
+            assert g["ref_event_id"] == 0 and g["age_us"] == -1
+        else:
+            best_ts = cand["ts"].max()
+            best = cand[cand["ts"] == best_ts]["event_id"].max()
+            assert g["ref_event_id"] == best
+            assert g["age_us"] == (row["ts"] - best_ts).value // 1000
+
+
+def test_asof_join_stage_edges(ray_session):
+    import ray.data as rd
+
+    from etl_ray.stages.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array([10, 10, 10, 99], pa.int64()),
+        "t": pa.array([5, 15, 2, 7], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([10, 10, 10], pa.int64()),
+        "t": pa.array([5, 5, 12], pa.int64()),
+        "rid": pa.array([100, 101, 102], pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", on="t", n_buckets=4,
+                    tiebreak="rid").to_pandas().sort_values(
+        "lid", ignore_index=True)
+    # lid=1 t=5: tie at t=5 → max rid (101); lid=2 t=15: t=12 row (102);
+    # lid=3 t=2: no match; lid=4: key absent → no match
+    assert out.loc[0, "rid"] == 101
+    assert out.loc[1, "rid"] == 102
+    assert pd.isna(out.loc[2, "rid"]) and pd.isna(out.loc[3, "rid"])
+
+    # empty right side: all-null right columns, left intact
+    out2 = asof_join(left, rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "t": pa.array([], pa.int64()),
+        "rid": pa.array([], pa.int64())})), by="k", on="t",
+        n_buckets=4).to_pandas()
+    assert len(out2) == 4 and out2["rid"].isna().all()
