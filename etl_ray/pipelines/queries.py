@@ -7924,3 +7924,106 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.rtsu
 QUERIES.update({
     "asof_clicks_purchases": QueryDef(asof_clicks_purchases, ASOF_SQL),
 })
+
+# --- character-level edit-distance verify over candidate pairs ----------------------
+
+_EDIT_CAP = 64
+
+
+def editdist_pairs(sf_dir: str):
+    """Character-level near-dup VERIFY: unit-cost Levenshtein distance
+    between the texts of each candidate pair — the complement of the
+    token-shingle Jaccard/containment verifies (catches char-level
+    mutations shingles miss). Pair domain mixes planted near-dups
+    (d, d+100000) with unrelated adjacent pairs (d, d+1 for d%7==3) so
+    distances span 0..cap. Shape: the pair table rides TWO bucketed
+    shuffle joins against the (truncated) corpus — pairs ⋈ text_a then
+    ⋈ text_b — and the DP kernel (functions/editdist.py) is vectorized
+    across the whole pair batch via a prefix-min row update; the corpus
+    is never broadcast or driver-materialized. Both engines strip
+    non-ASCII then truncate to the SAME cap chars, so SQL levenshtein()
+    (character-based) and the byte-matrix kernel agree exactly."""
+    from etl_ray.functions.editdist import batch_levenshtein
+    from etl_ray.stages.joins import shuffle_join
+
+    docs = _docs_with_dups(sf_dir)
+    nb = _buckets_for(sf_dir, "documents")
+
+    def mk_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = t.filter(pa.array(ids % 10 == 0)).column("doc_id").cast(pa.int64())
+        adj = t.filter(pa.array(ids % 7 == 3)).column("doc_id").cast(pa.int64())
+        return pa.table({
+            "a": pa.concat_arrays([dup.combine_chunks(), adj.combine_chunks()]),
+            "b": pa.concat_arrays([pc.add(dup, 100000).combine_chunks(),
+                                   pc.add(adj, 1).combine_chunks()]),
+        })
+
+    pairs = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def trunc(out_id: str, out_txt: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or not t.column_names:
+                return pa.table({out_id: pa.array([], pa.int64()),
+                                 out_txt: pa.array([], pa.string())})
+            clean = pc.replace_substring_regex(
+                pc.fill_null(t.column("text"), ""), "[^ -~]", "")
+            return pa.table({
+                out_id: t.column("doc_id").cast(pa.int64()),
+                out_txt: pc.utf8_slice_codeunits(clean, 0, _EDIT_CAP),
+            })
+        return fn
+
+    docs_a = docs.map_batches(trunc("a", "ta"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    docs_b = docs.map_batches(trunc("b", "tb"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    j = shuffle_join(shuffle_join(pairs, docs_a, on="a", n_buckets=nb),
+                     docs_b, on="b", n_buckets=nb)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        d = batch_levenshtein(t.column("ta").to_pandas(),
+                              t.column("tb").to_pandas(), cap=_EDIT_CAP)
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "dist": pa.array(d)})
+
+    out = j.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values(["a", "b"],
+                                                   ignore_index=True)
+
+
+EDITDIST_SQL = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' trailing copy marker tokens'
+  FROM documents WHERE doc_id % 10 = 0
+), p AS (
+  SELECT doc_id AS a, doc_id + 100000 AS b
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 7 = 3
+), cleaned AS (
+  SELECT doc_id,
+         substr(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'),
+                1, {_EDIT_CAP}) AS t
+  FROM all_docs
+)
+SELECT p.a, p.b,
+       CAST(levenshtein(xa.t, xb.t) AS BIGINT) AS dist
+FROM p JOIN cleaned xa ON xa.doc_id = p.a
+       JOIN cleaned xb ON xb.doc_id = p.b
+ORDER BY a, b
+"""
+
+
+QUERIES.update({"editdist_pairs": QueryDef(editdist_pairs, EDITDIST_SQL)})

@@ -169,3 +169,47 @@ def test_asof_join_stage_edges(ray_session):
         "rid": pa.array([], pa.int64())})), by="k", on="t",
         n_buckets=4).to_pandas()
     assert len(out2) == 4 and out2["rid"].isna().all()
+
+
+def test_batch_levenshtein_matches_reference_dp():
+    import random
+
+    from etl_ray.functions.editdist import batch_levenshtein
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            nd = [i + 1]
+            for j, cb in enumerate(b):
+                nd.append(min(dp[j + 1] + 1, nd[j] + 1, dp[j] + (ca != cb)))
+            dp = nd
+        return dp[-1]
+
+    rng = random.Random(11)
+    al = ["".join(rng.choice("abcd ") for _ in range(rng.randint(0, 30)))
+          for _ in range(150)]
+    bl = ["".join(rng.choice("abcd ") for _ in range(rng.randint(0, 30)))
+          for _ in range(150)]
+    got = batch_levenshtein(pd.Series(al), pd.Series(bl), cap=64)
+    assert (got == np.array([ref(a, b) for a, b in zip(al, bl)])).all()
+    # truncation to cap and empty-input edge
+    assert batch_levenshtein(pd.Series(["x" * 100]), pd.Series(["x" * 50]),
+                             cap=64)[0] == 14
+    assert len(batch_levenshtein(pd.Series([], dtype=str),
+                                 pd.Series([], dtype=str))) == 0
+
+
+def test_editdist_pairs_invariants(ray_session):
+    from etl_ray.pipelines.queries import QUERIES, _EDIT_CAP
+
+    got = _df(QUERIES["editdist_pairs"].fn(SF))
+    assert len(got) > 0
+    assert got["dist"].between(0, _EDIT_CAP).all()
+    planted = got[got["b"] == got["a"] + 100000]
+    adjacent = got[got["b"] == got["a"] + 1]
+    assert len(planted) > 0 and len(adjacent) > 0
+    # planted dups share their first 64 chars unless the doc is shorter
+    # than the cap — distances concentrate at/near zero
+    assert (planted["dist"] <= 28).all()
+    # unrelated adjacent docs should mostly be far apart
+    assert adjacent["dist"].median() > 10
