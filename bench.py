@@ -179,7 +179,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "points_in_polygon", "simplify_events_path", "embedding_neardup",
         "multimodal_features", "bpe_pair_counts", "user_zscore_outliers",
         "corpus_mix_sample", "dedup_canonical", "dup_triangles",
-        "asof_clicks_purchases", "editdist_pairs",
+        "asof_clicks_purchases", "editdist_pairs", "scd2_history",
+        "time_weighted_avg", "value_hour_slope", "pareto_parts",
     ]
     q_times = {}
     q_stats = {}

@@ -8027,3 +8027,320 @@ ORDER BY a, b
 
 
 QUERIES.update({"editdist_pairs": QueryDef(editdist_pairs, EDITDIST_SQL)})
+
+
+# =============================================================== round-4b ops
+# SCD Type-2 dimension build, time-weighted averages, regression slope,
+# skyline/Pareto frontier — the CDC-warehouse analytics the surface was
+# still missing.
+
+def scd2_history(sf_dir: str):
+    """SCD Type-2 dimension build from the change stream (SURVEY §2.9's
+    load meta-sequence applied to a slowly-changing dimension; reference
+    analog: the LWW "ensure" upsert, etl/load/loader.py — here the FULL
+    version history is kept instead of last-write-wins). Per user, state
+    runs of ``event_type`` (consecutive duplicates compressed) become
+    validity intervals: ``effective_from_us`` = first event of the run,
+    ``effective_to_us`` = start of the next run (open interval, sentinel
+    9999-12-31 for the current version), 1-based ``version``.
+
+    Distributed shape: ONE bucket exchange on user_id, then a fully
+    vectorized per-partition kernel (lexsort + run-start mask + shifted
+    lead) — no per-key dispatch, no global sort. Epoch-microsecond int64
+    outputs keep the oracle hash timestamp-format-free.
+    """
+    SENTINEL_US = 253402214400000000  # TIMESTAMP '9999-12-31' in epoch us
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "version": pa.array([], pa.int64()),
+        "effective_from_us": pa.array([], pa.int64()),
+        "effective_to_us": pa.array([], pa.int64()),
+        "is_current": pa.array([], pa.int64()),
+    })
+
+    def scd2_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same_key = _prev_same_key(u)
+        same_state = np.zeros(len(et), dtype=bool)
+        if len(et) > 1:
+            same_state[1:] = et[1:] == et[:-1]
+        start = ~(same_key & same_state)
+        su, se, sf = u[start], et[start], ts_us[start]
+        # lead(effective_from) within user: runs are contiguous per user
+        eff_to = np.full(len(sf), SENTINEL_US, dtype=np.int64)
+        if len(sf) > 1:
+            nxt_same = su[1:] == su[:-1]
+            eff_to[:-1][nxt_same] = sf[1:][nxt_same]
+        is_cur = (eff_to == SENTINEL_US).astype(np.int64)
+        # 1-based version per user (run starts are user-contiguous)
+        first_of_user = ~_prev_same_key(su)
+        idx = np.arange(len(su), dtype=np.int64)
+        version = idx - np.maximum.accumulate(np.where(first_of_user, idx, 0)) + 1
+        return pa.table({
+            "user_id": pa.array(su), "event_type": pa.array(se),
+            "version": pa.array(version),
+            "effective_from_us": pa.array(sf),
+            "effective_to_us": pa.array(eff_to),
+            "is_current": pa.array(is_cur),
+        })
+
+    return bucketed_groups(ds, "user_id", scd2_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+SCD2_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM runs WHERE is_start = 1
+)
+SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+       epoch_us(ts) AS effective_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY version)),
+                epoch_us(TIMESTAMP '9999-12-31')) AS effective_to_us,
+       CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM s
+"""
+
+
+QUERIES.update({"scd2_history": QueryDef(scd2_history, SCD2_SQL)})
+
+
+def time_weighted_avg(sf_dir: str):
+    """Time-weighted average value per user — the hold-last integral
+    ∫value·dt / total_duration over each user's event timeline (the CDC
+    analog of the reference's per-trajectory speed/draught averages,
+    etl/rollup/: a sensor that reports irregularly must be weighted by
+    how LONG each reading held, not per-report). Users with <2 events
+    (zero duration) are excluded on both sides.
+
+    Exactness discipline: value → milli-units (round-half-away), dt in
+    microseconds; per-term product ~5e5·2.6e12 ≈ 1.3e18 would overflow a
+    summed int64, so the per-partition kernel folds Python-int (object)
+    partials and the oracle mirrors with HUGEINT. Final division is
+    truncation-mirrored (DuckDB ``//`` truncates; Python floors).
+    One bucket exchange on user_id; vectorized sort + shifted diffs.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "duration_us": pa.array([], pa.int64()),
+                      "twa_milli": pa.array([], pa.int64())})
+
+    def twa_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vm = round_half_away(df["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        nxt_same = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            nxt_same[:-1] = u[1:] == u[:-1]
+        dt = np.zeros(len(u), dtype=np.int64)
+        if len(u) > 1:
+            dt[:-1] = ts_us[1:] - ts_us[:-1]
+        dt[~nxt_same] = 0
+        # Python-int partials: per-term vm*dt can exceed int64 when summed
+        term = vm.astype(object) * dt.astype(object)
+        g = (pd.DataFrame({"user_id": u, "term": term, "dt": dt.astype(object)})
+             .groupby("user_id", sort=False, as_index=False)
+             .agg(num=("term", "sum"), duration_us=("dt", "sum")))
+        g = g[g["duration_us"] > 0]
+        num = g["num"].to_numpy()
+        dur = g["duration_us"].to_numpy()
+        # mirror DuckDB truncation-toward-zero on the object ints
+        twa = np.array([int(abs(n) // d) * (1 if n >= 0 else -1)
+                        for n, d in zip(num, dur)], dtype=np.int64)
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy(dtype=np.int64)),
+                         "duration_us": pa.array(dur.astype(np.int64)),
+                         "twa_milli": pa.array(twa)})
+
+    return bucketed_groups(ds, "user_id", twa_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+TWA_SQL = """
+WITH o AS (
+  SELECT user_id,
+         CAST(round(value * 1000) AS BIGINT) AS vm,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id,
+         sum(CAST(vm AS HUGEINT) * dt) AS num,
+         sum(CAST(dt AS HUGEINT)) AS duration_us
+  FROM o WHERE dt IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(num // duration_us AS BIGINT) AS twa_milli
+FROM g WHERE duration_us > 0
+"""
+
+
+QUERIES.update({"time_weighted_avg": QueryDef(time_weighted_avg, TWA_SQL)})
+
+
+def value_hour_slope(sf_dir: str):
+    """Per-event-type least-squares slope of value against hour-of-day —
+    a grouped regression (does the metric drift across the day?), the
+    moment-sum pattern every distributed regression uses: per-block
+    integer partials (n, Σx, Σy, Σxy, Σx²) combined by one small
+    groupby, slope computed from the merged moments. x = hour 0..23,
+    y = value in milli-units, so every partial is exact int64 (per-block
+    Σxy ≤ 1e12); only the final n·Σxy−ΣxΣy product needs Python ints /
+    HUGEINT (driver-side over ≤|event_type| rows).
+
+    slope_micro = (n·Σxy − Σx·Σy)·10⁶ ÷ (n·Σx² − (Σx)²), truncated
+    toward zero on both engines.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sx": pa.array([], pa.int64()),
+                      "sy": pa.array([], pa.int64()),
+                      "sxy": pa.array([], pa.int64()),
+                      "sxx": pa.array([], pa.int64())})
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        x = df["ts"].dt.hour.to_numpy().astype(np.int64)
+        y = round_half_away(df["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x})
+             .groupby("event_type", sort=False, as_index=False).sum())
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = F_agg.grouped_sum(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], empty)
+    n = m["n"].astype(object); sx = m["sx"].astype(object)
+    sy = m["sy"].astype(object); sxy = m["sxy"].astype(object)
+    sxx = m["sxx"].astype(object)
+    num = (n * sxy - sx * sy) * 1_000_000
+    den = n * sxx - sx * sx
+    slope = [int(abs(a) // b) * (1 if a >= 0 else -1) if b > 0 else 0
+             for a, b in zip(num, den)]
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n": m["n"].astype("int64"),
+                        "slope_micro": pd.array(slope, dtype="int64")})
+    return out
+
+
+SLOPE_SQL = """
+WITH o AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(round(value * 1000) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM o GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 THEN ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+                      // (n * sxx - CAST(sx AS HUGEINT) * sx)
+                 ELSE 0 END AS BIGINT) AS slope_micro
+FROM g
+"""
+
+
+QUERIES.update({"value_hour_slope": QueryDef(value_hour_slope, SLOPE_SQL)})
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Non-dominated rows maximizing (p_size, price_cents): one lexsort
+    + prefix-max sweep, no pairwise loop. A row survives iff its price
+    equals its size-group max AND strictly exceeds the best price among
+    strictly larger sizes (ties on both dims survive together — neither
+    dominates without a strict inequality)."""
+    if df.empty:
+        return df
+    df = df.sort_values(["p_size", "price_cents"], ascending=False,
+                        kind="stable", ignore_index=True)
+    sizes = df["p_size"].to_numpy()
+    prices = df["price_cents"].to_numpy()
+    new_size = np.ones(len(df), dtype=bool)
+    new_size[1:] = sizes[1:] != sizes[:-1]
+    starts = np.flatnonzero(new_size)
+    gmaxs = prices[starts]  # sorted desc within group → first = max
+    prev = np.empty(len(starts), dtype=np.int64)
+    prev[0] = np.iinfo(np.int64).min
+    if len(starts) > 1:
+        prev[1:] = np.maximum.accumulate(gmaxs[:-1])
+    gid = np.cumsum(new_size) - 1
+    keep = (prices == gmaxs[gid]) & (prices > prev[gid])
+    return df[keep]
+
+
+def pareto_parts(sf_dir: str):
+    """Pareto frontier (skyline) of parts maximizing (p_size,
+    p_retailprice) — the multi-objective "best tradeoff" query. The
+    distributed shape exploits skyline(∪Sᵢ) = skyline(∪ skyline(Sᵢ)):
+    each block reduces to its LOCAL frontier in one vectorized sweep
+    (a combiner, like pre-aggregation before a groupby), and only the
+    tiny union of local frontiers reaches the final pass — the full
+    table is never globally sorted or collected. Price in exact cents.
+    """
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "p_size": pa.array([], pa.int64()),
+                      "price_cents": pa.array([], pa.int64())})
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "p_partkey": t.column("p_partkey").to_numpy(zero_copy_only=False),
+            "p_size": t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64),
+            "price_cents": round_half_away(
+                t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0,
+                0).astype(np.int64),
+        })
+        return pa.Table.from_pandas(_skyline_2d(df), preserve_index=False)
+
+    local = ds.map_batches(local_frontier, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # the union of local frontiers is frontier-sized (tiny) — final sweep
+    merged = to_pandas_typed(local, empty)
+    return _skyline_2d(merged).sort_values("p_partkey", ignore_index=True)
+
+
+PARETO_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_partkey, a.p_size, a.price_cents
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents >= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents > a.price_cents)
+)
+ORDER BY a.p_partkey
+"""
+
+
+QUERIES.update({"pareto_parts": QueryDef(pareto_parts, PARETO_SQL)})

@@ -1,0 +1,129 @@
+"""Invariant tests for the round-4b operators (beyond their SQL oracles):
+SCD Type-2 history, time-weighted average, grouped regression slope,
+Pareto frontier."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+SENTINEL_US = 253402214400000000
+
+
+def _df(res):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def test_scd2_intervals_tile_and_compress(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["scd2_history"].fn(SF)).sort_values(
+        ["user_id", "version"], ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in got.groupby("user_id"):
+        # versions are 1..k contiguous
+        assert list(g["version"]) == list(range(1, len(g) + 1))
+        # intervals tile: effective_to of v == effective_from of v+1
+        assert (g["effective_to_us"].to_numpy()[:-1]
+                == g["effective_from_us"].to_numpy()[1:]).all()
+        assert g["effective_to_us"].iloc[-1] == SENTINEL_US
+        assert (g["is_current"].to_numpy()
+                == np.r_[np.zeros(len(g) - 1), 1]).all()
+        # consecutive versions change state (compression)
+        et = g["event_type"].to_numpy()
+        assert (et[1:] != et[:-1]).all()
+        # run-length compression reconstructs the raw sequence
+        raw = ev[ev["user_id"] == uid]["event_type"].to_numpy()
+        runs = raw[np.r_[True, raw[1:] != raw[:-1]]]
+        assert list(et) == list(runs)
+
+
+def test_time_weighted_avg_matches_direct_integral(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["time_weighted_avg"].fn(SF)).set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vm = round_half_away(g["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        if len(g) < 2:
+            assert uid not in got.index
+            continue
+        dt = ts[1:] - ts[:-1]
+        num = sum(int(v) * int(d) for v, d in zip(vm[:-1], dt))
+        dur = int(dt.sum())
+        assert int(got.loc[uid, "duration_us"]) == dur
+        assert int(got.loc[uid, "twa_milli"]) == num // dur  # positive values
+        # TWA lies within [min, max] observed value
+        assert vm.min() <= got.loc[uid, "twa_milli"] <= vm.max()
+
+
+def test_value_hour_slope_matches_direct_fit(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["value_hour_slope"].fn(SF)).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["x"] = ev["ts"].dt.hour.astype("int64")
+    ev["y"] = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        sx, sy = int(g["x"].sum()), int(g["y"].sum())
+        sxy = int((g["x"].astype(object) * g["y"].astype(object)).sum())
+        sxx = int((g["x"].astype(object) ** 2).sum())
+        num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+        want = (abs(num) // den) * (1 if num >= 0 else -1) if den > 0 else 0
+        assert int(got.loc[et, "n"]) == n
+        assert int(got.loc[et, "slope_micro"]) == want
+        # sanity: slope agrees with the float fit (both in milli-value/hour)
+        fit = np.polyfit(g["x"], g["y"], 1)[0]
+        assert abs(fit - want / 1e6) < 2
+
+
+def test_pareto_frontier_is_exactly_the_nondominated_set(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["pareto_parts"].fn(SF))
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_size", "p_retailprice"]
+                         ).to_pandas()
+    part["price_cents"] = round_half_away(
+        part["p_retailprice"].to_numpy() * 100.0, 0).astype("int64")
+    s = part["p_size"].to_numpy().astype(np.int64)
+    c = part["price_cents"].to_numpy()
+
+    def dominated(i):
+        return bool(np.any((s >= s[i]) & (c >= c[i]) & ((s > s[i]) | (c > c[i]))))
+
+    want = {int(part["p_partkey"].iloc[i]) for i in range(len(part))
+            if not dominated(i)}
+    assert set(got["p_partkey"].astype(int)) == want
+    assert len(got) == len(want)
+
+
+def test_skyline_2d_tie_handling(ray_session):
+    from etl_ray.pipelines.queries import _skyline_2d
+
+    df = pd.DataFrame({
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_size": [10, 10, 9, 9, 8],
+        "price_cents": [100, 100, 100, 120, 130],
+    })
+    out = _skyline_2d(df)
+    # (10,100) twice: tie on both dims, both survive; (9,100) dominated by
+    # (10,100); (9,120) and (8,130) are frontier steps
+    assert sorted(out["p_partkey"]) == [1, 2, 4, 5]
