@@ -181,6 +181,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "corpus_mix_sample", "dedup_canonical", "dup_triangles",
         "asof_clicks_purchases", "editdist_pairs", "scd2_history",
         "time_weighted_avg", "value_hour_slope", "pareto_parts",
+        "heavy_hitters_tokens", "custkey_set_ops", "winsorized_stats",
+        "k_anonymize_docs", "user_event_paths",
     ]
     q_times = {}
     q_stats = {}

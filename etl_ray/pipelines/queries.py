@@ -8344,3 +8344,334 @@ ORDER BY a.p_partkey
 
 
 QUERIES.update({"pareto_parts": QueryDef(pareto_parts, PARETO_SQL)})
+
+
+# --- heavy hitters: Misra-Gries sketch + exact verify pass --------------------------
+
+_HH_COUNTERS = 64   # MG summary size k: error ≤ N/(k+1)
+_HH_OUT_K = 30      # report tokens with exact count · OUT_K > N (freq > N/30)
+
+
+def _mg_reduce(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction: if more than k counters, subtract the
+    (k+1)-th largest count from all and keep the positive ones. Sound
+    for merged summaries too (merge = concat-sum, then reduce)."""
+    if len(tokens) <= k:
+        return tokens, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    adj = counts - kth
+    keep = adj > 0
+    return tokens[keep], adj[keep]
+
+
+def heavy_hitters_tokens(sf_dir: str):
+    """Frequent-token detection with the guaranteed two-pass shape every
+    100-TB frequency query uses: pass 1 folds a Misra-Gries summary
+    (k=64 counters per block, concat-sum-reduce merge — O(k) state, so
+    the vocabulary NEVER rides an exchange), whose guarantee
+    (undercount ≤ N/(k+1)) means every token with true freq > N/30 is
+    among the ≤k candidates; pass 2 re-scans counting ONLY the broadcast
+    candidates exactly. Output = exactly the tokens with n·30 > N, with
+    EXACT counts — the sketch only prunes, so the oracle needs no sketch
+    replay. Threshold compares n·30 > N in integers (no division)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def block_tokens(t: pa.Table) -> pd.Series:
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        flat = pc.list_flatten(toks).to_pandas()
+        return flat[flat != ""]
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        vc = block_tokens(t).value_counts()
+        tok, cnt = _mg_reduce(vc.index.to_numpy(), vc.to_numpy().astype(np.int64),
+                              _HH_COUNTERS)
+        # sentinel row carries the block's total token count (N partial)
+        return pa.table({"token": pa.array(np.r_[tok, ["\x00total"]]),
+                         "n": pa.array(np.r_[cnt, [int(vc.sum())]].astype(np.int64))})
+
+    # summaries are k-bounded per block: the merged table is tiny by
+    # construction (k × blocks), so the driver fold is O(k·blocks)
+    summ = to_pandas_typed(
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        empty)
+    merged = summ.groupby("token", sort=False, as_index=False)["n"].sum()
+    total = int(merged.loc[merged["token"] == "\x00total", "n"].sum())
+    merged = merged[merged["token"] != "\x00total"]
+    cand_tok, _ = _mg_reduce(merged["token"].to_numpy(),
+                             merged["n"].to_numpy().astype(np.int64),
+                             _HH_COUNTERS)
+    cand_ref = ray.put(set(cand_tok.tolist()))
+
+    def exact_candidates(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        s = block_tokens(t)
+        s = s[s.isin(ray.get(cand_ref))]
+        vc = s.value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    exact = F_agg.grouped_sum(
+        ds.map_batches(exact_candidates, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], empty)
+    out = exact[exact["n"] * _HH_OUT_K > total]
+    return out.sort_values(["n", "token"], ascending=[False, True],
+                           ignore_index=True)
+
+
+HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), g AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), tot AS (SELECT sum(n) AS total FROM g)
+SELECT token, n FROM g, tot WHERE n * 30 > total ORDER BY n DESC, token
+"""
+
+
+# --- relational set ops: EXCEPT / INTERSECT membership ------------------------------
+
+def custkey_set_ops(sf_dir: str):
+    """EXCEPT / INTERSECT over two derived key sets (SURVEY D4's
+    union-distinct sibling): customers with any order vs customers with
+    a finished ('F') order, classified per key as intersect (both) or
+    except_a (open-only). Shape: both sides reduce to per-block distinct
+    (key, side-flag) partials, ONE grouped max-merge — set membership
+    without materializing either set."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "in_all": pa.array([], pa.int64()),
+                      "in_f": pa.array([], pa.int64())})
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "c_custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
+            "in_all": 1,
+            "in_f": pc.equal(t.column("o_orderstatus"), "F")
+                      .to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby("c_custkey", sort=False, as_index=False).max()
+        g["in_all"] = g["in_all"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from etl_ray.stages.agg import grouped_max
+
+    m = grouped_max(
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_custkey"], empty)
+    m["set_tag"] = np.where(m["in_f"] > 0, "intersect", "except_open")
+    return (m[["c_custkey", "set_tag"]]
+            .sort_values("c_custkey", ignore_index=True))
+
+
+SET_OPS_SQL = """
+WITH g AS (
+  SELECT o_custkey AS c_custkey,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey,
+       CASE WHEN in_f > 0 THEN 'intersect' ELSE 'except_open' END AS set_tag
+FROM g ORDER BY c_custkey
+"""
+
+
+QUERIES.update({
+    "heavy_hitters_tokens": QueryDef(heavy_hitters_tokens, HEAVY_HITTERS_SQL),
+    "custkey_set_ops": QueryDef(custkey_set_ops, SET_OPS_SQL),
+})
+
+
+# --- robust stats: winsorized mean per group ----------------------------------------
+
+def winsorized_stats(sf_dir: str):
+    """Per-lang winsorized mean of doc length — the robust-moment
+    pattern (clamp at the p10/p90 DISCRETE quantiles, then average) used
+    to keep corpus-quality dashboards outlier-proof. Quantile index is
+    pure integer math (lo = (n−1)//10, hi = ((n−1)·9)//10 over the
+    sorted values) so both engines pick the identical element; the mean
+    is exact milli-units with truncation mirrored. One bucket exchange
+    on lang; per-partition sort + clip is vectorized."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "lo": pa.array([], pa.int64()),
+                      "hi": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "winsor_mean_milli": pa.array([], pa.int64())})
+
+    def winsor_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["lang", "n_chars"])
+        rows = []
+        for lang, g in df.groupby("lang", sort=False):
+            v = g["n_chars"].to_numpy().astype(np.int64)  # pre-sorted
+            n = len(v)
+            lo = int(v[(n - 1) // 10])
+            hi = int(v[((n - 1) * 9) // 10])
+            s = int(np.clip(v, lo, hi).sum())
+            rows.append((lang, lo, hi, n, (s * 1000) // n))
+        out = pd.DataFrame(rows, columns=["lang", "lo", "hi", "n_docs",
+                                          "winsor_mean_milli"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groups(ds, "lang", winsor_partition, n_buckets=8)
+
+
+WINSOR_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), b AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n - 1) // 10 THEN n_chars END) AS lo,
+         max(CASE WHEN rn = ((n - 1) * 9) // 10 THEN n_chars END) AS hi,
+         max(n) AS n
+  FROM r GROUP BY lang
+), c AS (
+  SELECT r.lang,
+         CASE WHEN r.n_chars < b.lo THEN b.lo
+              WHEN r.n_chars > b.hi THEN b.hi ELSE r.n_chars END AS v,
+         b.lo, b.hi, b.n
+  FROM r JOIN b ON b.lang = r.lang
+)
+SELECT lang, CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST((sum(CAST(v AS HUGEINT)) * 1000) // max(n) AS BIGINT)
+         AS winsor_mean_milli
+FROM c GROUP BY lang
+"""
+
+
+# --- privacy: k-anonymity suppression ----------------------------------------------
+
+_KANON_K = 8
+
+
+def k_anonymize_docs(sf_dir: str):
+    """k-anonymity suppression over the (lang, source) quasi-identifier:
+    docs in a group with fewer than k=8 members get both QI columns
+    replaced by '*' — the minimal generalize/suppress primitive of a
+    privacy-aware release pipeline. Shape: a tiny (lang×source) count
+    aggregate (per-block combiner) broadcast once via ray.put, then a
+    zero-shuffle map pass rewrites the QI columns."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    empty_cnt = pa.table({"lang": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_cnt
+        g = (t.select(["lang", "source"]).to_pandas()
+             .groupby(["lang", "source"], sort=False, as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = F_agg.grouped_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang", "source"], empty_cnt)
+    keep = set(map(tuple, cnt.loc[cnt["n"] >= _KANON_K,
+                                  ["lang", "source"]].to_numpy()))
+    keep_ref = ray.put(keep)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang_k": pa.array([], pa.string()),
+                      "source_k": pa.array([], pa.string())})
+
+    def suppress(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        ok = pd.MultiIndex.from_frame(df[["lang", "source"]]).isin(
+            ray.get(keep_ref))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()),
+            "lang_k": pa.array(np.where(ok, df["lang"], "*")),
+            "source_k": pa.array(np.where(ok, df["source"], "*")),
+        })
+
+    return ds.map_batches(suppress, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+KANON_SQL = """
+WITH g AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+)
+SELECT d.doc_id,
+       CASE WHEN g.n >= 8 THEN d.lang ELSE '*' END AS lang_k,
+       CASE WHEN g.n >= 8 THEN d.source ELSE '*' END AS source_k
+FROM documents d JOIN g ON g.lang = d.lang AND g.source = d.source
+"""
+
+
+# --- product analytics: top user journey prefixes -----------------------------------
+
+def user_event_paths(sf_dir: str):
+    """Top-10 user journey prefixes: each user's first 5 event types (by
+    time) joined with '>', counted across users — the path-analysis
+    query behind every onboarding funnel dashboard. Shape: users are
+    bucketed whole (one exchange), each partition builds its paths
+    vectorized (lexsort + cumcount < 5 + per-user join) and emits
+    (path, n) partials; a tiny grouped merge + driver top-10 finish.
+    Ranking is (n DESC, path ASC), rendered as an explicit rank column
+    so ties are order-free."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    empty = pa.table({"path": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def paths_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        df = df[df.groupby("user_id", sort=False).cumcount() < 5]
+        p = df.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        vc = p.value_counts()
+        return pa.table({"path": pa.array(vc.index.to_numpy()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    parts = bucketed_groups(ds, "user_id", paths_partition,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    merged = F_agg.grouped_sum(parts, ["path"], empty)
+    out = merged.sort_values(["n", "path"], ascending=[False, True],
+                             ignore_index=True).head(10)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+EVENT_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id
+), c AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+FROM c ORDER BY rnk LIMIT 10
+"""
+
+
+QUERIES.update({
+    "winsorized_stats": QueryDef(winsorized_stats, WINSOR_SQL),
+    "k_anonymize_docs": QueryDef(k_anonymize_docs, KANON_SQL),
+    "user_event_paths": QueryDef(user_event_paths, EVENT_PATHS_SQL),
+})

@@ -120,6 +120,40 @@ def grouped_sum(
     return to_pandas_typed(merged, empty)
 
 
+
+def grouped_max(
+    partials: rd.Dataset,
+    keys: list[str],
+    empty: pa.Table,
+    n_buckets: int = 8,
+) -> pd.DataFrame:
+    """Merge per-batch PARTIAL rows with max (set-membership flags,
+    running maxima): one groupby-max over every non-key column, typed
+    per ``empty``'s schema. Small-result contract like grouped_sum."""
+    value_cols = [c for c in empty.column_names if c not in keys]
+    int_cols = [
+        c for c in value_cols if pa.types.is_integer(empty.schema.field(c).type)
+    ]
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = (
+            t.select([*keys, *value_cols])
+            .to_pandas()
+            .groupby(keys, sort=False, as_index=False)[value_cols]
+            .max()
+        )
+        for c in int_cols:
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = bucketed_groups_multi(
+        partials, keys, merge, n_buckets=n_buckets, empty=empty
+    )
+    return to_pandas_typed(merged, empty)
+
+
 def pivot_counts(
     ds: rd.Dataset,
     key_col: str,

@@ -127,3 +127,103 @@ def test_skyline_2d_tie_handling(ray_session):
     # (10,100) twice: tie on both dims, both survive; (9,100) dominated by
     # (10,100); (9,120) and (8,130) are frontier steps
     assert sorted(out["p_partkey"]) == [1, 2, 4, 5]
+
+
+def test_heavy_hitters_exact_and_complete(ray_session):
+    import re
+    from collections import Counter
+
+    from etl_ray.pipelines.queries import QUERIES, _HH_OUT_K
+
+    got = _df(QUERIES["heavy_hitters_tokens"].fn(SF))
+    text = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for t in text.column("text").to_pylist():
+        c.update(tok for tok in re.split(r"\s+", (t or "").lower()) if tok)
+    total = sum(c.values())
+    want = {tok: n for tok, n in c.items() if n * _HH_OUT_K > total}
+    assert dict(zip(got["token"], got["n"].astype(int))) == want
+
+
+def test_mg_reduce_guarantee():
+    import numpy as np
+
+    from etl_ray.pipelines.queries import _mg_reduce
+
+    # 3 heavy items among 100 light ones; k=8 keeps every item with
+    # freq > N/(k+1) and never overcounts
+    toks = np.array([f"t{i}" for i in range(103)])
+    cnts = np.r_[np.full(3, 1000), np.ones(100)].astype(np.int64)
+    kt, kc = _mg_reduce(toks, cnts, 8)
+    assert set(toks[:3]) <= set(kt)
+    est = dict(zip(kt, kc))
+    for t, n in zip(toks, cnts):
+        assert est.get(t, 0) <= n  # MG never overcounts
+
+
+def test_custkey_set_ops_membership(ray_session):
+    import duckdb
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["custkey_set_ops"].fn(SF))
+    con = duckdb.connect()
+    a = {r[0] for r in con.execute(
+        f"SELECT DISTINCT o_custkey FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchall()}
+    f = {r[0] for r in con.execute(
+        f"SELECT DISTINCT o_custkey FROM read_parquet('{SF}/orders.parquet') "
+        "WHERE o_orderstatus = 'F'").fetchall()}
+    inter = set(got.loc[got["set_tag"] == "intersect", "c_custkey"].astype(int))
+    exc = set(got.loc[got["set_tag"] == "except_open", "c_custkey"].astype(int))
+    assert inter == (a & f)
+    assert exc == (a - f)
+
+
+def test_winsorized_mean_is_robust_and_bounded(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["winsorized_stats"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "n_chars"]).to_pandas()
+    for _, row in got.iterrows():
+        v = np.sort(docs.loc[docs["lang"] == row["lang"], "n_chars"].to_numpy())
+        n = len(v)
+        assert row["n_docs"] == n
+        assert row["lo"] == v[(n - 1) // 10]
+        assert row["hi"] == v[((n - 1) * 9) // 10]
+        clipped = np.clip(v, row["lo"], row["hi"]).astype(object)
+        assert int(row["winsor_mean_milli"]) == (int(clipped.sum()) * 1000) // n
+        assert row["lo"] * 1000 <= row["winsor_mean_milli"] <= row["hi"] * 1000
+
+
+def test_k_anonymity_holds(ray_session):
+    from etl_ray.pipelines.queries import QUERIES, _KANON_K
+
+    got = _df(QUERIES["k_anonymize_docs"].fn(SF))
+    vis = got[got["lang_k"] != "*"]
+    # every released QI group has >= k members
+    sizes = vis.groupby(["lang_k", "source_k"]).size()
+    assert (sizes >= _KANON_K).all()
+    # suppression is all-or-nothing per row
+    assert ((got["lang_k"] == "*") == (got["source_k"] == "*")).all()
+    # row count preserved
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert len(got) == docs.num_rows
+
+
+def test_user_event_paths_top10(ray_session):
+    from collections import Counter
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["user_event_paths"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    heads = ev.groupby("user_id", sort=False).head(5)
+    paths = heads.groupby("user_id", sort=False)["event_type"].agg(">".join)
+    c = Counter(paths)
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["path"], got["n"].astype(int))) == want
+    assert list(got["rnk"]) == list(range(1, len(got) + 1))
