@@ -182,7 +182,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "asof_clicks_purchases", "editdist_pairs", "scd2_history",
         "time_weighted_avg", "value_hour_slope", "pareto_parts",
         "heavy_hitters_tokens", "custkey_set_ops", "winsorized_stats",
-        "k_anonymize_docs", "user_event_paths",
+        "k_anonymize_docs", "user_event_paths", "audio_rms_windows",
+        "hashed_bow_features", "gini_doc_length",
     ]
     q_times = {}
     q_stats = {}

@@ -8675,3 +8675,215 @@ QUERIES.update({
     "k_anonymize_docs": QueryDef(k_anonymize_docs, KANON_SQL),
     "user_event_paths": QueryDef(user_event_paths, EVENT_PATHS_SQL),
 })
+
+
+# --- multimodal: windowed audio analysis over REAL decoded WAV ----------------------
+
+_AUDIO_WIN = 32          # samples per analysis window (256/32 = 8 windows)
+_AUDIO_LOUD_PEAK = 24576  # 75% of int16 full scale
+
+
+def audio_rms_windows(sf_dir: str):
+    """Windowed audio analysis over REAL containers: the audio half of
+    the synthetic media corpus (odd doc_ids → genuine 16-bit PCM WAV) is
+    DECODED from bytes (functions/multimodal.py:decode_wav) and each
+    clip is split into 8 fixed 32-sample windows with exact-integer
+    energy stats (Σ|sample|, peak) and a loudness flag — the
+    silence/loudness segmentation step of an audio training-data
+    pipeline. The whole batch decodes into one (n, 256) sample matrix so
+    window stats are two numpy reductions, not a per-window loop; the
+    payload never leaves the stage. The oracle recomputes every sample
+    from the fmix32 synthesis rule, so a decode defect in ANY window
+    breaks the hash."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(F_mm.synthesize_media, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    empty = pa.table({"media_id": pa.array([], pa.int64()),
+                      "win": pa.array([], pa.int64()),
+                      "sum_abs": pa.array([], pa.int64()),
+                      "peak": pa.array([], pa.int64()),
+                      "is_loud": pa.array([], pa.int64())})
+
+    def windows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        t = t.filter(pc.equal(t.column("kind"), "audio"))
+        if t.num_rows == 0:
+            return empty
+        ids = t.column("media_id").to_numpy(zero_copy_only=False)
+        mat = np.abs(np.stack([
+            F_mm.decode_wav(p)[1].astype(np.int64)
+            for p in t.column("payload").to_pylist()
+        ]))
+        n, total = mat.shape
+        nw = total // _AUDIO_WIN
+        w = mat.reshape(n, nw, _AUDIO_WIN)
+        sums = w.sum(axis=2).ravel()
+        peaks = w.max(axis=2).ravel()
+        return pa.table({
+            "media_id": pa.array(np.repeat(ids, nw)),
+            "win": pa.array(np.tile(np.arange(nw, dtype=np.int64), n)),
+            "sum_abs": pa.array(sums),
+            "peak": pa.array(peaks),
+            "is_loud": pa.array((peaks >= _AUDIO_LOUD_PEAK).astype(np.int64)),
+        })
+
+    return ds.map_batches(windows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _audio_rms_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        """SELECT doc_id, i,
+           (doc_id*4096 + 1024 + i) % 4294967296 AS h0
+      FROM documents, (SELECT unnest(range(256)) AS i)
+      WHERE doc_id % 2 = 1""",
+        ["doc_id", "i"],
+    )
+    return f"""
+WITH v AS (
+  SELECT doc_id, i // {_AUDIO_WIN} AS win, abs(hv % 65536 - 32768) AS x
+  FROM ({fm})
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(win AS BIGINT) AS win,
+       CAST(sum(x) AS BIGINT) AS sum_abs, CAST(max(x) AS BIGINT) AS peak,
+       CAST(CASE WHEN max(x) >= {_AUDIO_LOUD_PEAK} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_loud
+FROM v GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"audio_rms_windows": QueryDef(audio_rms_windows,
+                                              _audio_rms_sql())})
+
+
+# --- feature-hashing vectorizer (hashing trick) --------------------------------------
+
+_FHASH_D = 8  # output dimensionality
+
+
+def hashed_bow_features(sf_dir: str):
+    """Feature-hashing (hashing-trick) document vectorizer: each token's
+    Horner hash is bucketed into d=8 dims with a sign bit
+    (±1 from the next hash bit) so collisions cancel in expectation —
+    the model-free embedding used when a learned encoder is unavailable
+    or too slow. Zero-shuffle map pass: per doc, one `np.add.at` scatter
+    over (dim, sign)·count; output is d exact-int columns wide. The
+    oracle replays the shared Horner token hash, bucket and sign
+    bit-for-bit."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    fcols = [f"f{j}" for j in range(_FHASH_D)]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      **{c: pa.array([], pa.int64()) for c in fcols}})
+
+    def vectorize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        ids, mats = [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            th = F_dedup.token_hashes(txt or "").astype(np.int64)
+            v = np.zeros(_FHASH_D, dtype=np.int64)
+            if len(th):
+                dim = th % _FHASH_D
+                sign = 1 - 2 * ((th // _FHASH_D) % 2)
+                np.add.at(v, dim, sign)
+            ids.append(did)
+            mats.append(v)
+        m = np.stack(mats)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         **{c: pa.array(m[:, j]) for j, c in enumerate(fcols)}})
+
+    out = docs.map_batches(vectorize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return to_pandas_typed(out, empty).sort_values("doc_id",
+                                                   ignore_index=True)
+
+
+def _hashed_bow_sql() -> str:
+    dims = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h % {_FHASH_D} = {j} THEN sgn ELSE 0 END) "
+        f"AS BIGINT) AS f{j}" for j in range(_FHASH_D))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(lower(coalesce(text, '')), '[^ \t\n\r\f\v]+'),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(unicode(x) AS BIGINT) FOR x IN split(t, '')]),
+             (h, c) -> (h * 31 + c) % 4294967296)) AS th
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(th) AS h FROM d
+), s AS (
+  SELECT doc_id, h, 1 - 2 * ((h // {_FHASH_D}) % 2) AS sgn FROM tok
+)
+SELECT doc_id,
+       {dims}
+FROM s GROUP BY doc_id
+"""
+
+
+# --- inequality: Gini coefficient per group ------------------------------------------
+
+def gini_doc_length(sf_dir: str):
+    """Per-source Gini coefficient of document length — the corpus
+    concentration/inequality metric (is one source dominated by a few
+    huge docs?). Exact integer form over ascending-sorted values:
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx), reported in micro-units with
+    truncation mirrored. One bucket exchange on source; the per-group
+    rank-weighted sums are vectorized (sort + arange dot)."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "gini_micro": pa.array([], pa.int64())})
+
+    def gini_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["source", "n_chars"])
+        rows = []
+        for src, g in df.groupby("source", sort=False):
+            x = g["n_chars"].to_numpy().astype(object)  # pre-sorted asc
+            n = len(x)
+            sx = int(x.sum())
+            if sx == 0:
+                rows.append((src, n, 0))
+                continue
+            ranked = int((np.arange(1, n + 1, dtype=object) * x).sum())
+            num = (2 * ranked - (n + 1) * sx) * 1_000_000
+            den = n * sx
+            rows.append((src, n, int(abs(num) // den) * (1 if num >= 0 else -1)))
+        out = pd.DataFrame(rows, columns=["source", "n_docs", "gini_micro"])
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["gini_micro"] = out["gini_micro"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groups(ds, "source", gini_partition, n_buckets=8)
+
+
+GINI_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+  FROM documents
+), g AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(n_chars AS HUGEINT)) AS sx,
+         sum(CAST(i AS HUGEINT) * n_chars) AS ranked
+  FROM r GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(CASE WHEN sx = 0 THEN 0
+                 ELSE ((2 * ranked - (n + 1) * sx) * 1000000) // (n * sx)
+            END AS BIGINT) AS gini_micro
+FROM g
+"""
+
+
+QUERIES.update({
+    "hashed_bow_features": QueryDef(hashed_bow_features, _hashed_bow_sql()),
+    "gini_doc_length": QueryDef(gini_doc_length, GINI_SQL),
+})

@@ -227,3 +227,61 @@ def test_user_event_paths_top10(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["path"], got["n"].astype(int))) == want
     assert list(got["rnk"]) == list(range(1, len(got) + 1))
+
+
+def test_audio_windows_match_decoded_samples(ray_session):
+    from etl_ray.functions.multimodal import synthesize_media, decode_wav
+    from etl_ray.pipelines.queries import QUERIES, _AUDIO_WIN
+
+    got = _df(QUERIES["audio_rms_windows"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    media = synthesize_media(docs)
+    audio = media.filter(
+        __import__("pyarrow.compute", fromlist=["x"]).equal(
+            media.column("kind"), "audio"))
+    by_key = got.set_index(["media_id", "win"])
+    # spot-check the first 5 audio clips window-by-window from real bytes
+    for mid, payload in list(zip(audio.column("media_id").to_pylist(),
+                                 audio.column("payload").to_pylist()))[:5]:
+        _, s = decode_wav(payload)
+        a = np.abs(s.astype(np.int64)).reshape(-1, _AUDIO_WIN)
+        for w in range(a.shape[0]):
+            row = by_key.loc[(mid, w)]
+            assert int(row["sum_abs"]) == int(a[w].sum())
+            assert int(row["peak"]) == int(a[w].max())
+    # every audio clip contributes exactly 8 windows
+    assert (got.groupby("media_id").size() == 8).all()
+
+
+def test_hashed_bow_is_deterministic_and_sums_to_signed_token_count(ray_session):
+    from etl_ray.functions.dedup import token_hashes
+    from etl_ray.pipelines.queries import QUERIES, _FHASH_D
+
+    got = _df(QUERIES["hashed_bow_features"].fn(SF)).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    fcols = [f"f{j}" for j in range(_FHASH_D)]
+    for _, r in docs.head(20).iterrows():
+        th = token_hashes(r["text"] or "").astype(np.int64)
+        v = np.zeros(_FHASH_D, dtype=np.int64)
+        if len(th):
+            np.add.at(v, th % _FHASH_D, 1 - 2 * ((th // _FHASH_D) % 2))
+        assert list(got.loc[r["doc_id"], fcols].astype(int)) == list(v)
+
+
+def test_gini_bounds_and_closed_form(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["gini_doc_length"].fn(SF))
+    # Gini of a non-negative distribution lies in [0, 1)
+    assert (got["gini_micro"] >= 0).all()
+    assert (got["gini_micro"] < 1_000_000).all()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"]).to_pandas()
+    for _, r in got.iterrows():
+        x = np.sort(docs.loc[docs["source"] == r["source"], "n_chars"].to_numpy())
+        n, sx = len(x), int(x.sum())
+        ranked = int((np.arange(1, n + 1, dtype=object) * x.astype(object)).sum())
+        want = ((2 * ranked - (n + 1) * sx) * 1_000_000) // (n * sx)
+        assert int(r["gini_micro"]) == want
+        assert int(r["n_docs"]) == n
