@@ -183,7 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "time_weighted_avg", "value_hour_slope", "pareto_parts",
         "heavy_hitters_tokens", "custkey_set_ops", "winsorized_stats",
         "k_anonymize_docs", "user_event_paths", "audio_rms_windows",
-        "hashed_bow_features", "gini_doc_length",
+        "hashed_bow_features", "gini_doc_length", "resample_daily_ffill",
+        "bigram_logprob_score",
     ]
     q_times = {}
     q_stats = {}

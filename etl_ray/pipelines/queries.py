@@ -8887,3 +8887,218 @@ QUERIES.update({
     "hashed_bow_features": QueryDef(hashed_bow_features, _hashed_bow_sql()),
     "gini_doc_length": QueryDef(gini_doc_length, GINI_SQL),
 })
+
+
+# --- time-series regularization: daily resample with forward fill -------------------
+
+def resample_daily_ffill(sf_dir: str):
+    """Resample each user's irregular value stream onto the corpus's
+    daily grid with forward fill (hold-last) — the gap-fill /
+    regularization step before any fixed-step time-series model
+    (reference analog: the trajectory builder's regular-interval
+    expectation, SURVEY K5/K6 — here the grid is materialized). Days
+    before a user's first event are dropped; same-timestamp duplicates
+    resolve to the highest event_id on both engines.
+
+    Scale shape: a 2-scalar global (min,max)-date aggregate, then ONE
+    bucket exchange on user_id; inside each partition every (user, day)
+    lookup is answered by a SINGLE composite-key searchsorted over the
+    pre-sorted events (user_idx·SPAN + Δts — no per-user loop, no join).
+    Output value is exact milli-units.
+    """
+    from ray.data.aggregate import Min as AggMin
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    bounds = ds.aggregate(AggMin("ts"), Max("ts"))
+    d0 = pd.Timestamp(bounds["min(ts)"]).normalize()
+    d1 = pd.Timestamp(bounds["max(ts)"]).normalize()
+    days = pd.date_range(d0, d1, freq="D")
+    day_ids = (days.year * 10000 + days.month * 100 + days.day).to_numpy().astype(np.int64)
+    bounds_us = ((days + pd.Timedelta(days=1))
+                 .to_numpy().astype("datetime64[us]").astype(np.int64))
+    base_us = int(d0.to_datetime64().astype("datetime64[us]").astype(np.int64))
+    span = int(bounds_us[-1] - base_us + 2)
+    n_days = len(days)
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "day_id": pa.array([], pa.int64()),
+                      "value_milli": pa.array([], pa.int64())})
+
+    def resample_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vm = round_half_away(df["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        # same-(user, ts) duplicates: keep the last (max event_id)
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            dup = (u[1:] == u[:-1]) & (ts_us[1:] == ts_us[:-1])
+            keep[:-1][dup] = False
+        u, ts_us, vm = u[keep], ts_us[keep], vm[keep]
+        uniq, seg_start = np.unique(u, return_index=True)
+        user_idx = np.cumsum(~_prev_same_key(u)) - 1
+        key_ev = user_idx * span + (ts_us - base_us)
+        qk = (np.repeat(np.arange(len(uniq), dtype=np.int64), n_days) * span
+              + np.tile(bounds_us - base_us, len(uniq)))
+        pos = np.searchsorted(key_ev, qk, side="left")
+        valid = pos > np.repeat(seg_start, n_days)
+        pos_v = pos[valid] - 1
+        return pa.table({
+            "user_id": pa.array(np.repeat(uniq, n_days)[valid]),
+            "day_id": pa.array(np.tile(day_ids, len(uniq))[valid]),
+            "value_milli": pa.array(vm[pos_v]),
+        })
+
+    return bucketed_groups(ds, "user_id", resample_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+), days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+), dedup AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events
+), ev AS (
+  SELECT user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM dedup WHERE rn = 1
+), grid AS (
+  SELECT u.user_id, CAST(d.day AS DATE) AS day,
+         CAST(d.day AS TIMESTAMP) + INTERVAL 1 DAY AS bound
+  FROM (SELECT DISTINCT user_id FROM events) u, days d
+)
+SELECT g.user_id,
+       CAST(year(g.day)*10000 + month(g.day)*100 + day(g.day) AS BIGINT) AS day_id,
+       e.vm AS value_milli
+FROM grid g ASOF JOIN ev e
+  ON g.user_id = e.user_id AND e.ts < g.bound
+"""
+
+
+QUERIES.update({"resample_daily_ffill": QueryDef(resample_daily_ffill,
+                                                 RESAMPLE_SQL)})
+
+
+# --- bigram LM scoring (conditional surprisal, add-1 smoothed) -----------------------
+
+def bigram_logprob_score(sf_dir: str):
+    """Bigram language-model scoring: per-doc mean CONDITIONAL surprisal
+    −ln p(w|prev) under the add-1-smoothed corpus bigram model,
+    p(w|prev) = (c(prev,w)+1)/(ctx(prev)+V) — the step up from
+    ``unigram_logprob_score`` that actually penalizes improbable token
+    ORDER (shuffled word salad scores ~uniform under a unigram model).
+    Three folds, all combiner-first: bigram counts and unigram vocab via
+    per-batch partials + one grouped merge each (model tables are
+    vocab-bounded, never corpus-sized); per-distinct-bigram surprisal is
+    computed ONCE in micro-nats; scoring is a zero-shuffle pass against
+    the broadcast model. At larger vocabularies the broadcast becomes a
+    bucketed join on (w1,w2) — same partials, one more exchange."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty_pair = pa.table({"w1": pa.array([], pa.string()),
+                           "w2": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())})
+    def doc_tokens(t: pa.Table):
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        ok = flat != ""
+        return flat[ok], doc_of[ok]
+
+    # ONE fused partial pass emits both families (assoc_event_pairs
+    # pattern): bigram rows plus sentinel-tagged unigram-presence rows,
+    # merged by a single grouped sum — V and ctx both derive from it
+    _UNI = "\x00uni"
+
+    def fused_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_pair
+        flat, doc_of = doc_tokens(t)
+        if len(flat) == 0:
+            return empty_pair
+        same = (doc_of[1:] == doc_of[:-1]) if len(flat) > 1 else np.array([], bool)
+        uw = np.unique(flat)
+        g = (pd.DataFrame({"w1": np.r_[flat[:-1][same], uw],
+                           "w2": np.r_[flat[1:][same], np.full(len(uw), _UNI)]})
+             .groupby(["w1", "w2"], sort=False, as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = F_agg.grouped_sum(
+        docs.map_batches(fused_partial, batch_format="pyarrow",
+                         zero_copy_batch=True), ["w1", "w2"], empty_pair)
+    is_uni = merged["w2"] == _UNI
+    vocab_v = int(is_uni.sum())
+    pcnt = merged[~is_uni]
+    ctx = pcnt.groupby("w1", as_index=False)["n"].sum().rename(
+        columns={"n": "c1"})
+    model = pcnt.merge(ctx, on="w1")
+    model["lpm"] = round_half_away(
+        -np.log((model["n"].to_numpy() + 1.0)
+                / (model["c1"].to_numpy() + float(vocab_v))) * 1_000_000.0,
+        0).astype(np.int64)
+    model_ref = ray.put(model[["w1", "w2", "lpm"]])
+
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64()),
+                          "sum_lp_micro": pa.array([], pa.int64())})
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        flat, doc_of = doc_tokens(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return empty_out
+        same = doc_of[1:] == doc_of[:-1]
+        df = pd.DataFrame({"doc_id": ids[doc_of[:-1][same]],
+                           "w1": flat[:-1][same], "w2": flat[1:][same]})
+        m = df.merge(ray.get(model_ref), on=["w1", "w2"], how="left")
+        g = (m.groupby("doc_id", sort=False, as_index=False)
+             .agg(n_bigrams=("lpm", "size"), sum_lp_micro=("lpm", "sum")))
+        g["n_bigrams"] = g["n_bigrams"].astype("int64")
+        g["sum_lp_micro"] = g["sum_lp_micro"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return to_pandas_typed(out, empty_out).sort_values(
+        "doc_id", ignore_index=True)
+
+
+BIGRAM_LP_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '\\S+') AS l
+  FROM documents
+), vocab AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(l) AS w FROM toks)
+), pi AS (
+  SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM toks WHERE len(l) >= 2
+), pairs AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pi
+), pcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(n) AS c1 FROM pcnt GROUP BY 1
+), lp AS (
+  SELECT p.w1, p.w2,
+         CAST(round(-ln((p.n + 1) * 1.0 / (c.c1 + (SELECT v FROM vocab)))
+                    * 1000000.0, 0) AS BIGINT) AS lpm
+  FROM pcnt p JOIN ctx c ON c.w1 = p.w1
+)
+SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro
+FROM pairs pr JOIN lp ON lp.w1 = pr.w1 AND lp.w2 = pr.w2
+GROUP BY pr.doc_id
+"""
+
+
+QUERIES.update({"bigram_logprob_score": QueryDef(bigram_logprob_score,
+                                                 BIGRAM_LP_SQL)})

@@ -285,3 +285,63 @@ def test_gini_bounds_and_closed_form(ray_session):
         want = ((2 * ranked - (n + 1) * sx) * 1_000_000) // (n * sx)
         assert int(r["gini_micro"]) == want
         assert int(r["n_docs"]) == n
+
+
+def test_resample_ffill_holds_last_value(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["resample_daily_ffill"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    d0, d1 = ev["ts"].min().normalize(), ev["ts"].max().normalize()
+    days = pd.date_range(d0, d1, freq="D")
+    for uid, g in list(ev.groupby("user_id"))[:10]:
+        sub = got[got["user_id"] == uid].set_index("day_id")
+        for day in days:
+            upto = g[g["ts"] < day + pd.Timedelta(days=1)]
+            day_id = day.year * 10000 + day.month * 100 + day.day
+            if upto.empty:
+                assert day_id not in sub.index
+                continue
+            want = int(round_half_away(
+                np.array([upto.iloc[-1]["value"]]) * 1000.0, 0)[0])
+            assert int(sub.loc[day_id, "value_milli"]) == want
+    # grid completeness: every (user, day>=first event day) is present
+    counts = got.groupby("user_id").size()
+    firsts = ev.groupby("user_id")["ts"].min().dt.normalize()
+    want_counts = ((d1 - firsts).dt.days + 1)
+    assert counts.sort_index().equals(want_counts.sort_index().astype(counts.dtype))
+
+
+def test_bigram_lm_scores_order_sensitivity(ray_session):
+    import re
+    from collections import Counter
+
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["bigram_logprob_score"].fn(SF)).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {r["doc_id"]: [w for w in re.split(r"\s+", (r["text"] or "").lower()) if w]
+            for _, r in docs.iterrows()}
+    pc_, vocab = Counter(), set()
+    for tl in toks.values():
+        vocab.update(tl)
+        pc_.update(zip(tl, tl[1:]))
+    ctx = Counter()
+    for (w1, _), n in pc_.items():
+        ctx[w1] += n
+    v = len(vocab)
+    lp = {bg: int(round_half_away(
+        np.array([-np.log((n + 1) / (ctx[bg[0]] + v))]) * 1e6, 0)[0])
+        for bg, n in pc_.items()}
+    for did, tl in list(toks.items())[:25]:
+        bgs = list(zip(tl, tl[1:]))
+        if not bgs:
+            assert did not in got.index
+            continue
+        assert int(got.loc[did, "n_bigrams"]) == len(bgs)
+        assert int(got.loc[did, "sum_lp_micro"]) == sum(lp[b] for b in bgs)
