@@ -184,7 +184,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "heavy_hitters_tokens", "custkey_set_ops", "winsorized_stats",
         "k_anonymize_docs", "user_event_paths", "audio_rms_windows",
         "hashed_bow_features", "gini_doc_length", "resample_daily_ffill",
-        "bigram_logprob_score",
+        "bigram_logprob_score", "value_decile_assign", "chi2_type_hour",
     ]
     q_times = {}
     q_stats = {}

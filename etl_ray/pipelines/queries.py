@@ -9102,3 +9102,149 @@ GROUP BY pr.doc_id
 
 QUERIES.update({"bigram_logprob_score": QueryDef(bigram_logprob_score,
                                                  BIGRAM_LP_SQL)})
+
+
+# --- feature engineering: global-decile bucketize ------------------------------------
+
+_DECILE_QS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def value_decile_assign(sf_dir: str):
+    """Global decile bucketize of the value column — the quantile-bin
+    feature-engineering step (equal-frequency binning against CORPUS
+    deciles, not per-batch ones). The decile boundaries come from the
+    mergeable milli-grid histogram fold (functions/sketch.py — domain-
+    bounded, never a sort); the 9 boundaries broadcast by value into a
+    zero-shuffle searchsorted assign pass. bin = #{boundaries < mv},
+    so both engines bucket identically including exact-boundary ties."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    qt = F_sketch.histogram_quantiles(ds, "value", qs=_DECILE_QS)
+    bounds = np.sort(qt["mv_q"].to_numpy().astype(np.int64))
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "value_milli": pa.array([], pa.int64()),
+                      "decile": pa.array([], pa.int64())})
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mv = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        # count of boundaries strictly below mv
+        d = np.searchsorted(bounds, mv, side="left").astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "value_milli": pa.array(mv),
+                         "decile": pa.array(d)})
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VALUE_DECILE_SQL = """
+WITH h AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS mv, count(*) AS n
+  FROM events GROUP BY 1
+), o AS (
+  SELECT mv, sum(n) OVER (ORDER BY mv) AS cum, sum(n) OVER () AS total FROM h
+), b AS (
+  SELECT CAST(min(CASE WHEN cum >= CAST(ceil(q * total) AS BIGINT)
+                       THEN mv END) AS BIGINT) AS bq
+  FROM o CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) qs(q)
+  GROUP BY q
+)
+SELECT e.event_id,
+       CAST(round(e.value * 1000, 0) AS BIGINT) AS value_milli,
+       CAST((SELECT count(*) FROM b
+             WHERE b.bq < CAST(round(e.value * 1000, 0) AS BIGINT))
+            AS BIGINT) AS decile
+FROM events e
+"""
+
+
+# --- statistics: chi-square independence (event_type × hour) ------------------------
+
+def chi2_type_hour(sf_dir: str):
+    """Chi-square independence statistic between event_type and
+    hour-of-day — the drift/bias detector run over every categorical
+    pair in data-quality monitoring. The contingency table is a tiny
+    (types × 24) grouped count (per-block combiner, one small merge);
+    the statistic is EXACT integers end-to-end: per cell
+    trunc((o·T − r·c)² · 10⁶ / (r·c·T)) summed per type (zero cells
+    included — they carry mass r·c/T), arbitrary-precision engine-side,
+    HUGEINT on the oracle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hour": pa.array([], pa.int64()),
+                      "o": pa.array([], pa.int64())})
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "hour": t.column("ts").to_pandas().dt.hour
+                                    .astype("int64")})
+        g = (df.groupby(["event_type", "hour"], sort=False, as_index=False)
+             .size().rename(columns={"size": "o"}))
+        g["o"] = g["o"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = F_agg.grouped_sum(
+        ds.map_batches(cell_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type", "hour"], empty)
+    # densify: observed type × observed hour grid, zeros included
+    types = np.sort(cells["event_type"].unique())
+    hours = np.sort(cells["hour"].unique())
+    grid = (pd.MultiIndex.from_product([types, hours],
+                                       names=["event_type", "hour"])
+            .to_frame(index=False)
+            .merge(cells, on=["event_type", "hour"], how="left")
+            .fillna({"o": 0}))
+    grid["o"] = grid["o"].astype("int64")
+    r = grid.groupby("event_type")["o"].transform("sum").astype(object)
+    c = grid.groupby("hour")["o"].transform("sum").astype(object)
+    T = int(grid["o"].sum())
+    o = grid["o"].astype(object)
+    term = (o * T - r * c) ** 2 * 1_000_000 // (r * c * T)
+    grid["chi2_micro"] = term
+    out = (grid.groupby("event_type", as_index=False)
+           .agg(n=("o", "sum"), chi2_micro=("chi2_micro", "sum")))
+    out["n"] = out["n"].astype("int64")
+    out["chi2_micro"] = out["chi2_micro"].astype("int64")
+    return out
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, count(*) AS o
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, h.hour, coalesce(c.o, 0) AS o
+  FROM (SELECT DISTINCT event_type FROM cells) t
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  LEFT JOIN cells c ON c.event_type = t.event_type AND c.hour = h.hour
+), m AS (
+  SELECT event_type, hour, o,
+         sum(o) OVER (PARTITION BY event_type) AS r,
+         sum(o) OVER (PARTITION BY hour) AS c,
+         sum(o) OVER () AS T
+  FROM grid
+), d AS (
+  -- explicit self-multiply: ** on HUGEINT routes through DOUBLE and
+  -- loses exactness above 2^53
+  SELECT event_type, o,
+         CAST(o AS HUGEINT) * T - CAST(r AS HUGEINT) * c AS dev,
+         CAST(r AS HUGEINT) * c * T AS den
+  FROM m
+)
+SELECT event_type, CAST(sum(o) AS BIGINT) AS n,
+       CAST(sum((dev * dev * 1000000) // den) AS BIGINT) AS chi2_micro
+FROM d GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "value_decile_assign": QueryDef(value_decile_assign, VALUE_DECILE_SQL),
+    "chi2_type_hour": QueryDef(chi2_type_hour, CHI2_SQL),
+})

@@ -345,3 +345,40 @@ def test_bigram_lm_scores_order_sensitivity(ray_session):
             continue
         assert int(got.loc[did, "n_bigrams"]) == len(bgs)
         assert int(got.loc[did, "sum_lp_micro"]) == sum(lp[b] for b in bgs)
+
+
+def test_value_deciles_are_equal_frequency(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["value_decile_assign"].fn(SF))
+    # each decile holds ~10% of rows (discrete boundaries allow drift
+    # bounded by the largest tie group)
+    share = got.groupby("decile").size() / len(got)
+    assert set(got["decile"]) <= set(range(10))
+    assert (share < 0.2).all()
+    # monotone: values in decile d are all <= values in decile d+1's min
+    mins = got.groupby("decile")["value_milli"].min()
+    maxs = got.groupby("decile")["value_milli"].max()
+    for d in range(int(got["decile"].max())):
+        if d in maxs.index and d + 1 in mins.index:
+            assert maxs[d] <= mins[d + 1]
+
+
+def test_chi2_matches_direct_contingency(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["chi2_type_hour"].fn(SF)).set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["hour"] = ev["ts"].dt.hour
+    ct = pd.crosstab(ev["event_type"], ev["hour"])
+    T = int(ct.values.sum())
+    r = ct.sum(axis=1)
+    c = ct.sum(axis=0)
+    for et in ct.index:
+        want = 0
+        for h in ct.columns:
+            o, rr, cc = int(ct.loc[et, h]), int(r[et]), int(c[h])
+            want += (o * T - rr * cc) ** 2 * 1_000_000 // (rr * cc * T)
+        assert int(got.loc[et, "chi2_micro"]) == want
+        assert int(got.loc[et, "n"]) == int(r[et])
