@@ -9248,3 +9248,111 @@ QUERIES.update({
     "value_decile_assign": QueryDef(value_decile_assign, VALUE_DECILE_SQL),
     "chi2_type_hour": QueryDef(chi2_type_hour, CHI2_SQL),
 })
+
+
+# --- entity resolution: blocked fuzzy record linkage ---------------------------------
+
+def record_linkage_parts(sf_dir: str):
+    """Record linkage (entity resolution): a deterministically-corrupted
+    copy of every third part (ONE character deleted at an fmix32-chosen
+    position) is matched back to the clean catalog — block on the first
+    name token, verify candidates with batch Levenshtein (≤ 2), keep the
+    best match per dirty record (min dist, then min key) — the
+    block→verify→survivorship pipeline of every dedup/MDM system.
+    Shape: both sides tagged in one map pass, ONE bucket exchange on the
+    block key, within-block candidate join + vectorized DP distance
+    (functions/editdist.py — no per-pair Python); candidates never leave
+    their block. Recall is blocking-bounded by design (an edit in the
+    block token drops the record) — the oracle replays the same rule."""
+    from etl_ray.functions.editdist import batch_levenshtein
+    from etl_ray.functions.sketch import _fmix32
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    empty_b = pa.table({"rid": pa.array([], pa.int64()),
+                        "name": pa.array([], pa.string()),
+                        "side": pa.array([], pa.int64()),
+                        "block": pa.array([], pa.string())})
+    empty = pa.table({"dirty_id": pa.array([], pa.int64()),
+                      "matched_partkey": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+
+    def derive_and_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_b
+        keys = t.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        names = t.column("p_name").to_pandas().fillna("")
+        clean = pd.DataFrame({"rid": keys, "name": names, "side": 0})
+        m = keys % 3 == 0
+        dk, dn = keys[m], names[m.tolist()].reset_index(drop=True)
+        lens = dn.str.len().to_numpy(np.int64)
+        pos = (_fmix32((dk % (1 << 32)).astype(np.uint64)).astype(np.int64)
+               % np.maximum(lens, 1))
+        dirty = pd.DataFrame({
+            "rid": dk + 100000,
+            "name": [s[:p] + s[p + 1:] for s, p in zip(dn, pos)],
+            "side": 1,
+        })
+        both = pd.concat([clean, dirty], ignore_index=True)
+        both["block"] = both["name"].str.split(" ").str[0]
+        both["side"] = both["side"].astype("int64")
+        return pa.Table.from_pandas(both, preserve_index=False)
+
+    blocked = ds.map_batches(derive_and_block, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def match_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        d = df[df["side"] == 1]
+        c = df[df["side"] == 0]
+        if d.empty or c.empty:
+            return empty
+        pairs = d.merge(c, on="block", suffixes=("_d", "_c"))
+        if pairs.empty:
+            return empty
+        pairs["dist"] = batch_levenshtein(pairs["name_d"], pairs["name_c"])
+        pairs = pairs[pairs["dist"] <= 2]
+        pairs = pairs.sort_values(["rid_d", "dist", "rid_c"],
+                                  kind="stable").drop_duplicates("rid_d")
+        return pa.table({
+            "dirty_id": pa.array(pairs["rid_d"].to_numpy(np.int64)),
+            "matched_partkey": pa.array(pairs["rid_c"].to_numpy(np.int64)),
+            "dist": pa.array(pairs["dist"].to_numpy(np.int64)),
+        })
+
+    return bucketed_groups(blocked, "block", match_partition, n_buckets=8)
+
+
+def _record_linkage_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT p_partkey, p_name, p_partkey % 4294967296 AS h0 "
+        "FROM part WHERE p_partkey % 3 = 0",
+        ["p_partkey", "p_name"],
+    )
+    return f"""
+WITH dirty AS (
+  SELECT p_partkey + 100000 AS dirty_id,
+         substr(p_name, 1, CAST(hv % length(p_name) AS INTEGER))
+         || substr(p_name, CAST(hv % length(p_name) AS INTEGER) + 2) AS dname
+  FROM ({fm})
+), cand AS (
+  SELECT d.dirty_id, c.p_partkey, levenshtein(d.dname, c.p_name) AS dist
+  FROM dirty d JOIN part c
+    ON split_part(d.dname, ' ', 1) = split_part(c.p_name, ' ', 1)
+  WHERE levenshtein(d.dname, c.p_name) <= 2
+), w AS (
+  SELECT dirty_id, p_partkey, dist,
+         row_number() OVER (PARTITION BY dirty_id
+                            ORDER BY dist, p_partkey) AS rn
+  FROM cand
+)
+SELECT dirty_id, p_partkey AS matched_partkey, CAST(dist AS BIGINT) AS dist
+FROM w WHERE rn = 1
+"""
+
+
+QUERIES.update({"record_linkage_parts": QueryDef(record_linkage_parts,
+                                                 _record_linkage_sql())})

@@ -382,3 +382,32 @@ def test_chi2_matches_direct_contingency(ray_session):
             want += (o * T - rr * cc) ** 2 * 1_000_000 // (rr * cc * T)
         assert int(got.loc[et, "chi2_micro"]) == want
         assert int(got.loc[et, "n"]) == int(r[et])
+
+
+def test_record_linkage_recovers_single_deletion_matches(ray_session):
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["record_linkage_parts"].fn(SF))
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    part = part.set_index("p_partkey")
+    # every matched pair is a true <=2-edit pair; the self-pair (a dirty
+    # record matched to its own clean original) always has dist 1
+    for _, r in got.iterrows():
+        orig = int(r["dirty_id"]) - 100000
+        if int(r["matched_partkey"]) == orig:
+            assert int(r["dist"]) == 1
+    # whenever the deletion does NOT hit the block token, the dirty
+    # record is matched (its original is in the block at dist 1)
+    keys = part.index.to_numpy()
+    dirty_keys = keys[keys % 3 == 0]
+    matched = set(got["dirty_id"].astype(int))
+    for k in dirty_keys[:200]:
+        name = part.loc[k, "p_name"]
+        pos = int(_fmix32(np.array([k % (1 << 32)], np.uint64))[0]) % len(name)
+        first_len = len(name.split(" ")[0])
+        if pos > first_len:  # strictly inside a later token
+            assert k + 100000 in matched
+    # best-match survivorship: one row per dirty record
+    assert got["dirty_id"].is_unique
