@@ -9301,6 +9301,12 @@ def record_linkage_parts(sf_dir: str):
                              zero_copy_batch=True)
 
     def match_partition(t: pa.Table) -> pa.Table:
+        # distance is a function of the NAME pair, so both sides reduce
+        # to distinct names before the candidate join (a duplicate-heavy
+        # catalog otherwise explodes the within-block pair count — this
+        # cut sf0.1 from 244 s to sub-second); survivorship over
+        # (dist, min-partkey-per-name) is order-equivalent to row-level
+        # (dist, partkey)
         if t.num_rows == 0:
             return empty
         df = t.to_pandas()
@@ -9308,17 +9314,25 @@ def record_linkage_parts(sf_dir: str):
         c = df[df["side"] == 0]
         if d.empty or c.empty:
             return empty
-        pairs = d.merge(c, on="block", suffixes=("_d", "_c"))
+        c_names = (c.groupby(["block", "name"], as_index=False)["rid"].min()
+                   .rename(columns={"rid": "rid_c", "name": "name_c"}))
+        d_names = (d[["block", "name"]].drop_duplicates()
+                   .rename(columns={"name": "name_d"}))
+        pairs = d_names.merge(c_names, on="block")
         if pairs.empty:
             return empty
         pairs["dist"] = batch_levenshtein(pairs["name_d"], pairs["name_c"])
         pairs = pairs[pairs["dist"] <= 2]
-        pairs = pairs.sort_values(["rid_d", "dist", "rid_c"],
-                                  kind="stable").drop_duplicates("rid_d")
+        best = (pairs.sort_values(["name_d", "dist", "rid_c"], kind="stable")
+                .drop_duplicates("name_d"))
+        out = d.merge(best, left_on=["block", "name"],
+                      right_on=["block", "name_d"])
+        if out.empty:
+            return empty
         return pa.table({
-            "dirty_id": pa.array(pairs["rid_d"].to_numpy(np.int64)),
-            "matched_partkey": pa.array(pairs["rid_c"].to_numpy(np.int64)),
-            "dist": pa.array(pairs["dist"].to_numpy(np.int64)),
+            "dirty_id": pa.array(out["rid"].to_numpy(np.int64)),
+            "matched_partkey": pa.array(out["rid_c"].to_numpy(np.int64)),
+            "dist": pa.array(out["dist"].to_numpy(np.int64)),
         })
 
     return bucketed_groups(blocked, "block", match_partition, n_buckets=8)
@@ -9338,21 +9352,276 @@ WITH dirty AS (
          substr(p_name, 1, CAST(hv % length(p_name) AS INTEGER))
          || substr(p_name, CAST(hv % length(p_name) AS INTEGER) + 2) AS dname
   FROM ({fm})
+), cnames AS (
+  SELECT p_name, min(p_partkey) AS p_partkey FROM part GROUP BY p_name
+), dnames AS (
+  SELECT DISTINCT dname FROM dirty
 ), cand AS (
-  SELECT d.dirty_id, c.p_partkey, levenshtein(d.dname, c.p_name) AS dist
-  FROM dirty d JOIN part c
+  SELECT d.dname, c.p_partkey, levenshtein(d.dname, c.p_name) AS dist
+  FROM dnames d JOIN cnames c
     ON split_part(d.dname, ' ', 1) = split_part(c.p_name, ' ', 1)
   WHERE levenshtein(d.dname, c.p_name) <= 2
 ), w AS (
-  SELECT dirty_id, p_partkey, dist,
-         row_number() OVER (PARTITION BY dirty_id
+  SELECT dname, p_partkey, dist,
+         row_number() OVER (PARTITION BY dname
                             ORDER BY dist, p_partkey) AS rn
   FROM cand
 )
-SELECT dirty_id, p_partkey AS matched_partkey, CAST(dist AS BIGINT) AS dist
-FROM w WHERE rn = 1
+SELECT dd.dirty_id, w.p_partkey AS matched_partkey, CAST(w.dist AS BIGINT) AS dist
+FROM dirty dd JOIN w ON w.dname = dd.dname AND w.rn = 1
 """
 
 
 QUERIES.update({"record_linkage_parts": QueryDef(record_linkage_parts,
                                                  _record_linkage_sql())})
+
+
+# --- forward as-of with tolerance: next purchase within the hour ---------------------
+
+_FWD_TOL_US = 3_600_000_000  # 1 hour
+
+
+def asof_forward_tolerance(sf_dir: str):
+    """FORWARD as-of join with an event-time tolerance: every click is
+    matched to the user's EARLIEST purchase at-or-after it, kept only
+    when it lands within 1 hour — the conversion-attribution window
+    (complement of the backward lookup in ``asof_clicks_purchases``).
+    Same one-exchange co-partitioned shape (stages/asof.py,
+    direction="forward"); the tolerance is a post-join vectorized
+    filter, so unmatched/late conversions never produce null columns.
+    Purchase-side (user, ts) ties resolve to the max event_id in both
+    engines."""
+    from etl_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "tsu": t.column("ts").cast(pa.int64())})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64()),
+                             "conv_event_id": pa.array([], pa.int64()),
+                             "conv_tsu": pa.array([], pa.int64())})
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        tsu = t.column("ts").cast(pa.int64())
+        return pa.table({"user_id": t.column("user_id"), "tsu": tsu,
+                         "conv_event_id": t.column("event_id"),
+                         "conv_tsu": tsu})
+
+    left = ev.map_batches(mk_left, batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(mk_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = asof_join(left, right, by="user_id", on="tsu",
+                       n_buckets=_buckets_for(sf_dir, "events"),
+                       tiebreak="conv_event_id", direction="forward")
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "conv_event_id": pa.array([], pa.int64()),
+                      "delay_us": pa.array([], pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        delay = pc.subtract(t.column("conv_tsu"), t.column("tsu"))
+        ok = pc.and_(pc.is_valid(delay),
+                     pc.less_equal(pc.fill_null(delay, _FWD_TOL_US + 1),
+                                   _FWD_TOL_US))
+        t = t.filter(ok)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "conv_event_id": t.column("conv_event_id"),
+            "delay_us": pc.subtract(t.column("conv_tsu"), t.column("tsu")),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+ASOF_FWD_SQL = f"""
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+), pdedup AS (
+  SELECT user_id, epoch_us(ts) AS pt, event_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), p AS (
+  SELECT user_id, -pt AS npt, pt, event_id AS conv_event_id
+  FROM pdedup WHERE rn = 1
+), m AS (
+  SELECT l.event_id, l.user_id, p.conv_event_id, p.pt - l.t AS delay_us
+  FROM l ASOF JOIN p ON l.user_id = p.user_id AND -l.t >= p.npt
+)
+SELECT event_id, user_id, conv_event_id, delay_us
+FROM m WHERE delay_us <= {_FWD_TOL_US}
+"""
+
+
+# --- data-quality expectation suite ---------------------------------------------------
+
+def dq_expectations(sf_dir: str):
+    """Declarative data-quality expectation suite — one scan per table,
+    all checks folded together (null rate, domain membership, range,
+    referential integrity, derived-column consistency), one row per
+    expectation with violation counts and a pass flag: the
+    write-audit-publish gate a CDC lake runs before promoting a batch.
+    Shape: per-block counter partials (sentinel-keyed) → ONE tiny
+    grouped sum; the FK check broadcasts the customer key set once."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    docs = _read(sf_dir, "documents", columns=["text", "n_chars"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    ckeys_ref = ray.put(set(
+        cust.to_pandas()["c_custkey"].astype("int64").tolist()))
+    empty = pa.table({"check_name": pa.array([], pa.string()),
+                      "n_checked": pa.array([], pa.int64()),
+                      "n_violations": pa.array([], pa.int64())})
+    _ETYPES = {"view", "click", "purchase", "signup", "error"}
+
+    def ev_checks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        et = t.column("event_type").to_pandas()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        rows = [
+            ("events.ts_not_null", n, int(t.column("ts").null_count)),
+            ("events.event_type_domain", n, int((~et.isin(_ETYPES)).sum())),
+            ("events.value_range_0_1000", n,
+             int((~((v >= 0.0) & (v <= 1000.0))).sum())),
+        ]
+        return pa.table({"check_name": pa.array([r[0] for r in rows]),
+                         "n_checked": pa.array([r[1] for r in rows], pa.int64()),
+                         "n_violations": pa.array([r[2] for r in rows], pa.int64())})
+
+    def doc_checks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        ln = pc.utf8_length(pc.fill_null(t.column("text"), "")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = [("documents.n_chars_consistent", n, int((ln != nc).sum()))]
+        return pa.table({"check_name": pa.array([r[0] for r in rows]),
+                         "n_checked": pa.array([r[1] for r in rows], pa.int64()),
+                         "n_violations": pa.array([r[2] for r in rows], pa.int64())})
+
+    def ord_checks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        ck = t.column("o_custkey").to_pandas()
+        bad = int((~ck.isin(ray.get(ckeys_ref))).sum())
+        rows = [("orders.custkey_fk", n, bad)]
+        return pa.table({"check_name": pa.array([r[0] for r in rows]),
+                         "n_checked": pa.array([r[1] for r in rows], pa.int64()),
+                         "n_violations": pa.array([r[2] for r in rows], pa.int64())})
+
+    parts = (
+        ev.map_batches(ev_checks, batch_format="pyarrow", zero_copy_batch=True)
+        .union(docs.map_batches(doc_checks, batch_format="pyarrow",
+                                zero_copy_batch=True))
+        .union(orders.map_batches(ord_checks, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    )
+    out = F_agg.grouped_sum(parts, ["check_name"], empty)
+    out["passed"] = (out["n_violations"] == 0).astype("int64")
+    return out.sort_values("check_name", ignore_index=True)
+
+
+DQ_SQL = """
+SELECT * FROM (
+  SELECT 'events.ts_not_null' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         CAST(CASE WHEN sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS BIGINT) AS passed
+  FROM events
+  UNION ALL
+  SELECT 'events.event_type_domain', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN event_type NOT IN
+                  ('view','click','purchase','signup','error')
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(CASE WHEN sum(CASE WHEN event_type NOT IN
+                  ('view','click','purchase','signup','error')
+                  THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events.value_range_0_1000', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN value >= 0 AND value <= 1000 THEN 0 ELSE 1 END)
+              AS BIGINT),
+         CAST(CASE WHEN sum(CASE WHEN value >= 0 AND value <= 1000
+                  THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'documents.n_chars_consistent', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN length(coalesce(text, '')) <> n_chars
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(CASE WHEN sum(CASE WHEN length(coalesce(text, '')) <> n_chars
+                  THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'orders.custkey_fk', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(CASE WHEN sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+              = 0 THEN 1 ELSE 0 END AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+) ORDER BY check_name
+"""
+
+
+# --- graph: degree histogram of the near-dup graph -----------------------------------
+
+def dupgraph_degree_hist(sf_dir: str):
+    """Degree histogram of the near-dup graph — the one-line health
+    metric of a dedup run (a fat tail = template families / boilerplate
+    explosions). Edge list → per-node degree (ONE node-keyed grouped
+    sum over exploded endpoints) → degree histogram (second tiny
+    grouped sum). Both exchanges are edge/degree-bounded."""
+    ds = _docs_with_dups(sf_dir)
+    nb = _buckets_for(sf_dir, "documents")
+    # minhash_dedup_pairs returns the dup-sized edge TABLE (small by
+    # contract — same usage as dup_triangles); degrees + histogram are
+    # two value_counts over it
+    e = F_dedup.minhash_dedup_pairs(ds, threshold=0.5, n_buckets=nb)
+    a = e.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b2 = e.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    _, deg = np.unique(np.r_[a, b2], return_counts=True)
+    degs = pd.DataFrame({"deg": deg.astype(np.int64)})
+    h = (degs.groupby("deg", as_index=False).size()
+         .rename(columns={"size": "n_nodes"}))
+    h["n_nodes"] = h["n_nodes"].astype("int64")
+    return h.sort_values("deg", ignore_index=True)
+
+
+def _degree_hist_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte()},
+nodes AS (
+  SELECT a AS node FROM mh_pairs UNION ALL SELECT b FROM mh_pairs
+), degs AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nodes GROUP BY node
+)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM degs GROUP BY deg ORDER BY deg
+"""
+
+
+QUERIES.update({
+    "asof_forward_tolerance": QueryDef(asof_forward_tolerance, ASOF_FWD_SQL),
+    "dq_expectations": QueryDef(dq_expectations, DQ_SQL),
+    "dupgraph_degree_hist": QueryDef(dupgraph_degree_hist, _degree_hist_sql()),
+})

@@ -41,8 +41,16 @@ def asof_join(
     on: str,
     n_buckets: int | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> rd.Dataset:
-    """Backward-inclusive as-of join of two Datasets.
+    """As-of join of two Datasets (backward- or forward-inclusive).
+
+    ``direction="backward"`` (default) matches the most recent right
+    row with ``on`` <= the left row's; ``"forward"`` matches the
+    EARLIEST right row with ``on`` >= the left row's (the "next event
+    after" lookup — attribution windows, next-purchase joins). With a
+    ``tiebreak``, equal-``on`` right rows resolve to the max tiebreak in
+    both directions (numeric tiebreak required for forward).
 
     ``by``: equality key column (both sides); ``on``: never-null
     orderable column (both sides; int64 epoch-us recommended). All
@@ -60,6 +68,8 @@ def asof_join(
         raise ValueError(f"right-side columns collide with left: {sorted(clash)}")
     if tiebreak is not None and tiebreak not in rcols:
         raise ValueError(f"tiebreak {tiebreak!r} must be a right value column")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     out_fields = [(c, lschema.field(c).type) for c in lcols]
     out_fields += [(c, rschema.field(c).type) for c in rcols]
@@ -113,7 +123,9 @@ def asof_join(
         r_on = rt.column(on).to_numpy(zero_copy_only=False)
         if tiebreak is not None:
             tb = rt.column(tiebreak).to_numpy(zero_copy_only=False)
-            rorder = np.lexsort((tb, r_on))
+            # backward picks the LAST row <= (max tb with asc sort);
+            # forward picks the FIRST row >= (max tb needs desc sort)
+            rorder = np.lexsort((tb if direction == "backward" else -tb, r_on))
         else:
             rorder = np.argsort(r_on, kind="stable")
         rt = rt.take(pa.array(rorder))
@@ -125,7 +137,7 @@ def asof_join(
             pd.DataFrame({by: rt.column(by).to_numpy(zero_copy_only=False),
                           on: r_on[rorder],
                           "_ridx": np.arange(rt.num_rows, dtype=np.int64)}),
-            on=on, by=by, direction="backward",
+            on=on, by=by, direction=direction,
         )
         ridx = m["_ridx"].to_numpy(np.float64)
         miss = np.isnan(ridx)
