@@ -9625,3 +9625,57 @@ QUERIES.update({
     "dq_expectations": QueryDef(dq_expectations, DQ_SQL),
     "dupgraph_degree_hist": QueryDef(dupgraph_degree_hist, _degree_hist_sql()),
 })
+
+
+# --- trailing event-time window: burst detection --------------------------------------
+
+_BURST_WIN_US = 60_000_000  # 1 minute
+
+
+def burst_counts(sf_dir: str):
+    """Per-event trailing-window count: for every event, how many of the
+    SAME user's events fall in [ts − 60 s, ts] (peers at the same
+    timestamp included) — the burst/rate-limit detector, i.e. a RANGE
+    window frame over event time rather than the grid windows of
+    tumbling/sliding. One bucket exchange on user_id; inside the
+    partition BOTH frame edges for every event come from two
+    composite-key searchsorted calls over the pre-sorted stream (the
+    resample_daily_ffill trick) — no per-user loop, no self-join."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "burst_n": pa.array([], pa.int64())})
+
+    def burst_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        user_idx = np.cumsum(~_prev_same_key(u)) - 1
+        base = ts_us.min()
+        span = int(ts_us.max() - base) + _BURST_WIN_US + 2
+        key = user_idx * span + (ts_us - base)
+        lo = np.searchsorted(key, user_idx * span
+                             + (ts_us - base - _BURST_WIN_US), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "user_id": pa.array(u.astype(np.int64)),
+            "burst_n": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    return bucketed_groups(ds, "user_id", burst_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+BURST_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 MINUTE PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS burst_n
+FROM events
+"""
+
+
+QUERIES.update({"burst_counts": QueryDef(burst_counts, BURST_SQL)})

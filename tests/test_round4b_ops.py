@@ -472,3 +472,18 @@ def test_degree_hist_conserves_edge_mass(ray_session):
     total_deg = int((got["deg"] * got["n_nodes"]).sum())
     assert total_deg % 2 == 0 and total_deg > 0
     assert (got["deg"] >= 1).all()
+
+
+def test_burst_counts_match_direct_window(ray_session):
+    from etl_ray.pipelines.queries import QUERIES, _BURST_WIN_US
+
+    got = _df(QUERIES["burst_counts"].fn(SF)).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["tsu"] = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    for uid, g in list(ev.groupby("user_id"))[:8]:
+        t = g["tsu"].to_numpy()
+        for _, r in g.iterrows():
+            want = int(((t >= r["tsu"] - _BURST_WIN_US) & (t <= r["tsu"])).sum())
+            assert int(got.loc[r["event_id"], "burst_n"]) == want
+    assert (got["burst_n"] >= 1).all()
