@@ -9679,3 +9679,81 @@ FROM events
 
 
 QUERIES.update({"burst_counts": QueryDef(burst_counts, BURST_SQL)})
+
+
+# --- corpus analytics: pairwise source vocabulary similarity --------------------------
+
+def source_similarity(sf_dir: str):
+    """Pairwise Jaccard similarity between source vocabularies — the
+    corpus-composition diagnostic (which feeds are near-duplicates of
+    each other BEFORE document-level dedup). Shape: per-batch distinct
+    (source, token)-presence partials → one grouped max-merge (the set
+    union, vocabulary-bounded — rows never ride the exchange); the
+    source×source Jaccard matrix closes over the tiny merged set
+    driver-side in exact integer micro-units."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "token": pa.array([], pa.string()),
+                      "present": pa.array([], pa.int64())})
+
+    def presence(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas().to_numpy()
+        src = np.repeat(t.column("source").to_pandas().to_numpy(), lens)
+        df = pd.DataFrame({"source": src, "token": flat})
+        df = df[df["token"] != ""].drop_duplicates()
+        df["present"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from etl_ray.stages.agg import grouped_max
+
+    sets = grouped_max(
+        ds.map_batches(presence, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "token"], empty)
+    # tiny (sources × vocab) presence table → pairwise intersections via
+    # one boolean matmul
+    piv = (sets.pivot_table(index="source", columns="token",
+                            values="present", fill_value=0)
+           .astype(np.int64))
+    srcs = list(piv.index)
+    m = piv.to_numpy()
+    inter = m @ m.T
+    sizes = m.sum(axis=1)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            un = int(sizes[i] + sizes[j] - inter[i, j])
+            rows.append((srcs[i], srcs[j],
+                         int(inter[i, j]) * 1_000_000 // un if un else 0))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "jaccard_micro"])
+    out["jaccard_micro"] = out["jaccard_micro"].astype("int64")
+    return out.sort_values(["src_a", "src_b"], ignore_index=True)
+
+
+SOURCE_SIM_SQL = """
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), sz AS (
+  SELECT source, count(*) AS n FROM tok GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1.source AS src_a, s2.source AS src_b,
+       CAST(coalesce(i.i, 0) * 1000000
+            // (s1.n + s2.n - coalesce(i.i, 0)) AS BIGINT) AS jaccard_micro
+FROM sz s1 JOIN sz s2 ON s1.source < s2.source
+LEFT JOIN inter i ON i.src_a = s1.source AND i.src_b = s2.source
+ORDER BY src_a, src_b
+"""
+
+
+QUERIES.update({"source_similarity": QueryDef(source_similarity,
+                                              SOURCE_SIM_SQL)})

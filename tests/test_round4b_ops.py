@@ -487,3 +487,25 @@ def test_burst_counts_match_direct_window(ray_session):
             want = int(((t >= r["tsu"] - _BURST_WIN_US) & (t <= r["tsu"])).sum())
             assert int(got.loc[r["event_id"], "burst_n"]) == want
     assert (got["burst_n"] >= 1).all()
+
+
+def test_source_similarity_is_symmetric_exact(ray_session):
+    import re
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["source_similarity"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    vocab = {}
+    for _, r in docs.iterrows():
+        vocab.setdefault(r["source"], set()).update(
+            w for w in re.split(r"\s+", (r["text"] or "").lower()) if w)
+    for _, r in got.head(30).iterrows():
+        a, b = vocab[r["src_a"]], vocab[r["src_b"]]
+        want = len(a & b) * 1_000_000 // len(a | b)
+        assert int(r["jaccard_micro"]) == want
+    # complete upper triangle, a < b
+    n = len(vocab)
+    assert len(got) == n * (n - 1) // 2
+    assert (got["src_a"] < got["src_b"]).all()
