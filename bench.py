@@ -187,6 +187,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bigram_logprob_score", "value_decile_assign", "chi2_type_hour",
         "record_linkage_parts", "asof_forward_tolerance", "dq_expectations",
         "dupgraph_degree_hist", "burst_counts", "source_similarity",
+        "debounce_events",
     ]
     q_times = {}
     q_stats = {}

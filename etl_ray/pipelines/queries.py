@@ -9757,3 +9757,74 @@ ORDER BY src_a, src_b
 
 QUERIES.update({"source_similarity": QueryDef(source_similarity,
                                               SOURCE_SIM_SQL)})
+
+
+# --- streaming throttle: per-key debounce ---------------------------------------------
+
+_DEBOUNCE_GAP_US = 43_200_000_000  # 12 hours
+
+
+def debounce_events(sf_dir: str):
+    """Per-user debounce/throttle: keep an event only when ≥ 12 h have
+    passed since the last KEPT event — the rate-limit / notification-
+    suppression primitive. Like the hold-last repair (stages/repair.py),
+    the predicate depends on the evolving kept-state, so this is a true
+    order-dependent fold, NOT a lag() — but the kernel's inner loop is
+    OUTPUT-bounded, not input-bounded: from each kept event one
+    searchsorted jump lands directly on the next candidate, so a key
+    with k survivors costs k jumps regardless of how many events were
+    suppressed in between. One bucket exchange on user_id."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "ts_us": pa.array([], pa.int64())})
+
+    def debounce_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        new_u = ~_prev_same_key(u)
+        starts = np.flatnonzero(new_u)
+        ends = np.r_[starts[1:], len(u)]
+        keep_idx = []
+        for s, e in zip(starts, ends):
+            seg = ts_us[s:e]
+            cur = 0
+            while cur < len(seg):
+                keep_idx.append(s + cur)
+                nxt = np.searchsorted(seg, seg[cur] + _DEBOUNCE_GAP_US,
+                                      side="left")
+                cur = nxt if nxt > cur else cur + 1
+        ki = np.array(keep_idx, dtype=np.int64)
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)[ki]),
+            "user_id": pa.array(u[ki].astype(np.int64)),
+            "ts_us": pa.array(ts_us[ki]),
+        })
+
+    return bucketed_groups(ds, "user_id", debounce_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+DEBOUNCE_SQL = f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, t, rn, TRUE AS kept, t AS last_kept
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.t, o.rn,
+         o.t - r.last_kept >= {_DEBOUNCE_GAP_US} AS kept,
+         CASE WHEN o.t - r.last_kept >= {_DEBOUNCE_GAP_US}
+              THEN o.t ELSE r.last_kept END AS last_kept
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, t AS ts_us FROM r WHERE kept
+"""
+
+
+QUERIES.update({"debounce_events": QueryDef(debounce_events, DEBOUNCE_SQL)})

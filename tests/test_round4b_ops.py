@@ -509,3 +509,25 @@ def test_source_similarity_is_symmetric_exact(ray_session):
     n = len(vocab)
     assert len(got) == n * (n - 1) // 2
     assert (got["src_a"] < got["src_b"]).all()
+
+
+def test_debounce_sequential_parity_and_gap_invariant(ray_session):
+    from etl_ray.pipelines.queries import QUERIES, _DEBOUNCE_GAP_US
+
+    got = _df(QUERIES["debounce_events"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["tsu"] = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "tsu", "event_id"])
+    for uid, g in ev.groupby("user_id"):
+        want = []
+        last = None
+        for _, r in g.iterrows():
+            if last is None or r["tsu"] - last >= _DEBOUNCE_GAP_US:
+                want.append(int(r["event_id"]))
+                last = r["tsu"]
+        have = got.loc[got["user_id"] == uid].sort_values("ts_us")
+        assert list(have["event_id"].astype(int)) == want
+        # kept events are >= GAP apart
+        t = have["ts_us"].to_numpy()
+        assert (np.diff(t) >= _DEBOUNCE_GAP_US).all()
