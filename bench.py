@@ -187,7 +187,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bigram_logprob_score", "value_decile_assign", "chi2_type_hour",
         "record_linkage_parts", "asof_forward_tolerance", "dq_expectations",
         "dupgraph_degree_hist", "burst_counts", "source_similarity",
-        "debounce_events",
+        "debounce_events", "percent_rank_events", "user_entropy",
+        "top_decile_share",
     ]
     q_times = {}
     q_stats = {}

@@ -9828,3 +9828,207 @@ SELECT user_id, event_id, t AS ts_us FROM r WHERE kept
 
 
 QUERIES.update({"debounce_events": QueryDef(debounce_events, DEBOUNCE_SQL)})
+
+
+# --- window completeness: percent_rank / cume_dist ------------------------------------
+
+def percent_rank_events(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST of value within each event type — the
+    remaining two ranking window functions (rank/ntile are gated
+    elsewhere), reported in exact integer micro-units:
+    percent_rank = (rank−1)·10⁶ // (n−1), cume_dist = peers_cum·10⁶ // n.
+    One bucket exchange on event_type; ranks from one per-partition
+    lexsort + tie-group propagation (no per-row loop)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "pr_micro": pa.array([], pa.int64()),
+                      "cd_micro": pa.array([], pa.int64())})
+
+    def rank_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["vm"] = round_half_away(df["value"].to_numpy() * 1000.0, 0
+                                   ).astype(np.int64)
+        df = df.sort_values(["event_type", "vm", "event_id"], kind="stable",
+                            ignore_index=True)
+        et = df["event_type"].to_numpy()
+        vm = df["vm"].to_numpy()
+        new_grp = ~_prev_same_key(et)
+        idx = np.arange(len(df), dtype=np.int64)
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        pos = idx - grp_start  # 0-based position within group
+        # RANK: first position of the (group, value) tie run, 1-based
+        new_tie = new_grp | np.r_[True, vm[1:] != vm[:-1]]
+        tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
+        rank = (tie_start - grp_start) + 1
+        sizes = np.diff(np.r_[np.flatnonzero(new_grp), len(df)])
+        n_of = np.repeat(sizes, sizes)
+        # cume_dist numerator: index (within group) of the LAST row of
+        # this tie run, +1 — propagate tie-run end forward
+        tie_ids = np.cumsum(new_tie) - 1
+        run_ends = np.zeros(tie_ids[-1] + 1, dtype=np.int64)
+        np.maximum.at(run_ends, tie_ids, pos + 1)
+        peers_cum = run_ends[tie_ids]
+        pr = np.where(n_of > 1, (rank - 1) * 1_000_000 // np.maximum(n_of - 1, 1), 0)
+        cd = peers_cum * 1_000_000 // n_of
+        return pa.table({"event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+                         "event_type": pa.array(et),
+                         "pr_micro": pa.array(pr.astype(np.int64)),
+                         "cd_micro": pa.array(cd.astype(np.int64))})
+
+    return bucketed_groups(ds, "event_type", rank_partition, n_buckets=8)
+
+
+PERCENT_RANK_SQL = """
+WITH o AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 1000) AS BIGINT) AS vm,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         rank() OVER (PARTITION BY event_type ORDER BY vm) AS rnk,
+         count(*) OVER (PARTITION BY event_type ORDER BY vm
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peers_cum
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pr_micro,
+       CAST(peers_cum * 1000000 // n AS BIGINT) AS cd_micro
+FROM o
+"""
+
+
+# --- behavioral diversity: per-user event-type entropy --------------------------------
+
+def user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (bots repeat one action; engaged users
+    spread). Exact micro-nats: each user's −Σ(c/n)·ln(c/n) is a sum of
+    ln-of-identical-doubles terms rounded once per (c, n) pair on both
+    engines. One composite (user, type) grouped count, then a per-user
+    fold — count tables are type-bounded."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = (t.to_pandas().groupby(["user_id", "event_type"], sort=False,
+                                   as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = F_agg.grouped_sum(
+        ds.map_batches(cnt_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"], empty)
+    n = cnt.groupby("user_id")["c"].transform("sum").to_numpy()
+    c = cnt["c"].to_numpy()
+    term = round_half_away(-(c / n) * np.log(c / n) * 1_000_000.0, 0
+                           ).astype(np.int64)
+    cnt = cnt.assign(term=term)
+    out = (cnt.groupby("user_id", as_index=False)
+           .agg(n_events=("c", "sum"), entropy_micro=("term", "sum")))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["entropy_micro"] = out["entropy_micro"].astype("int64")
+    return out
+
+
+USER_ENTROPY_SQL = """
+WITH g AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), n AS (
+  SELECT user_id, sum(c) AS n FROM g GROUP BY 1
+)
+SELECT g.user_id, CAST(max(n.n) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(-(g.c * 1.0 / n.n) * ln(g.c * 1.0 / n.n)
+                           * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM g JOIN n ON n.user_id = g.user_id
+GROUP BY g.user_id
+"""
+
+
+# --- concentration: top-decile value share per type ------------------------------------
+
+def top_decile_share(sf_dir: str):
+    """Share of total value carried by each type's top-decile events —
+    the revenue-concentration metric. The p90 cut per type comes from
+    the grouped milli-grid histogram fold (domain-bounded, no sort);
+    share = Σ(vm | vm > p90)·10⁶ // Σvm in exact integers; the strict->
+    boundary tie rule (> cut) is shared by both engines."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    qt = F_sketch.grouped_histogram_quantiles(ds, "event_type", "value",
+                                              qs=(0.9,))
+    qt = qt if isinstance(qt, pd.DataFrame) else qt.to_pandas()
+    cuts = dict(zip(qt["event_type"], qt["mv_q"].astype(np.int64)))
+    cuts_ref = ray.put(cuts)
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "top_sum": pa.array([], pa.int64()),
+                      "total_sum": pa.array([], pa.int64())})
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "vm": round_half_away(
+                               t.column("value").to_numpy(zero_copy_only=False)
+                               * 1000.0, 0).astype(np.int64)})
+        cut = df["event_type"].map(ray.get(cuts_ref)).to_numpy(np.int64)
+        df["top"] = np.where(df["vm"].to_numpy() > cut, df["vm"], 0)
+        g = (df.groupby("event_type", sort=False, as_index=False)
+             .agg(top_sum=("top", "sum"), total_sum=("vm", "sum")))
+        for col in ("top_sum", "total_sum"):
+            g[col] = g[col].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = F_agg.grouped_sum(
+        ds.map_batches(share_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], empty)
+    m["share_micro"] = (m["top_sum"].astype(object) * 1_000_000
+                        // m["total_sum"].astype(object)).astype("int64")
+    return m[["event_type", "total_sum", "share_micro"]]
+
+
+def _top_decile_sql() -> str:
+    return """
+WITH h AS (
+  SELECT event_type, CAST(round(value * 1000, 0) AS BIGINT) AS mv, count(*) AS n
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, mv,
+         sum(n) OVER (PARTITION BY event_type ORDER BY mv) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h
+), cut AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT)
+                  THEN mv END) AS p90
+  FROM o GROUP BY event_type
+), v AS (
+  SELECT e.event_type,
+         CAST(round(e.value * 1000, 0) AS BIGINT) AS vm, c.p90
+  FROM events e JOIN cut c ON c.event_type = e.event_type
+)
+SELECT event_type,
+       CAST(sum(vm) AS BIGINT) AS total_sum,
+       CAST(sum(CASE WHEN vm > p90 THEN CAST(vm AS HUGEINT) ELSE 0 END)
+            * 1000000 // sum(CAST(vm AS HUGEINT)) AS BIGINT) AS share_micro
+FROM v GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "percent_rank_events": QueryDef(percent_rank_events, PERCENT_RANK_SQL),
+    "user_entropy": QueryDef(user_entropy, USER_ENTROPY_SQL),
+    "top_decile_share": QueryDef(top_decile_share, _top_decile_sql()),
+})

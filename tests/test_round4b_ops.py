@@ -531,3 +531,40 @@ def test_debounce_sequential_parity_and_gap_invariant(ray_session):
         # kept events are >= GAP apart
         t = have["ts_us"].to_numpy()
         assert (np.diff(t) >= _DEBOUNCE_GAP_US).all()
+
+
+def test_percent_rank_and_cume_dist_match_pandas(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["percent_rank_events"].fn(SF)).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]).to_pandas()
+    ev["vm"] = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype("int64")
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        rnk = g["vm"].rank(method="min").astype(int)
+        cum = g["vm"].rank(method="max").astype(int)  # peers-inclusive count
+        for eid, r, cd in zip(g["event_id"], rnk, cum):
+            assert int(got.loc[eid, "pr_micro"]) == (r - 1) * 1_000_000 // (n - 1)
+            assert int(got.loc[eid, "cd_micro"]) == cd * 1_000_000 // n
+
+
+def test_user_entropy_bounds(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["user_entropy"].fn(SF))
+    # entropy in [0, ln(5)] micro-nats for a 5-type alphabet
+    assert (got["entropy_micro"] >= 0).all()
+    assert (got["entropy_micro"] <= int(np.log(5) * 1e6) + 5).all()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    assert got["n_events"].sum() == len(ev)
+
+
+def test_top_decile_share_dominates_uniform(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["top_decile_share"].fn(SF))
+    # the top decile carries at least its proportional share (values >= 0)
+    assert (got["share_micro"] >= 0).all()
+    assert (got["share_micro"] < 1_000_000).all()
