@@ -188,7 +188,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "record_linkage_parts", "asof_forward_tolerance", "dq_expectations",
         "dupgraph_degree_hist", "burst_counts", "source_similarity",
         "debounce_events", "percent_rank_events", "user_entropy",
-        "top_decile_share",
+        "top_decile_share", "mad_outliers", "state_dwell_time",
     ]
     q_times = {}
     q_stats = {}

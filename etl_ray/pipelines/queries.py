@@ -10032,3 +10032,152 @@ QUERIES.update({
     "user_entropy": QueryDef(user_entropy, USER_ENTROPY_SQL),
     "top_decile_share": QueryDef(top_decile_share, _top_decile_sql()),
 })
+
+
+# --- robust anomaly detection: median absolute deviation -------------------------------
+
+def mad_outliers(sf_dir: str):
+    """Per-user MAD (median-absolute-deviation) outlier flags — the
+    robust complement of the moment-based z-score gate: median and MAD
+    shrug off the very outliers that inflate a standard deviation.
+    DISCRETE lower medians (sorted index (n−1)//2, pure integer rule
+    shared by both engines) over milli-values; outlier ⇔
+    |v − med| · 10 > 3 · 10 · MAD compared in integers (no division).
+    One bucket exchange on user_id; per-partition sort + two median
+    picks, vectorized per key via segment index math."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "vm": pa.array([], pa.int64()),
+                      "is_outlier": pa.array([], pa.int64())})
+
+    def mad_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["vm"] = round_half_away(df["value"].to_numpy() * 1000.0, 0
+                                   ).astype(np.int64)
+        df = df.sort_values(["user_id", "vm"], kind="stable",
+                            ignore_index=True)
+        u = df["user_id"].to_numpy()
+        vm = df["vm"].to_numpy()
+        new_u = ~_prev_same_key(u)
+        starts = np.flatnonzero(new_u)
+        sizes = np.diff(np.r_[starts, len(u)])
+        med = vm[starts + (sizes - 1) // 2]          # lower median per key
+        med_of = np.repeat(med, sizes)
+        dev = np.abs(vm - med_of)
+        # second median over deviations: one more per-key sort pass
+        ord2 = np.lexsort((dev, u))
+        dev_sorted = dev[ord2]
+        mad = dev_sorted[starts + (sizes - 1) // 2]
+        mad_of = np.repeat(mad, sizes)
+        out = (dev > 3 * mad_of).astype(np.int64)
+        return pa.table({"event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+                         "user_id": pa.array(u.astype(np.int64)),
+                         "vm": pa.array(vm),
+                         "is_outlier": pa.array(out)})
+
+    return bucketed_groups(ds, "user_id", mad_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+MAD_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY vm) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM v
+), med AS (
+  SELECT user_id, max(CASE WHEN rn = (n - 1) // 2 THEN vm END) AS med
+  FROM r GROUP BY user_id
+), d AS (
+  SELECT v.event_id, v.user_id, v.vm, abs(v.vm - m.med) AS dev
+  FROM v JOIN med m ON m.user_id = v.user_id
+), dr AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM d
+), mad AS (
+  SELECT user_id, max(CASE WHEN rn = (n - 1) // 2 THEN dev END) AS mad
+  FROM dr GROUP BY user_id
+)
+SELECT d.event_id, d.user_id, d.vm,
+       CAST(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM d JOIN mad ON mad.user_id = d.user_id
+"""
+
+
+# --- process mining: per-state dwell time ----------------------------------------------
+
+def state_dwell_time(sf_dir: str):
+    """Total dwell time per (user, state): how long each user SAT in
+    each event_type between transitions — the process-mining metric
+    built on the same state runs as ``scd2_history`` (the open-ended
+    current version is excluded: its dwell is unbounded). One bucket
+    exchange; run starts/leads are the vectorized SCD2 kernel, the
+    dwell sum is one grouped fold."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "dwell_us": pa.array([], pa.int64()),
+                      "n_visits": pa.array([], pa.int64())})
+
+    def dwell_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same_key = _prev_same_key(u)
+        same_state = np.zeros(len(et), dtype=bool)
+        if len(et) > 1:
+            same_state[1:] = et[1:] == et[:-1]
+        start = ~(same_key & same_state)
+        su, se, sf_ = u[start], et[start], ts_us[start]
+        nxt_same = np.zeros(len(sf_), dtype=bool)
+        if len(sf_) > 1:
+            nxt_same[:-1] = su[1:] == su[:-1]
+        dwell = np.zeros(len(sf_), dtype=np.int64)
+        dwell[:-1][nxt_same[:-1]] = (sf_[1:] - sf_[:-1])[nxt_same[:-1]]
+        g = (pd.DataFrame({"user_id": su[nxt_same], "event_type": se[nxt_same],
+                           "dwell_us": dwell[nxt_same]})
+             .groupby(["user_id", "event_type"], sort=False, as_index=False)
+             .agg(dwell_us=("dwell_us", "sum"), n_visits=("dwell_us", "size")))
+        g["dwell_us"] = g["dwell_us"].astype("int64")
+        g["n_visits"] = g["n_visits"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", dwell_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+DWELL_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM runs WHERE is_start = 1
+)
+SELECT user_id, event_type,
+       CAST(sum(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS dwell_us,
+       CAST(count(*) AS BIGINT) AS n_visits
+FROM s WHERE nxt IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
+QUERIES.update({
+    "mad_outliers": QueryDef(mad_outliers, MAD_SQL),
+    "state_dwell_time": QueryDef(state_dwell_time, DWELL_SQL),
+})

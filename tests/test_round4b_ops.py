@@ -568,3 +568,40 @@ def test_top_decile_share_dominates_uniform(ray_session):
     # the top decile carries at least its proportional share (values >= 0)
     assert (got["share_micro"] >= 0).all()
     assert (got["share_micro"] < 1_000_000).all()
+
+
+def test_mad_outliers_match_direct_recompute(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["mad_outliers"].fn(SF)).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "value"]).to_pandas()
+    ev["vm"] = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype("int64")
+    for uid, g in list(ev.groupby("user_id"))[:10]:
+        v = np.sort(g["vm"].to_numpy())
+        med = int(v[(len(v) - 1) // 2])
+        dev = np.sort(np.abs(g["vm"].to_numpy() - med))
+        mad = int(dev[(len(dev) - 1) // 2])
+        for _, r in g.iterrows():
+            want = int(abs(int(r["vm"]) - med) > 3 * mad)
+            assert int(got.loc[r["event_id"], "is_outlier"]) == want
+
+
+def test_state_dwell_conserves_user_span(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["state_dwell_time"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    # Σ dwell over all states of a user = span from first event to the
+    # START of the last run (the open current version is excluded)
+    for uid, g in list(ev.groupby("user_id"))[:10]:
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        starts = np.r_[True, et[1:] != et[:-1]]
+        run_start_ts = t[starts]
+        want_total = int(run_start_ts[-1] - run_start_ts[0])
+        have = int(got.loc[got["user_id"] == uid, "dwell_us"].sum())
+        assert have == want_total
