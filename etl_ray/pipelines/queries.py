@@ -10181,3 +10181,167 @@ QUERIES.update({
     "mad_outliers": QueryDef(mad_outliers, MAD_SQL),
     "state_dwell_time": QueryDef(state_dwell_time, DWELL_SQL),
 })
+
+
+# --- one-pass CUBE grouping sets --------------------------------------------------------
+
+def cube_counts(sf_dir: str):
+    """One-pass CUBE over (lang, source): all four grouping sets —
+    (lang, source), (lang), (source), () — emitted by a single per-batch
+    combiner (each block contributes ≤ 4 sentinel-tagged partial
+    families) and merged in ONE exchange: the fused generalization of
+    the sequential per-level rollup loop (`rollup_repo_lang` does the
+    linear ROLLUP chain; CUBE adds the cross slices)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    ALL = "*"
+    empty = pa.table({"lang_g": pa.array([], pa.string()),
+                      "source_g": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_chars": pa.array([], pa.int64())})
+
+    def cube_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({"lang_g": t.column("lang").to_pandas(),
+                           "source_g": t.column("source").to_pandas(),
+                           "nc": t.column("n_chars").to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+        outs = []
+        for cols in ((["lang_g", "source_g"]), (["lang_g"]), (["source_g"]), []):
+            d = df.copy()
+            if "lang_g" not in cols:
+                d["lang_g"] = ALL
+            if "source_g" not in cols:
+                d["source_g"] = ALL
+            g = (d.groupby(["lang_g", "source_g"], sort=False, as_index=False)
+                 .agg(n=("nc", "size"), sum_chars=("nc", "sum")))
+            outs.append(g)
+        g = pd.concat(outs, ignore_index=True)
+        g["n"] = g["n"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return F_agg.grouped_sum(
+        ds.map_batches(cube_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang_g", "source_g"], empty)
+
+
+CUBE_SQL = """
+SELECT coalesce(lang, '*') AS lang_g, coalesce(source, '*') AS source_g,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+# --- sketch algebra: KMV set-overlap between event-type audiences -----------------------
+
+_KMV_OVL_K = 64
+
+
+def type_user_overlap(sf_dir: str):
+    """Estimated audience overlap between event types from KMV sketches
+    — SKETCH ALGEBRA (union + intersection on k-min sets), not just
+    cardinality: per type, the k smallest user-id hashes survive a
+    lossless k-min fold; for each type pair, the union's k-min set S
+    gives Jaccard ≈ |A ∩ B ∩ S| / |S| (exact integer micro-units).
+    Sketches are O(k) per type forever — the pairwise close-out costs
+    |types|²·k driver-side however many rows flowed. The oracle replays
+    the hash and the estimator set-for-set."""
+    from etl_ray.functions.sketch import _kmv_hashes
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "hv": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                           "hv": _kmv_hashes(t.column("user_id").to_numpy(
+                               zero_copy_only=False)).astype(np.int64)})
+        df = df.drop_duplicates()
+        df = df.sort_values(["event_type", "hv"], kind="stable")
+        df = df[df.groupby("event_type", sort=False).cumcount() < _KMV_OVL_K]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = t.to_pandas().drop_duplicates()
+        df = df.sort_values(["event_type", "hv"], kind="stable")
+        df = df[df.groupby("event_type", sort=False).cumcount() < _KMV_OVL_K]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sk = to_pandas_typed(
+        F_agg.bucketed_groups_multi(
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["event_type"], merge, n_buckets=8, empty=empty),
+        empty)
+    sets = {et: np.sort(g["hv"].to_numpy(np.int64))
+            for et, g in sk.groupby("event_type")}
+    types = sorted(sets)
+    rows = []
+    for i, a in enumerate(types):
+        for b2 in types[i + 1:]:
+            union = np.unique(np.r_[sets[a], sets[b2]])
+            s = union[:_KMV_OVL_K]
+            common = int(np.intersect1d(sets[a], sets[b2],
+                                        assume_unique=True).searchsorted(
+                                            s[-1], side="right"))
+            rows.append((a, b2, common * 1_000_000 // len(s)))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "jaccard_micro"])
+    out["jaccard_micro"] = out["jaccard_micro"].astype("int64")
+    return out.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+def _type_overlap_sql() -> str:
+    from etl_ray.functions.sketch import _KNUTH
+
+    k = _KMV_OVL_K
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST((CAST(user_id AS HUGEINT) * {int(_KNUTH)}) % 4294967296
+              AS BIGINT) AS hv
+  FROM events
+), topk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h) WHERE rn <= {k}
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM topk) a
+  JOIN (SELECT DISTINCT event_type FROM topk) b
+    ON a.event_type < b.event_type
+), uni AS (
+  SELECT p.type_a, p.type_b, t.hv,
+         row_number() OVER (PARTITION BY p.type_a, p.type_b
+                            ORDER BY t.hv) AS rn
+  FROM pairs p JOIN (SELECT DISTINCT event_type, hv FROM topk) t
+    ON t.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b, t.hv
+), s AS (
+  SELECT type_a, type_b, hv, max(rn) OVER (PARTITION BY type_a, type_b)
+         AS k_used
+  FROM uni WHERE rn <= {k}
+)
+SELECT s.type_a, s.type_b,
+       CAST(count(*) FILTER (ta.hv IS NOT NULL AND tb.hv IS NOT NULL)
+            * 1000000 // max(s.k_used) AS BIGINT) AS jaccard_micro
+FROM s
+LEFT JOIN topk ta ON ta.event_type = s.type_a AND ta.hv = s.hv
+LEFT JOIN topk tb ON tb.event_type = s.type_b AND tb.hv = s.hv
+GROUP BY s.type_a, s.type_b
+ORDER BY type_a, type_b
+"""
+
+
+QUERIES.update({
+    "cube_counts": QueryDef(cube_counts, CUBE_SQL),
+    "type_user_overlap": QueryDef(type_user_overlap, _type_overlap_sql()),
+})

@@ -605,3 +605,33 @@ def test_state_dwell_conserves_user_span(ray_session):
         want_total = int(run_start_ts[-1] - run_start_ts[0])
         have = int(got.loc[got["user_id"] == uid, "dwell_us"].sum())
         assert have == want_total
+
+
+def test_cube_counts_internal_consistency(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["cube_counts"].fn(SF))
+    total = got[(got["lang_g"] == "*") & (got["source_g"] == "*")]
+    assert len(total) == 1
+    n_all = int(total["n"].iloc[0])
+    # every grouping-set family sums to the grand total
+    fine = got[(got["lang_g"] != "*") & (got["source_g"] != "*")]
+    by_lang = got[(got["lang_g"] != "*") & (got["source_g"] == "*")]
+    by_src = got[(got["lang_g"] == "*") & (got["source_g"] != "*")]
+    for fam in (fine, by_lang, by_src):
+        assert int(fam["n"].sum()) == n_all
+        assert int(fam["sum_chars"].sum()) == int(total["sum_chars"].iloc[0])
+
+
+def test_type_user_overlap_estimates_true_jaccard(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["type_user_overlap"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    sets = {et: set(g["user_id"]) for et, g in ev.groupby("event_type")}
+    # with only 15 users at sf0.001 and k=64, the sketch is EXACT
+    for _, r in got.iterrows():
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        true_j = len(a & b) * 1_000_000 // len(a | b)
+        assert int(r["jaccard_micro"]) == true_j
