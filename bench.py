@@ -189,7 +189,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "dupgraph_degree_hist", "burst_counts", "source_similarity",
         "debounce_events", "percent_rank_events", "user_entropy",
         "top_decile_share", "mad_outliers", "state_dwell_time",
-        "cube_counts", "type_user_overlap",
+        "cube_counts", "type_user_overlap", "merge_into_docs",
     ]
     q_times = {}
     q_stats = {}

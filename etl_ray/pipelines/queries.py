@@ -10345,3 +10345,100 @@ QUERIES.update({
     "cube_counts": QueryDef(cube_counts, CUBE_SQL),
     "type_user_overlap": QueryDef(type_user_overlap, _type_overlap_sql()),
 })
+
+
+# --- MERGE INTO semantics (conditional upsert/delete) -----------------------------------
+
+def merge_into_docs(sf_dir: str):
+    """SQL MERGE INTO as one distributed operator: a base table (even
+    doc_ids) merged with a delta (doc_ids % 3 == 0) under the classic
+    three-way rule — WHEN MATCHED AND delete-cond (doc_id % 9 == 0)
+    THEN DELETE, WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT
+    — emitting the post-merge table plus the action taken per row (the
+    query-surface twin of the replay engine's LWW apply). Both sides
+    derive from documents so the oracle replays everything. Shape: tag
+    sides in one map pass, ONE bucket exchange on doc_id, vectorized
+    per-partition resolve (no per-row branching)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    empty_t = pa.table({"doc_id": pa.array([], pa.int64()),
+                        "val": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int64())})
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "val": pa.array([], pa.int64()),
+                      "action": pa.array([], pa.string())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_t
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        base_m = ids % 2 == 0
+        delta_m = ids % 3 == 0
+        return pa.table({
+            "doc_id": pa.array(np.r_[ids[base_m], ids[delta_m]]),
+            "val": pa.array(np.r_[nc[base_m], nc[delta_m] + 7]),
+            "side": pa.array(np.r_[np.zeros(base_m.sum(), np.int64),
+                                   np.ones(delta_m.sum(), np.int64)]),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().sort_values(["doc_id", "side"], kind="stable")
+        ids = df["doc_id"].to_numpy()
+        side = df["side"].to_numpy()
+        # per doc: has_base, has_delta via adjacent compare (side sorted)
+        first = ~_prev_same_key(ids)
+        sizes = np.diff(np.r_[np.flatnonzero(first), len(ids)])
+        # base row (side 0) is first within its doc when present
+        has_base = side[np.flatnonzero(first)] == 0
+        has_delta = (sizes == 2) | (~has_base)
+        uids = ids[first]
+        # values: base val at group start, delta val at group end
+        g_start = np.flatnonzero(first)
+        g_end = g_start + sizes - 1
+        val_first = df["val"].to_numpy()[g_start]
+        val_last = df["val"].to_numpy()[g_end]
+        matched = has_base & has_delta
+        del_m = matched & (uids % 9 == 0)
+        upd_m = matched & ~del_m
+        ins_m = ~has_base & has_delta
+        keep_m = has_base & ~has_delta
+        out_id = np.r_[uids[upd_m], uids[ins_m], uids[keep_m]]
+        out_val = np.r_[val_last[upd_m], val_last[ins_m], val_first[keep_m]]
+        out_act = np.r_[np.full(upd_m.sum(), "update"),
+                        np.full(ins_m.sum(), "insert"),
+                        np.full(keep_m.sum(), "keep")]
+        return pa.table({"doc_id": pa.array(out_id),
+                         "val": pa.array(out_val),
+                         "action": pa.array(out_act)})
+
+    return bucketed_groups(tagged, "doc_id", resolve,
+                           n_buckets=_buckets_for(sf_dir, "documents"))
+
+
+MERGE_INTO_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS val FROM documents
+  WHERE doc_id % 2 = 0
+), delta AS (
+  SELECT doc_id, CAST(n_chars + 7 AS BIGINT) AS val FROM documents
+  WHERE doc_id % 3 = 0
+), j AS (
+  SELECT coalesce(b.doc_id, d.doc_id) AS doc_id, b.val AS bval,
+         d.val AS dval,
+         b.doc_id IS NOT NULL AS has_b, d.doc_id IS NOT NULL AS has_d
+  FROM base b FULL OUTER JOIN delta d ON d.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN has_d THEN dval ELSE bval END AS val,
+       CASE WHEN has_b AND has_d THEN 'update'
+            WHEN has_d THEN 'insert' ELSE 'keep' END AS action
+FROM j
+WHERE NOT (has_b AND has_d AND doc_id % 9 = 0)
+"""
+
+
+QUERIES.update({"merge_into_docs": QueryDef(merge_into_docs, MERGE_INTO_SQL)})

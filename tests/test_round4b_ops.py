@@ -635,3 +635,29 @@ def test_type_user_overlap_estimates_true_jaccard(ray_session):
         a, b = sets[r["type_a"]], sets[r["type_b"]]
         true_j = len(a & b) * 1_000_000 // len(a | b)
         assert int(r["jaccard_micro"]) == true_j
+
+
+def test_merge_into_three_way_semantics(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["merge_into_docs"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    base = {int(r["doc_id"]): int(r["n_chars"])
+            for _, r in docs.iterrows() if r["doc_id"] % 2 == 0}
+    delta = {int(r["doc_id"]): int(r["n_chars"]) + 7
+             for _, r in docs.iterrows() if r["doc_id"] % 3 == 0}
+    want = {}
+    for k, v in base.items():
+        if k in delta:
+            if k % 9 == 0:
+                continue  # matched delete
+            want[k] = (delta[k], "update")
+        else:
+            want[k] = (v, "keep")
+    for k, v in delta.items():
+        if k not in base:
+            want[k] = (v, "insert")
+    have = {int(r["doc_id"]): (int(r["val"]), r["action"])
+            for _, r in got.iterrows()}
+    assert have == want
