@@ -127,7 +127,8 @@ def cmd_get(args) -> int:
     routing hash locates the single partition file)."""
     from etl_ray.pipelines.replay import ReplayEngine
 
-    t = ReplayEngine(args.lake).lookup(args.repo, args.path, as_of=args.as_of)
+    t = ReplayEngine(args.lake).lookup(args.repo, args.path, as_of=args.as_of,
+                                       as_of_seq=args.as_of_seq)
     for row in t.to_pylist():
         print(json.dumps(row, default=str))
     return 0 if t.num_rows else 1
@@ -338,6 +339,9 @@ def main(argv=None) -> int:
     gt.add_argument("--lake", required=True)
     gt.add_argument("--repo", required=True)
     gt.add_argument("--path", required=True)
+    gt.add_argument("--as-of-seq", type=int, default=None, dest="as_of_seq",
+                    help="time-travel to the latest checkpoint with "
+                         "watermark <= this commit_seq (LSN anchor)")
     gt.add_argument("--as-of", type=int, default=None, dest="as_of",
                     help="time-travel checkpoint id")
     gt.set_defaults(fn=cmd_get)

@@ -1271,6 +1271,7 @@ class ReplayEngine:
         path: str,
         columns: list[str] | None = None,
         as_of: int | None = None,
+        as_of_seq: int | None = None,
     ) -> pa.Table:
         """Point read of one key's live row — the CDC serving path.
 
@@ -1288,6 +1289,10 @@ class ReplayEngine:
         from etl_ray.hashing import partition_ids
         from etl_ray.stages.merge import fold_state_chain
 
+        if as_of_seq is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of or as_of_seq, not both")
+            as_of = self.checkpoint_for_seq(as_of_seq)
         m = self.store.at(as_of) if as_of is not None else self._require_manifest()
         part = int(
             partition_ids(
@@ -1324,9 +1329,33 @@ class ReplayEngine:
             t = t.select([c for c in columns if c in t.column_names])
         return t
 
+    def checkpoint_for_seq(self, seq: int) -> int:
+        """Time travel by LOG POSITION: the latest committed checkpoint
+        whose applied watermark (max commit_seq across partitions) is
+        <= ``seq`` — how a replica anchors a read to an upstream LSN
+        instead of an engine-internal checkpoint id. Snapshot-aligned:
+        the returned checkpoint contains exactly the events its windows
+        applied, all with commit_seq <= seq. Raises when no committed
+        snapshot is old enough."""
+        best = None
+        for m in self.store.history():
+            wm = max(
+                (part.get("watermark", -1) for part in m.partitions.values()),
+                default=-1,
+            )
+            if wm <= seq and m.checkpoint_id >= 0:
+                if best is None or m.checkpoint_id > best:
+                    best = m.checkpoint_id
+        if best is None:
+            raise ValueError(
+                f"no committed checkpoint has watermark <= {seq}"
+            )
+        return best
+
     def final_state(
         self, columns: list[str] | None = None, as_of: int | None = None,
         commit_seq_range: tuple[int | None, int | None] | None = None,
+        as_of_seq: int | None = None,
     ) -> rd.Dataset:
         """The lake's live rows as a streaming Dataset.
 
@@ -1351,6 +1380,10 @@ class ReplayEngine:
         Reference analog: dipaal_rollback's erase-a-delta semantics
         (etl/init/single_statement_sql/98_rollback.sql), read-only.
         """
+        if as_of_seq is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of or as_of_seq, not both")
+            as_of = self.checkpoint_for_seq(as_of_seq)
         m = self.store.at(as_of) if as_of is not None else self._require_manifest()
         flat_files = [
             self.store.abs_path(p["file"])
