@@ -10442,3 +10442,52 @@ WHERE NOT (has_b AND has_d AND doc_id % 9 = 0)
 
 
 QUERIES.update({"merge_into_docs": QueryDef(merge_into_docs, MERGE_INTO_SQL)})
+
+
+# --- UNPIVOT (wide → long), the inverse reshaping -----------------------------------
+
+def unpivot_user_events(sf_dir: str):
+    """UNPIVOT: the wide per-user count matrix (pivot_user_events'
+    output shape) melted back to long (user_id, event_type, n) rows,
+    zero rows dropped — the inverse reshaping every feature store needs
+    when a wide table must feed a long-format consumer. The wide build
+    reuses the pivot combiner (one exchange); the melt itself is a
+    zero-shuffle vectorized repeat/tile reshape."""
+    from etl_ray.stages.agg import pivot_counts
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    wide = pivot_counts(ev, "user_id", "event_type", types)
+    uid = wide["user_id"].to_numpy(np.int64)
+    mat = wide[[f"n_{t}" for t in types]].to_numpy(np.int64)
+    long = pd.DataFrame({
+        "user_id": np.repeat(uid, len(types)),
+        "event_type": np.tile(np.array(types), len(uid)),
+        "n": mat.ravel(),
+    })
+    long = long[long["n"] > 0].reset_index(drop=True)
+    long["n"] = long["n"].astype("int64")
+    return long.sort_values(["user_id", "event_type"], ignore_index=True)
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+         CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, event_type, n FROM wide
+UNPIVOT (n FOR event_type IN (n_click AS 'click', n_error AS 'error',
+                              n_purchase AS 'purchase', n_signup AS 'signup',
+                              n_view AS 'view'))
+WHERE n > 0
+ORDER BY user_id, event_type
+"""
+
+
+QUERIES.update({"unpivot_user_events": QueryDef(unpivot_user_events,
+                                                UNPIVOT_SQL)})

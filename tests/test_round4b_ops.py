@@ -661,3 +661,16 @@ def test_merge_into_three_way_semantics(ray_session):
     have = {int(r["doc_id"]): (int(r["val"]), r["action"])
             for _, r in got.iterrows()}
     assert have == want
+
+
+def test_unpivot_roundtrips_direct_counts(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["unpivot_user_events"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    want = (ev.groupby(["user_id", "event_type"]).size()
+            .reset_index(name="n"))
+    m = got.merge(want, on=["user_id", "event_type"], suffixes=("", "_w"))
+    assert len(m) == len(got) == len(want)
+    assert (m["n"] == m["n_w"]).all()
