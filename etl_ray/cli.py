@@ -74,6 +74,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_repartition(args) -> int:
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    print(json.dumps(ReplayEngine(args.lake).repartition(args.partitions)))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Print the change data feed (optionally a checkpoint range) as
     JSON lines — the incremental-consumer surface of changefeed_read."""
@@ -275,6 +287,13 @@ def main(argv=None) -> int:
     c.add_argument("--lake", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    rp = sub.add_parser("repartition",
+                        help="re-shard the lake to a new partition count")
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--partitions", type=int, required=True)
+    rp.add_argument("--num-cpus", type=int, default=None)
+    rp.set_defaults(fn=cmd_repartition)
 
     s = sub.add_parser("status", help="show lake manifest status")
     s.add_argument("--lake", required=True)

@@ -1092,6 +1092,117 @@ class ReplayEngine:
             return rd.from_arrow(_CHANGES_EMPTY)
         return rd.read_parquet(files, partitioning=None)  # see rejects()
 
+    def repartition(self, new_num_partitions: int) -> dict[str, Any]:
+        """Online re-shard: rewrite the lake from P to P' partitions in
+        one two-round distributed pass and commit it as a new checkpoint
+        — the operational lever a fixed-at-bootstrap partition count
+        otherwise lacks (shrink an over-sharded lake, grow a hot one;
+        reference analog: Citus shard rebalancing). Round 1: one task
+        per OLD partition folds its delta chain and splits rows by the
+        NEW routing hash (the same partition_ids the exchange and
+        lookup use) into per-(src, dst) shard files. Round 2: one task
+        per NEW partition concatenates its shards into the final base
+        file and reports (rows, tombstones, watermark). Tombstones are
+        carried (stale events still can't resurrect), MOR chains fold
+        away, summaries / rejects / changefeed / resume cursor carry
+        unchanged, and the swap is the usual atomic manifest commit —
+        crash-safe, time-travel keeps working against the old layout.
+        """
+        import pyarrow.parquet as _pq
+
+        from etl_ray.hashing import partition_ids
+        from etl_ray.stages.merge import fold_state_chain, write_atomic_parquet
+
+        if new_num_partitions < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        m = self._require_manifest()
+        ckpt_id = m.checkpoint_id + 1
+        staging = self.store.staging_dir(ckpt_id)
+        new_p = int(new_num_partitions)
+
+        @ray.remote
+        def split_old(files: list[str], src: int, staging: str,
+                      new_p: int) -> list[tuple[int, str]]:
+            tabs = [_pq.read_table(f) for f in files]
+            cols, seen = [], set()
+            for tab in tabs:
+                for f in tab.schema:
+                    if f.name not in seen:
+                        seen.add(f.name)
+                        cols.append((f.name, f.type))
+            t = fold_state_chain(tabs, cols) if len(tabs) > 1 else tabs[0]
+            if t.num_rows == 0:
+                return []
+            dst = partition_ids(t.column("repo"), t.column("path"), new_p)
+            t = t.set_column(t.schema.get_field_index("part"), "part",
+                             dst.cast(t.schema.field("part").type))
+            dst_np = dst.to_numpy(zero_copy_only=False)
+            out = []
+            for d in sorted(set(dst_np.tolist())):
+                shard = t.filter(pa.array(dst_np == d))
+                path = os.path.join(
+                    staging, f"repart-src{src:05d}-dst{int(d):05d}.parquet")
+                write_atomic_parquet(shard, path)
+                out.append((int(d), path))
+            return out
+
+        shard_lists = ray.get([
+            split_old.remote(
+                [self.store.abs_path(info["file"])]
+                + [self.store.abs_path(x) for x in info.get("deltas", [])],
+                int(src), staging, new_p)
+            for src, info in m.partitions.items()
+        ])
+        by_dst: dict[int, list[str]] = {}
+        for shards in shard_lists:
+            for d, path in shards:
+                by_dst.setdefault(d, []).append(path)
+
+        @ray.remote
+        def build_new(files: list[str], out_path: str) -> tuple[int, int, int]:
+            tabs = [_pq.read_table(f) for f in sorted(files)]
+            t = pa.concat_tables([x for x in tabs if x.num_rows], promote_options="default")
+            write_atomic_parquet(t, out_path)
+            tomb = int(pc.sum(pc.cast(pc.fill_null(
+                t.column("deleted"), False), pa.int64())).as_py() or 0)
+            wm = pc.max(t.column("commit_seq")).as_py()
+            return t.num_rows, tomb, int(wm if wm is not None else -1)
+
+        refs = {
+            d: (build_new.remote(
+                files, os.path.join(staging, f"part-{d:05d}.parquet")),
+                os.path.join(staging, f"part-{d:05d}.parquet"))
+            for d, files in by_dst.items()
+        }
+        new_parts: dict[str, dict[str, Any]] = {}
+        total_rows = 0
+        for d, (ref, out) in refs.items():
+            rows, tomb, wm = ray.get(ref)
+            total_rows += rows - tomb
+            # manifest convention: "rows" = LIVE rows; the parquet footer
+            # holds rows + tombstones (what fsck reconciles against)
+            new_parts[str(d)] = {
+                "file": self.store.rel_path(out), "rows": rows - tomb,
+                "tombstones": tomb, "watermark": wm, "ckpt": ckpt_id,
+            }
+        new_m = Manifest(
+            checkpoint_id=ckpt_id,
+            num_partitions=new_p,
+            partitions=new_parts,
+            summaries=dict(m.summaries),
+            payload_types=dict(m.payload_types),
+            windows_done=m.windows_done,
+            log_files_done=m.log_files_done,
+            log_fingerprint=m.log_fingerprint,
+            metrics={**m.metrics, "repartitioned_from": m.num_partitions,
+                     "repartitioned_to": new_p},
+            rejects=dict(m.rejects),
+            changes=dict(m.changes),
+        )
+        self.store.commit(new_m)
+        return {"checkpoint_id": ckpt_id, "num_partitions": new_p,
+                "rows": total_rows, "old_partitions": m.num_partitions}
+
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and
         commit a new checkpoint (the maintenance OPTIMIZE — reference
