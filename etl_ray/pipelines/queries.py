@@ -10491,3 +10491,126 @@ ORDER BY user_id, event_type
 
 QUERIES.update({"unpivot_user_events": QueryDef(unpivot_user_events,
                                                 UNPIVOT_SQL)})
+
+
+# --- pipeline evaluation: dedup precision/recall vs planted truth -----------------------
+
+def neardup_eval(sf_dir: str):
+    """Dedup-quality EVALUATION: precision / recall / F1 of the MinHash
+    near-dup pair discovery against the PLANTED ground truth (every
+    doc_id % 10 == 0 has a near-verbatim copy at +100000) — the
+    monitoring gate that tells you a threshold change broke recall
+    before the corpus ships. Both the prediction (full LSH pipeline)
+    and the truth derive deterministically, so the oracle replays the
+    whole evaluation; metrics are exact integer micro-units. The pair
+    table is dup-sized (small by contract) — the metric fold is
+    driver-side set arithmetic."""
+    ds = _docs_with_dups(sf_dir)
+    nb = _buckets_for(sf_dir, "documents")
+    pred = F_dedup.minhash_dedup_pairs(ds, threshold=0.5, n_buckets=nb)
+    a = pred.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b2 = pred.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    pred_set = set(zip(a.tolist(), b2.tolist()))
+    docs = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy(np.int64)
+    truth = {(int(d), int(d) + 100000) for d in ids[ids % 10 == 0]}
+    tp = len(pred_set & truth)
+    n_pred, n_true = len(pred_set), len(truth)
+    return pd.DataFrame({
+        "n_pred": pd.array([n_pred], dtype="int64"),
+        "n_true": pd.array([n_true], dtype="int64"),
+        "tp": pd.array([tp], dtype="int64"),
+        "precision_micro": pd.array(
+            [tp * 1_000_000 // n_pred if n_pred else 0], dtype="int64"),
+        "recall_micro": pd.array(
+            [tp * 1_000_000 // n_true if n_true else 0], dtype="int64"),
+        "f1_micro": pd.array(
+            [2 * tp * 1_000_000 // (n_pred + n_true)
+             if n_pred + n_true else 0], dtype="int64"),
+    })
+
+
+def _neardup_eval_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_cte()},
+truth AS (
+  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+  WHERE doc_id % 10 = 0
+), m AS (
+  SELECT (SELECT count(*) FROM mh_pairs) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM mh_pairs p JOIN truth t
+            ON t.a = p.a AND t.b = p.b) AS tp
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred ELSE 0 END
+            AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN n_true > 0 THEN tp * 1000000 // n_true ELSE 0 END
+            AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN n_pred + n_true > 0
+                 THEN 2 * tp * 1000000 // (n_pred + n_true) ELSE 0 END
+            AS BIGINT) AS f1_micro
+FROM m
+"""
+
+
+# --- model monitoring: language-ID confusion matrix -------------------------------------
+
+def langid_confusion(sf_dir: str):
+    """Classifier CONFUSION MATRIX: the language-ID heuristic's
+    predictions crossed with the labeled ``lang`` column, plus per-true-
+    lang accuracy in micro-units — the model-monitoring aggregate every
+    scoring stage needs next to it. The prediction stage is the same
+    actor-pool LangIdStage the langid gate runs; counting is a tiny
+    (true × pred) grouped sum."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(F_text.LangIdStage, batch_format="pandas",
+                          concurrency=pool_size(), batch_size=1024)
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "pred_lang": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def cnt(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return empty
+        g = (df.groupby(["lang", "pred_lang"], sort=False, as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = F_agg.grouped_sum(
+        pred.map_batches(cnt, batch_format="pandas"),
+        ["lang", "pred_lang"], empty)
+    tot = cells.groupby("lang")["n"].transform("sum").astype("int64")
+    hit = np.where(cells["lang"] == cells["pred_lang"], cells["n"], 0)
+    cells["row_acc_micro"] = (
+        cells.assign(h=hit).groupby("lang")["h"].transform("sum")
+        .astype("int64") * 1_000_000 // tot)
+    return cells.sort_values(["lang", "pred_lang"], ignore_index=True)
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({LANGID_SQL.strip()}),
+cells AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY 1, 2
+), acc AS (
+  SELECT lang,
+         sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) * 1000000
+           // sum(n) AS row_acc_micro
+  FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n,
+       CAST(a.row_acc_micro AS BIGINT) AS row_acc_micro
+FROM cells c JOIN acc a ON a.lang = c.lang
+ORDER BY c.lang, c.pred_lang
+"""
+
+
+QUERIES.update({
+    "neardup_eval": QueryDef(neardup_eval, _neardup_eval_sql()),
+    "langid_confusion": QueryDef(langid_confusion, _langid_confusion_sql()),
+})

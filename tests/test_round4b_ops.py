@@ -674,3 +674,26 @@ def test_unpivot_roundtrips_direct_counts(ray_session):
     m = got.merge(want, on=["user_id", "event_type"], suffixes=("", "_w"))
     assert len(m) == len(got) == len(want)
     assert (m["n"] == m["n_w"]).all()
+
+
+def test_neardup_eval_metrics_are_consistent(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["neardup_eval"].fn(SF))
+    r = got.iloc[0]
+    assert 0 <= r["tp"] <= min(r["n_pred"], r["n_true"])
+    assert r["precision_micro"] == r["tp"] * 1_000_000 // max(r["n_pred"], 1)
+    assert r["recall_micro"] == r["tp"] * 1_000_000 // max(r["n_true"], 1)
+    # planted near-verbatim copies are easy: recall should be high
+    assert r["recall_micro"] >= 900_000
+
+
+def test_langid_confusion_row_sums(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["langid_confusion"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang"]).to_pandas()
+    want = docs.groupby("lang").size()
+    have = got.groupby("lang")["n"].sum()
+    assert have.sort_index().equals(want.sort_index().astype("int64"))
+    assert (got["row_acc_micro"] <= 1_000_000).all()
