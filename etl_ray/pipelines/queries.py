@@ -10614,3 +10614,200 @@ QUERIES.update({
     "neardup_eval": QueryDef(neardup_eval, _neardup_eval_sql()),
     "langid_confusion": QueryDef(langid_confusion, _langid_confusion_sql()),
 })
+
+
+# --- drift monitoring: population stability index ----------------------------------------
+
+def psi_value_drift(sf_dir: str):
+    """Population Stability Index of the value distribution, week 1
+    (reference window) vs the rest (comparison window) — the standard
+    score-drift monitor: PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over the reference
+    window's decile bins (+1 smoothing on counts keeps empty bins
+    finite). Bin edges come from the milli-grid histogram fold over the
+    REFERENCE rows only; both windows then bucket in one shared pass
+    (per-block (win, bin) count partials → one tiny grouped sum). The
+    per-bin PSI term is ln-of-identical-doubles rounded once to
+    micro-nats, so the total is an exact integer on both engines."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    cutoff = pa.scalar(pd.Timestamp("2024-01-08"), pa.timestamp("us"))
+    ref = ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("ts"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    qt = F_sketch.histogram_quantiles(ref, "value", qs=_DECILE_QS)
+    bounds = np.sort(qt["mv_q"].to_numpy().astype(np.int64))
+    empty = pa.table({"win": pa.array([], pa.int64()),
+                      "bin": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        mv = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        win = pc.less(t.column("ts"), cutoff).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(bounds, mv, side="left").astype(np.int64)
+        g = (pd.DataFrame({"win": win, "bin": b, "c": 1})
+             .groupby(["win", "bin"], sort=False, as_index=False).sum())
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = F_agg.grouped_sum(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["win", "bin"], empty)
+    # densify over bins 0..9, +1 smoothing
+    full = (pd.MultiIndex.from_product([[0, 1], range(10)],
+                                       names=["win", "bin"])
+            .to_frame(index=False).merge(cells, on=["win", "bin"], how="left")
+            .fillna({"c": 0}))
+    full["c"] = full["c"].astype("int64") + 1
+    piv = full.pivot(index="bin", columns="win", values="c")
+    q_n, p_n = int(piv[0].sum()), int(piv[1].sum())  # win=1 is reference
+    rows = []
+    total = 0
+    for b in range(10):
+        cp, cq = int(piv.loc[b, 1]), int(piv.loc[b, 0])
+        term = round_half_away(np.array(
+            [(cp / p_n - cq / q_n) * np.log((cp / p_n) / (cq / q_n))]
+        ) * 1_000_000.0, 0).astype(np.int64)[0]
+        total += int(term)
+        rows.append((b, cp, cq, int(term)))
+    out = pd.DataFrame(rows, columns=["bin", "ref_c", "cmp_c", "psi_term_micro"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    out["psi_total_micro"] = np.int64(total)
+    return out
+
+
+PSI_SQL = """
+WITH refd AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS mv FROM events
+  WHERE ts < TIMESTAMP '2024-01-08'
+), h AS (
+  SELECT mv, count(*) AS n FROM refd GROUP BY 1
+), o AS (
+  SELECT mv, sum(n) OVER (ORDER BY mv) AS cum, sum(n) OVER () AS total FROM h
+), b AS (
+  SELECT CAST(min(CASE WHEN cum >= CAST(ceil(q * total) AS BIGINT)
+                       THEN mv END) AS BIGINT) AS bq
+  FROM o CROSS JOIN (VALUES (0.1),(0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8),(0.9)) qs(q)
+  GROUP BY q
+), binned AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS win,
+         (SELECT count(*) FROM b
+          WHERE b.bq < CAST(round(e.value * 1000, 0) AS BIGINT)) AS bin
+  FROM events e
+), grid AS (
+  SELECT w.win, bins.bin, coalesce(c.n, 0) + 1 AS c
+  FROM (VALUES (0), (1)) w(win)
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) bins
+  LEFT JOIN (SELECT win, bin, count(*) AS n FROM binned GROUP BY 1, 2) c
+    ON c.win = w.win AND c.bin = bins.bin
+), tot AS (
+  SELECT win, sum(c) AS n FROM grid GROUP BY win
+), terms AS (
+  SELECT g.bin,
+         max(CASE WHEN g.win = 1 THEN g.c END) AS ref_c,
+         max(CASE WHEN g.win = 0 THEN g.c END) AS cmp_c,
+         CAST(round(
+           (max(CASE WHEN g.win = 1 THEN g.c END) * 1.0
+              / (SELECT n FROM tot WHERE win = 1)
+            - max(CASE WHEN g.win = 0 THEN g.c END) * 1.0
+              / (SELECT n FROM tot WHERE win = 0))
+           * ln((max(CASE WHEN g.win = 1 THEN g.c END) * 1.0
+                 / (SELECT n FROM tot WHERE win = 1))
+                / (max(CASE WHEN g.win = 0 THEN g.c END) * 1.0
+                   / (SELECT n FROM tot WHERE win = 0)))
+           * 1000000.0, 0) AS BIGINT) AS psi_term_micro
+  FROM grid g GROUP BY g.bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(ref_c AS BIGINT) AS ref_c,
+       CAST(cmp_c AS BIGINT) AS cmp_c, psi_term_micro,
+       CAST(sum(psi_term_micro) OVER () AS BIGINT) AS psi_total_micro
+FROM terms
+"""
+
+
+QUERIES.update({"psi_value_drift": QueryDef(psi_value_drift, PSI_SQL)})
+
+
+# --- corpus diagnostics: Zipf power-law fit ----------------------------------------------
+
+_ZIPF_TOPK = 50
+
+
+def zipf_fit(sf_dir: str):
+    """Zipf power-law fit over the top-50 corpus tokens: the slope of
+    ln(freq) against ln(rank) (natural text ≈ −1; synthetic or
+    template-heavy corpora deviate hard) — the one-number corpus-health
+    diagnostic. Token counts are a vocab-bounded grouped sum; ln values
+    are rounded ONCE per (rank, freq) pair to micro-nats on both
+    engines, and the least-squares slope closes over 50 exact-integer
+    moment terms (arbitrary precision / HUGEINT)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        flat = pc.list_flatten(toks).to_pandas()
+        flat = flat[flat != ""]
+        vc = flat.value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy()),
+                         "n": pa.array(vc.to_numpy().astype(np.int64))})
+
+    cnt = F_agg.grouped_sum(
+        ds.map_batches(tok_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["token"], empty)
+    top = cnt.sort_values(["n", "token"], ascending=[False, True],
+                          ignore_index=True).head(_ZIPF_TOPK)
+    rank = np.arange(1, len(top) + 1)
+    x = round_half_away(np.log(rank.astype(np.float64)) * 1_000_000.0,
+                        0).astype(np.int64)
+    y = round_half_away(np.log(top["n"].to_numpy().astype(np.float64))
+                        * 1_000_000.0, 0).astype(np.int64)
+    n = len(top)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    sxx = int((x.astype(object) ** 2).sum())
+    num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+    slope = (abs(num) // den) * (1 if num >= 0 else -1) if den > 0 else 0
+    return pd.DataFrame({"n_tokens": pd.array([n], dtype="int64"),
+                         "slope_micro": pd.array([slope], dtype="int64")})
+
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+), top AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM cnt ORDER BY n DESC, token LIMIT {_ZIPF_TOPK}
+), lnv AS (
+  SELECT CAST(round(ln(rank) * 1000000.0, 0) AS BIGINT) AS x,
+         CAST(round(ln(n) * 1000000.0, 0) AS BIGINT) AS y
+  FROM top
+), m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM lnv
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 THEN ((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+                      // (n * sxx - CAST(sx AS HUGEINT) * sx)
+                 ELSE 0 END AS BIGINT) AS slope_micro
+FROM m
+"""
+
+
+QUERIES.update({"zipf_fit": QueryDef(zipf_fit, ZIPF_SQL)})

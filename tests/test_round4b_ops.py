@@ -697,3 +697,45 @@ def test_langid_confusion_row_sums(ray_session):
     have = got.groupby("lang")["n"].sum()
     assert have.sort_index().equals(want.sort_index().astype("int64"))
     assert (got["row_acc_micro"] <= 1_000_000).all()
+
+
+def test_psi_drift_is_near_zero_on_stationary_stream(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["psi_value_drift"].fn(SF))
+    assert len(got) == 10
+    total = int(got["psi_total_micro"].iloc[0])
+    assert total == int(got["psi_term_micro"].sum())
+    # the synthetic value stream is stationary: PSI stays tiny (< 0.1)
+    assert 0 <= total < 100_000
+    # +1-smoothed counts: every bin populated on both sides
+    assert (got["ref_c"] >= 1).all() and (got["cmp_c"] >= 1).all()
+
+
+def test_zipf_slope_is_negative_and_recomputable(ray_session):
+    import re
+    from collections import Counter
+
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES, _ZIPF_TOPK
+
+    got = _df(QUERIES["zipf_fit"].fn(SF))
+    assert int(got["n_tokens"].iloc[0]) <= _ZIPF_TOPK
+    slope = int(got["slope_micro"].iloc[0])
+    assert slope < 0  # frequencies decay with rank
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for t in docs.column("text").to_pylist():
+        c.update(w for w in re.split(r"\s+", (t or "").lower()) if w)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPK]
+    x = round_half_away(np.log(np.arange(1, len(top) + 1, dtype=float))
+                        * 1e6, 0).astype(np.int64)
+    y = round_half_away(np.log(np.array([n for _, n in top], dtype=float))
+                        * 1e6, 0).astype(np.int64)
+    n = len(top)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y.astype(object)).sum())
+    sxx = int((x.astype(object) ** 2).sum())
+    num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+    want = (abs(num) // den) * (1 if num >= 0 else -1)
+    assert slope == want
