@@ -190,7 +190,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "debounce_events", "percent_rank_events", "user_entropy",
         "top_decile_share", "mad_outliers", "state_dwell_time",
         "cube_counts", "type_user_overlap", "merge_into_docs",
-        "unpivot_user_events", "neardup_eval", "langid_confusion", "psi_value_drift", "zipf_fit",
+        "unpivot_user_events", "neardup_eval", "langid_confusion", "psi_value_drift", "zipf_fit", "joinsize_sketch_est",
     ]
     q_times = {}
     q_stats = {}

@@ -10811,3 +10811,110 @@ FROM m
 
 
 QUERIES.update({"zipf_fit": QueryDef(zipf_fit, ZIPF_SQL)})
+
+
+# --- sketch algebra: AMS count-sketch join-size estimate ---------------------------------
+
+_AMS_W = 256  # counter width
+
+
+def joinsize_sketch_est(sf_dir: str):
+    """Join-size ESTIMATION from AMS count-sketches: |clicks ⋈ purchases
+    on user_id| = Σᵤ c_click(u)·c_purch(u) is estimated by the inner
+    product of two signed counter vectors (bucket = fmix32(u) % w, sign
+    = ±1 from the next hash bit) — the planner statistic that prices a
+    join WITHOUT touching either side's key set. Sketches fold as (idx,
+    val) partials through one tiny grouped sum (O(w) state forever);
+    the exact size rides along as integer ground truth, and the gate
+    pins estimate AND exact, so the estimator itself is oracle-replayed
+    bit-for-bit."""
+    from etl_ray.functions.sketch import _fmix32
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    # ONE fused partial pass: sketch counter rows (kind 0/1, k = idx)
+    # and exact per-user count rows (kind 2, k = user_id) share the scan
+    # and ONE grouped-sum exchange
+    empty = pa.table({"kind": pa.array([], pa.int64()),
+                      "k": pa.array([], pa.int64()),
+                      "v1": pa.array([], pa.int64()),
+                      "v2": pa.array([], pa.int64())})
+
+    def fused_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        et = t.column("event_type").to_pandas().to_numpy()
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for kind, name in ((0, "click"), (1, "purchase")):
+            u = uid[et == name]
+            if len(u) == 0:
+                continue
+            hv = _fmix32((u % (1 << 32)).astype(np.uint64)).astype(np.int64)
+            idx = hv % _AMS_W
+            sign = 1 - 2 * ((hv // _AMS_W) % 2)
+            v = np.zeros(_AMS_W, dtype=np.int64)
+            np.add.at(v, idx, sign)
+            nz = np.flatnonzero(v)
+            outs.append(pd.DataFrame({"kind": kind, "k": nz, "v1": v[nz],
+                                      "v2": 0}))
+        dfc = pd.DataFrame({"k": uid,
+                            "v1": (et == "click").astype(np.int64),
+                            "v2": (et == "purchase").astype(np.int64)})
+        g = dfc.groupby("k", as_index=False)[["v1", "v2"]].sum()
+        g.insert(0, "kind", 2)
+        outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = F_agg.grouped_sum(
+        ds.map_batches(fused_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["kind", "k"], empty)
+    va = np.zeros(_AMS_W, dtype=np.int64)
+    vb = np.zeros(_AMS_W, dtype=np.int64)
+    a = merged[merged["kind"] == 0]
+    b2 = merged[merged["kind"] == 1]
+    va[a["k"].to_numpy(np.int64)] = a["v1"].to_numpy(np.int64)
+    vb[b2["k"].to_numpy(np.int64)] = b2["v1"].to_numpy(np.int64)
+    est = int((va.astype(object) * vb.astype(object)).sum())
+    u = merged[merged["kind"] == 2]
+    exact = int((u["v1"].astype(object) * u["v2"].astype(object)).sum())
+    return pd.DataFrame({"exact_join_size": pd.array([exact], dtype="int64"),
+                         "sketch_estimate": pd.array([est], dtype="int64")})
+
+
+def _joinsize_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    w = _AMS_W
+    fm = fmix32_sql(
+        "SELECT event_type, user_id % 4294967296 AS h0 FROM events "
+        "WHERE event_type IN ('click', 'purchase')",
+        ["event_type"],
+    )
+    return f"""
+WITH hv AS ({fm}),
+sk AS (
+  SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+         hv % {w} AS idx,
+         sum(1 - 2 * ((hv // {w}) % 2)) AS val
+  FROM hv GROUP BY 1, 2
+), est AS (
+  SELECT sum(CAST(a.val AS HUGEINT) * b.val) AS e
+  FROM sk a JOIN sk b ON b.idx = a.idx AND a.side = 0 AND b.side = 1
+), cnts AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS nc,
+         count(*) FILTER (event_type = 'purchase') AS np_
+  FROM events GROUP BY user_id
+)
+SELECT CAST((SELECT sum(CAST(nc AS HUGEINT) * np_) FROM cnts) AS BIGINT)
+         AS exact_join_size,
+       CAST(coalesce((SELECT e FROM est), 0) AS BIGINT) AS sketch_estimate
+"""
+
+
+QUERIES.update({"joinsize_sketch_est": QueryDef(joinsize_sketch_est,
+                                                _joinsize_sql())})

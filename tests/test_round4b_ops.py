@@ -739,3 +739,24 @@ def test_zipf_slope_is_negative_and_recomputable(ray_session):
     num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
     want = (abs(num) // den) * (1 if num >= 0 else -1)
     assert slope == want
+
+
+def test_joinsize_sketch_is_unbiased_estimator(ray_session):
+    import duckdb
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["joinsize_sketch_est"].fn(SF))
+    exact = int(got["exact_join_size"].iloc[0])
+    est = int(got["sketch_estimate"].iloc[0])
+    con = duckdb.connect()
+    want = con.execute(
+        f"""WITH c AS (SELECT user_id,
+              count(*) FILTER (event_type = 'click') AS nc,
+              count(*) FILTER (event_type = 'purchase') AS np_
+            FROM read_parquet('{SF}/events.parquet') GROUP BY 1)
+           SELECT sum(nc * np_) FROM c""").fetchone()[0]
+    assert exact == int(want)
+    # AMS estimate is within a few std devs; with w=256 on this tiny
+    # input the relative error stays modest
+    assert abs(est - exact) <= max(0.5 * exact, 200)
