@@ -10918,3 +10918,87 @@ SELECT CAST((SELECT sum(CAST(nc AS HUGEINT) * np_) FROM cnts) AS BIGINT)
 
 QUERIES.update({"joinsize_sketch_est": QueryDef(joinsize_sketch_est,
                                                 _joinsize_sql())})
+
+
+# --- stream-stream band join: all pairs within a time tolerance --------------------------
+
+_BAND_US = 600_000_000  # ±10 minutes
+
+
+def band_join_clicks(sf_dir: str):
+    """Stream-stream BAND JOIN: every (click, purchase) pair of the same
+    user within ±10 minutes — unlike the as-of join (one nearest match)
+    this returns ALL pairs in the tolerance band, the shape
+    stream-stream joins take in every streaming engine. One bucket
+    exchange on user_id co-partitions both sides; inside the partition
+    each click's band [t−Δ, t+Δ] becomes two composite-key searchsorted
+    bounds over the sorted purchase stream, and the pair explosion is a
+    repeat/arange reshape — output-bounded work, no per-row loop, no
+    cross join."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    empty = pa.table({"click_id": pa.array([], pa.int64()),
+                      "purchase_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "delta_us": pa.array([], pa.int64())})
+
+    def band_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        et = df["event_type"].to_numpy()
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        cm, pm = et == "click", et == "purchase"
+        if not cm.any() or not pm.any():
+            return empty
+        pu, pt, pid = u[pm], ts_us[pm], eid[pm]
+        cu, ct, cid = u[cm], ts_us[cm], eid[cm]
+        # composite keys over the purchase stream (user-major, pre-sorted)
+        base = min(int(pt.min()), int(ct.min()))
+        span = max(int(pt.max()), int(ct.max())) - base + 2 * _BAND_US + 2
+        p_uidx = np.cumsum(np.r_[True, pu[1:] != pu[:-1]]) - 1
+        # map click users onto the purchase user index space
+        pu_uniq = pu[np.r_[True, pu[1:] != pu[:-1]]]
+        c_uidx = np.searchsorted(pu_uniq, cu)
+        has_p = (c_uidx < len(pu_uniq)) & (pu_uniq[np.minimum(
+            c_uidx, len(pu_uniq) - 1)] == cu)
+        key_p = p_uidx * span + (pt - base)
+        qlo = c_uidx * span + (ct - base - _BAND_US)
+        qhi = c_uidx * span + (ct - base + _BAND_US)
+        lo = np.searchsorted(key_p, qlo, side="left")
+        hi = np.searchsorted(key_p, qhi, side="right")
+        lo, hi = np.where(has_p, lo, 0), np.where(has_p, hi, 0)
+        cnt = np.maximum(hi - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        left_of = np.repeat(np.arange(len(cid)), cnt)
+        offsets = np.arange(total) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        p_pos = np.repeat(lo, cnt) + offsets
+        return pa.table({
+            "click_id": pa.array(cid[left_of]),
+            "purchase_id": pa.array(pid[p_pos]),
+            "user_id": pa.array(cu[left_of].astype(np.int64)),
+            "delta_us": pa.array(pt[p_pos] - ct[left_of]),
+        })
+
+    return bucketed_groups(ds, "user_id", band_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+BAND_JOIN_SQL = f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts + INTERVAL 10 MINUTE
+"""
+
+
+QUERIES.update({"band_join_clicks": QueryDef(band_join_clicks,
+                                             BAND_JOIN_SQL)})

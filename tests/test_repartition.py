@@ -104,3 +104,34 @@ def test_repartition_fsck_clean_and_status_rows_live(lake):
     assert sum(p["rows"] for p in m.partitions.values()) == live_before
     report = eng.fsck(deep=True)
     assert report["ok"], report
+
+
+def test_repartition_crash_before_swap_is_recoverable(lake, monkeypatch):
+    """Kill after repartition shards are staged but before the manifest
+    swap: the lake stays on the old layout, and a rerun repartitions
+    deterministically and commits exactly once."""
+    import pytest as _pytest
+
+    from etl_ray.state.manifest import ManifestStore
+
+    eng, _ = lake
+    before = _state(eng)
+    ckpt_before = eng.store.current().checkpoint_id
+    real_commit = ManifestStore.commit
+
+    def boom(self, m):
+        raise RuntimeError("simulated crash before repartition swap")
+
+    monkeypatch.setattr(ManifestStore, "commit", boom)
+    with _pytest.raises(RuntimeError):
+        eng.repartition(8)
+    monkeypatch.setattr(ManifestStore, "commit", real_commit)
+    # old layout intact
+    assert eng.store.current().checkpoint_id == ckpt_before
+    assert eng.store.current().num_partitions == 16
+    assert _state(eng).equals(before)
+    # rerun commits once with identical state
+    res = eng.repartition(8)
+    assert res["num_partitions"] == 8
+    assert _state(eng).equals(before)
+    assert eng.fsck(deep=True)["ok"]

@@ -760,3 +760,24 @@ def test_joinsize_sketch_is_unbiased_estimator(ray_session):
     # AMS estimate is within a few std devs; with w=256 on this tiny
     # input the relative error stays modest
     assert abs(est - exact) <= max(0.5 * exact, 200)
+
+
+def test_band_join_matches_direct_pairs(ray_session):
+    from etl_ray.pipelines.queries import QUERIES, _BAND_US
+
+    got = _df(QUERIES["band_join_clicks"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"]
+                       ).to_pandas()
+    ev["tsu"] = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    want = set()
+    for uid, g in ev.groupby("user_id"):
+        c = g[g["event_type"] == "click"]
+        p = g[g["event_type"] == "purchase"]
+        for _, cr in c.iterrows():
+            for _, pr in p.iterrows():
+                if abs(pr["tsu"] - cr["tsu"]) <= _BAND_US:
+                    want.add((int(cr["event_id"]), int(pr["event_id"])))
+    have = set(zip(got["click_id"].astype(int), got["purchase_id"].astype(int)))
+    assert have == want
+    assert (got["delta_us"].abs() <= _BAND_US).all()
