@@ -8456,7 +8456,8 @@ def custkey_set_ops(sf_dir: str):
         df = pd.DataFrame({
             "c_custkey": t.column("o_custkey").to_numpy(zero_copy_only=False),
             "in_all": 1,
-            "in_f": pc.equal(t.column("o_orderstatus"), "F")
+            "in_f": pc.fill_null(pc.equal(t.column("o_orderstatus"), "F"),
+                                 False)
                       .to_numpy(zero_copy_only=False).astype(np.int64),
         })
         g = df.groupby("c_custkey", sort=False, as_index=False).max()

@@ -776,6 +776,12 @@ class ReplayEngine:
         """
         t0 = time.perf_counter()
         prior = self.store.current() or Manifest(num_partitions=self.num_partitions)
+        if prior.checkpoint_id >= 0 and prior.num_partitions and \
+                prior.num_partitions != self.num_partitions:
+            raise ValueError(
+                f"engine routes by {self.num_partitions} partitions but the "
+                f"lake is laid out in {prior.num_partitions} (repartitioned "
+                "elsewhere?) — rebuild the engine from the lake dir")
         ckpt_id = prior.checkpoint_id + 1
 
         # evolved payload columns = anything beyond the core event envelope,
@@ -1200,6 +1206,12 @@ class ReplayEngine:
             changes=dict(m.changes),
         )
         self.store.commit(new_m)
+        # sync the LIVE engine: subsequent apply()/replay() on this
+        # instance must route by the new layout (a stale
+        # self.num_partitions silently splits keys across layouts)
+        self.num_partitions = new_p
+        self.shuffle_partitions = max(
+            2, min(new_p, self._data_parallelism))
         return {"checkpoint_id": ckpt_id, "num_partitions": new_p,
                 "rows": total_rows, "old_partitions": m.num_partitions}
 
@@ -1448,20 +1460,29 @@ class ReplayEngine:
         the returned checkpoint contains exactly the events its windows
         applied, all with commit_seq <= seq. Raises when no committed
         snapshot is old enough."""
-        best = None
-        for m in self.store.history():
+        cur = self.store.current()
+        if cur is None:
+            raise ValueError("empty lake: no committed checkpoints")
+        # scan DESCENDING from the current pointer only: numbered
+        # manifests beyond it are rolled-back or crash-orphaned lineage
+        # (store.at() refuses them) and must never anchor a read;
+        # watermarks are monotone along the committed lineage, so the
+        # first hit is the answer (O(1) manifest reads in the common
+        # "recent seq" case, never O(history) JSON parses per lookup)
+        for ckpt in range(cur.checkpoint_id, -1, -1):
+            try:
+                m = self.store.at(ckpt)
+            except ValueError:
+                continue
             wm = max(
                 (part.get("watermark", -1) for part in m.partitions.values()),
                 default=-1,
             )
-            if wm <= seq and m.checkpoint_id >= 0:
-                if best is None or m.checkpoint_id > best:
-                    best = m.checkpoint_id
-        if best is None:
-            raise ValueError(
-                f"no committed checkpoint has watermark <= {seq}"
-            )
-        return best
+            if wm <= seq:
+                return ckpt
+        raise ValueError(
+            f"no committed checkpoint has watermark <= {seq}"
+        )
 
     def final_state(
         self, columns: list[str] | None = None, as_of: int | None = None,

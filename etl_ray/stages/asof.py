@@ -70,6 +70,16 @@ def asof_join(
         raise ValueError(f"tiebreak {tiebreak!r} must be a right value column")
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "forward" and tiebreak is not None:
+        tb_type = rschema.field(tiebreak).type
+        if not (pa.types.is_signed_integer(tb_type)
+                or pa.types.is_floating(tb_type)):
+            # forward tiebreak sorts by NEGATED values: unsigned ints wrap
+            # modulo 2^64 and non-numerics TypeError deep inside numpy —
+            # fail loudly at the API boundary instead
+            raise ValueError(
+                f"forward tiebreak needs a signed numeric column, got "
+                f"{tb_type} for {tiebreak!r}")
 
     out_fields = [(c, lschema.field(c).type) for c in lcols]
     out_fields += [(c, rschema.field(c).type) for c in rcols]

@@ -68,3 +68,12 @@ def test_lookup_as_of_seq(lake):
     assert old.column("content")[0].as_py() == "a0"
     assert lake.lookup("r1", "b", as_of_seq=3).num_rows == 1  # pre-delete
     assert lake.lookup("r1", "b", as_of_seq=5).num_rows == 0  # post-delete
+
+
+def test_as_of_seq_ignores_rolled_back_lineage(lake):
+    # roll the pointer back to checkpoint 0; the orphaned manifest-1 on
+    # disk must never anchor an as_of_seq read
+    lake.store.rollback(0)
+    assert lake.checkpoint_for_seq(10**9) == 0
+    t = lake.lookup("r1", "a", as_of_seq=10**9)
+    assert t.column("content")[0].as_py() == "a0"  # pre-update lineage

@@ -93,6 +93,17 @@ def test_repartition_then_replay_resumes(lake, tmp_path):
     eng.replay(log_dir, window_events=10)
     got = eng.lookup("r1", "f1")
     assert got.column("content")[0].as_py() == "post-repart"
+    # the resumed replay must STAY on the new layout (a stale engine
+    # routing by the old count silently splits keys across layouts)
+    m = eng.store.current()
+    assert m.num_partitions == 8
+    assert all(int(p) < 8 for p in m.partitions)
+    # no key exists twice and every untouched key is still lookup-able
+    fs = eng.final_state(columns=["repo", "path", "content_sha256"]).to_pandas()
+    assert not fs.duplicated(["repo", "path"]).any()
+    for _, r in fs.iterrows():
+        assert eng.lookup(r["repo"], r["path"]).num_rows == 1
+    assert eng.fsck(deep=True)["ok"]
 
 
 def test_repartition_fsck_clean_and_status_rows_live(lake):
@@ -135,3 +146,27 @@ def test_repartition_crash_before_swap_is_recoverable(lake, monkeypatch):
     assert res["num_partitions"] == 8
     assert _state(eng).equals(before)
     assert eng.fsck(deep=True)["ok"]
+
+
+def test_replay_with_stale_engine_after_external_repartition_fails_loudly(
+        lake, tmp_path):
+    import os as _os
+
+    import pytest as _pytest
+
+    from tests.util import mklog, write_files
+
+    eng, log_dir = lake
+    # another engine instance repartitions the same lake
+    other = ReplayEngine(eng.lake_dir)
+    other.repartition(4)
+    # the stale engine (still routing by 16) must refuse to apply
+    extra = mklog([(2000, "U", 2000, "r1", "f2", "stale-write")])
+    write_files([extra], _os.path.join(str(tmp_path), "log3"))
+    import shutil as _sh
+
+    _sh.copy([_os.path.join(str(tmp_path), "log3", f)
+              for f in _os.listdir(_os.path.join(str(tmp_path), "log3"))][0],
+             _os.path.join(log_dir, "events-99998.parquet"))
+    with _pytest.raises(ValueError, match="laid out"):
+        eng.replay(log_dir, window_events=10)

@@ -781,3 +781,34 @@ def test_band_join_matches_direct_pairs(ray_session):
     have = set(zip(got["click_id"].astype(int), got["purchase_id"].astype(int)))
     assert have == want
     assert (got["delta_us"].abs() <= _BAND_US).all()
+
+
+def test_forward_asof_rejects_unsigned_tiebreak(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from etl_ray.stages.asof import asof_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "t": pa.array([5], pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "t": pa.array([5], pa.int64()),
+                                    "tb": pa.array([0], pa.uint64())}))
+    with _pytest.raises(ValueError, match="signed numeric"):
+        asof_join(left, right, by="k", on="t", tiebreak="tb",
+                  direction="forward")
+
+
+def test_custkey_set_ops_survives_null_status(ray_session):
+    import pyarrow as pa
+
+    # kernel-level probe of the null guard (the gate corpus is non-null)
+    from etl_ray.pipelines.queries import QUERIES  # noqa: F401  (import path check)
+    import pyarrow.compute as pc
+    import numpy as np
+
+    t = pa.table({"o_custkey": pa.array([1, 2], pa.int64()),
+                  "o_orderstatus": pa.array(["F", None], pa.string())})
+    flags = pc.fill_null(pc.equal(t.column("o_orderstatus"), "F"), False)
+    assert flags.to_numpy(zero_copy_only=False).astype(np.int64).tolist() == [1, 0]
