@@ -11003,3 +11003,74 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 
 QUERIES.update({"band_join_clicks": QueryDef(band_join_clicks,
                                              BAND_JOIN_SQL)})
+
+
+# --- vector-column profiling: per-dimension embedding stats -------------------------------
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION profile of the embedding column (n, Σ, min, max in
+    exact milli-units per dim) — the vector-column twin of tabular
+    profiling: dead dims (max == min), scale drift and range outliers
+    surface here before any ANN index is built. Each batch reduces to a
+    d-row partial (one matrix reshape + three axis-0 reductions); one
+    tiny grouped merge on dim. State is O(d) forever."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    empty = pa.table({"dim": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_milli": pa.array([], pa.int64()),
+                      "min_milli": pa.array([], pa.int64()),
+                      "max_milli": pa.array([], pa.int64())})
+
+    def dim_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("embedding")
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        m = round_half_away(flat.astype(np.float64) * 1000.0,
+                            0).astype(np.int64).reshape(-1, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+            "sum_milli": pa.array(m.sum(axis=0)),
+            "min_milli": pa.array(m.min(axis=0)),
+            "max_milli": pa.array(m.max(axis=0)),
+        })
+
+    parts = ds.map_batches(dim_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = (t.to_pandas().groupby("dim", sort=False, as_index=False)
+              .agg(n=("n", "sum"), sum_milli=("sum_milli", "sum"),
+                   min_milli=("min_milli", "min"),
+                   max_milli=("max_milli", "max")))
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = to_pandas_typed(
+        F_agg.bucketed_groups_multi(parts, ["dim"], merge, n_buckets=8,
+                                    empty=empty), empty)
+    return out.sort_values("dim", ignore_index=True)
+
+
+EMB_DIM_SQL = """
+WITH x AS (
+  SELECT i.i AS dim,
+         CAST(round(embedding[i.i + 1] * 1000, 0) AS BIGINT) AS mv
+  FROM embeddings, (SELECT unnest(range(64)) AS i) i
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(mv) AS BIGINT) AS sum_milli,
+       CAST(min(mv) AS BIGINT) AS min_milli,
+       CAST(max(mv) AS BIGINT) AS max_milli
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
+QUERIES.update({"embedding_dim_stats": QueryDef(embedding_dim_stats,
+                                                EMB_DIM_SQL)})

@@ -812,3 +812,19 @@ def test_custkey_set_ops_survives_null_status(ray_session):
                   "o_orderstatus": pa.array(["F", None], pa.string())})
     flags = pc.fill_null(pc.equal(t.column("o_orderstatus"), "F"), False)
     assert flags.to_numpy(zero_copy_only=False).astype(np.int64).tolist() == [1, 0]
+
+
+def test_embedding_dim_stats_match_direct(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["embedding_dim_stats"].fn(SF)).set_index("dim")
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = round_half_away(np.stack(
+        emb.column("embedding").to_pylist()).astype(np.float64) * 1000.0,
+        0).astype(np.int64)
+    assert len(got) == m.shape[1]
+    assert (got["n"] == m.shape[0]).all()
+    assert (got["sum_milli"].to_numpy() == m.sum(axis=0)).all()
+    assert (got["min_milli"].to_numpy() == m.min(axis=0)).all()
+    assert (got["max_milli"].to_numpy() == m.max(axis=0)).all()
