@@ -11074,3 +11074,158 @@ FROM x GROUP BY dim ORDER BY dim
 
 QUERIES.update({"embedding_dim_stats": QueryDef(embedding_dim_stats,
                                                 EMB_DIM_SQL)})
+
+
+# --- allowed-lateness accounting: per-window grace classification -------------------------
+
+_GRACE_WIN_US = 86_400_000_000  # 1-day tumbling windows
+_GRACE_US = 21_600_000_000      # 6 h allowed lateness
+
+
+def window_grace_counts(sf_dir: str):
+    """Allowed-lateness accounting per tumbling window: each event is
+    classified against the ARRIVAL-TIME frontier (the same online
+    watermark as ``late_events``, deterministic fmix32 arrival jitter)
+    into on-time (frontier ≤ window end at arrival), late-but-accepted
+    (within the 6 h grace) or dropped (grace expired) — the
+    triggers/allowed-lateness semantics of a streaming window operator,
+    reported as per-window counts. Same distributed prefix-scan shape
+    as late_events: per-range max partials → tiny driver exclusive fold
+    → one bucketed within-range cummax pass → tiny (window, status)
+    grouped sum."""
+    from etl_ray.functions.sketch import _fmix32
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    n_ev = ev.count()
+    nb = _buckets_for(sf_dir, "events")
+    rng_w = max(1, -(-n_ev // nb))
+
+    def _apos(ids: np.ndarray) -> np.ndarray:
+        jit = (_fmix32(ids) % np.uint64(_JITTER_SLOTS)).astype(np.int64)
+        return ids + jit - _JITTER_SLOTS // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"range_id": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        rid = _apos(ids) // rng_w
+        u, inv = np.unique(rid, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, tsu)
+        return pa.table({"range_id": pa.array(u.astype(np.int64)),
+                         "mx": pa.array(mx)})
+
+    def fold_max(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("range_id", sort=True)["mx"].max()
+        return pa.table({"range_id": pa.array(df.index.to_numpy(np.int64)),
+                         "mx": pa.array(df.to_numpy(np.int64))})
+
+    per_range = bucketed_groups(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "range_id", fold_max, n_buckets=nb,
+    ).to_pandas().sort_values("range_id")
+    run = np.maximum.accumulate(per_range["mx"].to_numpy())
+    prefix = {int(r): int(p) for r, p in zip(
+        per_range["range_id"].to_numpy()[1:], run[:-1])}
+    if len(per_range):
+        prefix[int(per_range["range_id"].iloc[0])] = np.iinfo(np.int64).min
+    prefix_ref = ray.put(prefix)
+    empty_cnt = pa.table({"win_start_us": pa.array([], pa.int64()),
+                          "status": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+    def add_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "tsu": pa.array([], pa.int64()),
+                             "apos": pa.array([], pa.int64()),
+                             "range_id": pa.array([], pa.int64())})
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        apos = _apos(ids)
+        return pa.table({"event_id": t.column("event_id"),
+                         "tsu": pa.array(tsu), "apos": pa.array(apos),
+                         "range_id": pa.array((apos // rng_w).astype(np.int64))})
+
+    def classify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cnt
+        bases = ray.get(prefix_ref)
+        df = pd.DataFrame({
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False),
+            "tsu": t.column("tsu").to_numpy(zero_copy_only=False),
+            "apos": t.column("apos").to_numpy(zero_copy_only=False),
+            "range_id": t.column("range_id").to_numpy(zero_copy_only=False),
+        }).sort_values(["apos", "event_id"], kind="stable")
+        tsu = df["tsu"].to_numpy()
+        base = df["range_id"].map(bases).to_numpy(dtype=np.int64)
+        prev = np.empty(len(tsu), dtype=np.int64)
+        rids = df["range_id"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], rids[1:] != rids[:-1])))
+        ends = np.append(starts[1:], len(tsu))
+        for s, e in zip(starts, ends):
+            inc = np.maximum.accumulate(tsu[s:e])
+            prev[s] = base[s]
+            if e - s > 1:
+                prev[s + 1:e] = np.maximum(base[s], inc[:-1])
+        has_prior = prev != np.iinfo(np.int64).min
+        win_start = (tsu // _GRACE_WIN_US) * _GRACE_WIN_US
+        wend = win_start + _GRACE_WIN_US
+        frontier = np.where(has_prior, prev, np.iinfo(np.int64).min)
+        status = np.where(~has_prior | (frontier <= wend), "on_time",
+                          np.where(frontier <= wend + _GRACE_US,
+                                   "late_accepted", "dropped"))
+        g = (pd.DataFrame({"win_start_us": win_start, "status": status})
+             .groupby(["win_start_us", "status"], sort=False, as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    withr = ev.map_batches(add_range, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = bucketed_groups(withr, "range_id", classify, n_buckets=nb)
+    return F_agg.grouped_sum(parts, ["win_start_us", "status"], empty_cnt)
+
+
+def _window_grace_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT event_id, epoch_us(ts) AS tsu, "
+        "event_id % 4294967296 AS h0 FROM events",
+        ["event_id", "tsu"],
+    )
+    return f"""
+WITH f AS (
+  {fm}
+), a AS (
+  SELECT event_id, tsu,
+         event_id + (hv % {_JITTER_SLOTS}) - {_JITTER_SLOTS // 2} AS apos
+  FROM f
+), w AS (
+  SELECT tsu,
+         max(tsu) OVER (ORDER BY apos, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+  FROM a
+), c AS (
+  SELECT (tsu // {_GRACE_WIN_US}) * {_GRACE_WIN_US} AS win_start_us,
+         CASE WHEN frontier IS NULL
+                   OR frontier <= (tsu // {_GRACE_WIN_US} + 1) * {_GRACE_WIN_US}
+              THEN 'on_time'
+              WHEN frontier <= (tsu // {_GRACE_WIN_US} + 1) * {_GRACE_WIN_US}
+                               + {_GRACE_US}
+              THEN 'late_accepted' ELSE 'dropped' END AS status
+  FROM w
+)
+SELECT CAST(win_start_us AS BIGINT) AS win_start_us, status,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2
+"""
+
+
+QUERIES.update({"window_grace_counts": QueryDef(window_grace_counts,
+                                                _window_grace_sql())})

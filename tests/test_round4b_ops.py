@@ -828,3 +828,38 @@ def test_embedding_dim_stats_match_direct(ray_session):
     assert (got["sum_milli"].to_numpy() == m.sum(axis=0)).all()
     assert (got["min_milli"].to_numpy() == m.min(axis=0)).all()
     assert (got["max_milli"].to_numpy() == m.max(axis=0)).all()
+
+
+def test_window_grace_counts_conserve_and_classify(ray_session):
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import (QUERIES, _GRACE_US, _GRACE_WIN_US,
+                                           _JITTER_SLOTS)
+
+    got = _df(QUERIES["window_grace_counts"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas()
+    assert int(got["n"].sum()) == len(ev)  # every event classified once
+    # direct sequential recompute of the arrival-order frontier
+    ids = ev["event_id"].to_numpy(np.uint64)
+    jit = (_fmix32(ids) % np.uint64(_JITTER_SLOTS)).astype(np.int64)
+    ev["apos"] = ids.astype(np.int64) + jit - _JITTER_SLOTS // 2
+    ev["tsu"] = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["apos", "event_id"])
+    from collections import Counter
+
+    c = Counter()
+    frontier = None
+    for _, r in ev.iterrows():
+        ws = (r["tsu"] // _GRACE_WIN_US) * _GRACE_WIN_US
+        wend = ws + _GRACE_WIN_US
+        if frontier is None or frontier <= wend:
+            st = "on_time"
+        elif frontier <= wend + _GRACE_US:
+            st = "late_accepted"
+        else:
+            st = "dropped"
+        c[(ws, st)] += 1
+        frontier = r["tsu"] if frontier is None else max(frontier, r["tsu"])
+    have = {(int(r["win_start_us"]), r["status"]): int(r["n"])
+            for _, r in got.iterrows()}
+    assert have == dict(c)
