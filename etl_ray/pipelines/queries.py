@@ -11229,3 +11229,98 @@ FROM c GROUP BY 1, 2
 
 QUERIES.update({"window_grace_counts": QueryDef(window_grace_counts,
                                                 _window_grace_sql())})
+
+
+# --- dual-condition sessionization: inactivity gap OR duration cap ------------------------
+
+_SESS_GAP_US = 1_800_000_000     # 30 min inactivity
+_SESS_CAP_US = 14_400_000_000    # 4 h max session span
+
+
+def capped_sessions(sf_dir: str):
+    """Sessionization with BOTH split conditions real trackers use: a
+    new session starts after 30 min of inactivity OR when the session
+    would exceed a 4 h total span — the second condition depends on the
+    session's START (kept state), so unlike the pure gap split this is
+    not a lag() expression. Kernel: the debounce jump trick generalized
+    — from each session start one searchsorted bounds the events within
+    the cap, one vectorized gap-scan inside that slice finds the first
+    inactivity break, and the loop advances per SESSION (output-bounded,
+    not per event). Output: one row per session (start/end/len)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "session_n": pa.array([], pa.int64()),
+                      "start_us": pa.array([], pa.int64()),
+                      "end_us": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+
+    def sess_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        new_u = ~_prev_same_key(u)
+        starts = np.flatnonzero(new_u)
+        ends = np.r_[starts[1:], len(u)]
+        rows = []
+        for s, e in zip(starts, ends):
+            seg = ts_us[s:e]
+            gaps = np.empty(len(seg), dtype=bool)
+            gaps[0] = False
+            if len(seg) > 1:
+                gaps[1:] = (seg[1:] - seg[:-1]) > _SESS_GAP_US
+            cur, sess_n = 0, 0
+            while cur < len(seg):
+                sess_n += 1
+                # cap bound: last index with ts <= start + CAP
+                hi = int(np.searchsorted(seg, seg[cur] + _SESS_CAP_US,
+                                         side="right"))
+                # first inactivity break strictly after cur, within bound
+                brk = gaps[cur + 1:hi]
+                nz = np.flatnonzero(brk)
+                nxt = cur + 1 + int(nz[0]) if len(nz) else hi
+                nxt = max(nxt, cur + 1)
+                rows.append((int(u[s]), sess_n, int(seg[cur]),
+                             int(seg[nxt - 1]), nxt - cur))
+                cur = nxt
+        out = pd.DataFrame(rows, columns=["user_id", "session_n", "start_us",
+                                          "end_us", "n_events"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", sess_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+CAPPED_SESS_SQL = f"""
+WITH RECURSIVE o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, t, rn, 1 AS session_n, t AS sess_start
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.t, o.rn,
+         CASE WHEN o.t - (SELECT t FROM o p WHERE p.user_id = o.user_id
+                          AND p.rn = o.rn - 1) > {_SESS_GAP_US}
+                   OR o.t - r.sess_start > {_SESS_CAP_US}
+              THEN r.session_n + 1 ELSE r.session_n END,
+         CASE WHEN o.t - (SELECT t FROM o p WHERE p.user_id = o.user_id
+                          AND p.rn = o.rn - 1) > {_SESS_GAP_US}
+                   OR o.t - r.sess_start > {_SESS_CAP_US}
+              THEN o.t ELSE r.sess_start END
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY user_id, session_n
+"""
+
+
+QUERIES.update({"capped_sessions": QueryDef(capped_sessions,
+                                            CAPPED_SESS_SQL)})

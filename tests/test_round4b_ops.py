@@ -863,3 +863,31 @@ def test_window_grace_counts_conserve_and_classify(ray_session):
     have = {(int(r["win_start_us"]), r["status"]): int(r["n"])
             for _, r in got.iterrows()}
     assert have == dict(c)
+
+
+def test_capped_sessions_sequential_parity(ray_session):
+    from etl_ray.pipelines.queries import (QUERIES, _SESS_CAP_US,
+                                           _SESS_GAP_US)
+
+    got = _df(QUERIES["capped_sessions"].fn(SF)).sort_values(
+        ["user_id", "session_n"], ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        sess_n, start, n, last = 1, t[0], 1, t[0]
+        for x in t[1:]:
+            if x - last > _SESS_GAP_US or x - start > _SESS_CAP_US:
+                want.append((uid, sess_n, int(start), int(last), n))
+                sess_n, start, n = sess_n + 1, x, 1
+            else:
+                n += 1
+            last = x
+        want.append((uid, sess_n, int(start), int(last), n))
+    have = [tuple(int(v) for v in r)
+            for r in got.itertuples(index=False)]
+    assert have == sorted(want)
+    # every session respects both invariants
+    assert ((got["end_us"] - got["start_us"]) <= _SESS_CAP_US).all()
