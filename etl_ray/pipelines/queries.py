@@ -11324,3 +11324,149 @@ FROM r GROUP BY user_id, session_n
 
 QUERIES.update({"capped_sessions": QueryDef(capped_sessions,
                                             CAPPED_SESS_SQL)})
+
+
+# --- interval occupancy: sweep-line peak concurrent sessions per hour ---------------------
+
+_OCC_HOUR_US = 3_600_000_000
+
+
+def peak_concurrency(sf_dir: str):
+    """Interval-occupancy analytics: the hourly PEAK number of
+    simultaneously-active sessions — capacity planning's core query
+    (how many connections/replica slots must the serving tier hold).
+    Sessions are the 30-min-gap splits of ``cdc_sessionize``; each
+    session [start, end] becomes two sweep-line deltas (+1 at start,
+    −1 at end+1µs) and the peak is the per-hour max of the GLOBAL
+    running sum — a classic order-dependent scan no groupby expresses.
+
+    Distributed shape: one bucket exchange on user_id builds sessions
+    vectorized (gap-mask + segment reduce); the session-bounded delta
+    stream (2 rows/session — far smaller than the input) is pinned
+    once; pass A folds per-HOUR delta sums to a tiny driver table whose
+    exclusive prefix sum is each hour's carried-in occupancy; pass B
+    re-buckets deltas BY HOUR so each hour's (t, d)-sorted cumsum +
+    carried base → max runs in one partition task. Driver state is
+    O(hours); nothing event-sized leaves the cluster."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    delta_empty = pa.table({"t": pa.array([], pa.int64()),
+                            "d": pa.array([], pa.int64()),
+                            "hour_us": pa.array([], pa.int64())})
+
+    def session_deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return delta_empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = _prev_same_key(u)
+        gap = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESS_GAP_US
+        new_sess = ~same | (gap & same)
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(u)] - 1
+        tv = np.r_[ts_us[starts], ts_us[ends] + 1]
+        dv = np.r_[np.ones(len(starts), dtype=np.int64),
+                   -np.ones(len(starts), dtype=np.int64)]
+        return pa.table({"t": pa.array(tv), "d": pa.array(dv),
+                         "hour_us": pa.array(
+                             (tv // _OCC_HOUR_US) * _OCC_HOUR_US)})
+
+    deltas = bucketed_groups(ds, "user_id", session_deltas,
+                             n_buckets=_buckets_for(sf_dir, "events"))
+    # hour-partitioned once, consumed by both passes: every hour's
+    # deltas sit whole inside exactly one (session-bounded) block
+    hour_blocks = bucketed_groups(deltas, "hour_us", lambda t: t,
+                                  n_buckets=8).materialize()
+
+    # pass A: per-hour delta sums (complete per block) -> driver
+    # exclusive prefix over sorted hours = carried-in occupancy
+    sum_empty = pa.table({"hour_us": pa.array([], pa.int64()),
+                          "dsum": pa.array([], pa.int64())})
+
+    def hour_sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return sum_empty
+        h = t.column("hour_us").to_numpy(zero_copy_only=False)
+        dv = t.column("d").to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        s = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(s, inv, dv)
+        return pa.table({"hour_us": pa.array(uh.astype(np.int64)),
+                         "dsum": pa.array(s)})
+
+    per_hour = to_pandas_typed(
+        hour_blocks.map_batches(hour_sums, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        sum_empty).sort_values("hour_us")
+    csum = np.cumsum(per_hour["dsum"].to_numpy(np.int64))
+    bases = {int(h): int(b) for h, b in zip(
+        per_hour["hour_us"].to_numpy()[1:], csum[:-1])}
+    for h in per_hour["hour_us"].to_numpy()[:1]:
+        bases[int(h)] = 0
+    bases_ref = ray.put(bases)
+
+    # pass B: within-hour (t, d)-ordered cumsum + carried base -> max
+    out_empty = pa.table({"hour_us": pa.array([], pa.int64()),
+                          "peak": pa.array([], pa.int64())})
+
+    def hour_peak(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return out_empty
+        base_map = ray.get(bases_ref)
+        df = (pd.DataFrame({
+            "hour_us": t.column("hour_us").to_numpy(zero_copy_only=False),
+            "t": t.column("t").to_numpy(zero_copy_only=False),
+            "d": t.column("d").to_numpy(zero_copy_only=False),
+        }).sort_values(["hour_us", "t", "d"], kind="stable"))
+        hv = df["hour_us"].to_numpy()
+        run = np.cumsum(df["d"].to_numpy(np.int64))
+        starts = np.flatnonzero(np.r_[True, hv[1:] != hv[:-1]])
+        ends = np.r_[starts[1:], len(hv)]
+        hours = hv[starts]
+        # rebase each hour: subtract the cumsum carried from PRIOR hours
+        # in this frame, add the true global carried base
+        prior = np.r_[0, run[ends[:-1] - 1]]
+        base = np.array([base_map[int(h)] for h in hours], dtype=np.int64)
+        peaks = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            peaks[i] = int(run[s:e].max()) - int(prior[i]) + int(base[i])
+        return pa.table({"hour_us": pa.array(hours.astype(np.int64)),
+                         "peak": pa.array(peaks)})
+
+    return hour_blocks.map_batches(hour_peak, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid, min(t) AS start_us, max(t) AS end_us
+  FROM s GROUP BY user_id, sid
+), deltas AS (
+  SELECT start_us AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT end_us + 1 AS t, -1 AS d FROM sess
+), run AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas
+)
+SELECT CAST((t // {_OCC_HOUR_US}) * {_OCC_HOUR_US} AS BIGINT) AS hour_us,
+       CAST(max(c) AS BIGINT) AS peak
+FROM run GROUP BY 1
+"""
+
+
+QUERIES.update({"peak_concurrency": QueryDef(peak_concurrency,
+                                             PEAK_CONCURRENCY_SQL)})

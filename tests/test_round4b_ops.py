@@ -891,3 +891,34 @@ def test_capped_sessions_sequential_parity(ray_session):
     assert have == sorted(want)
     # every session respects both invariants
     assert ((got["end_us"] - got["start_us"]) <= _SESS_CAP_US).all()
+
+
+def test_peak_concurrency_sequential_parity(ray_session):
+    from etl_ray.pipelines.queries import (QUERIES, _OCC_HOUR_US,
+                                           _SESS_GAP_US)
+
+    got = _df(QUERIES["peak_concurrency"].fn(SF)).sort_values(
+        "hour_us", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    deltas = []
+    for _, g in ev.groupby("user_id"):
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        start = t[0]
+        for prev, x in zip(t[:-1], t[1:]):
+            if x - prev > _SESS_GAP_US:
+                deltas += [(start, 1), (prev + 1, -1)]
+                start = x
+        deltas += [(start, 1), (t[-1] + 1, -1)]
+    deltas.sort()
+    want = {}
+    c = 0
+    for t, d in deltas:
+        c += d
+        h = (t // _OCC_HOUR_US) * _OCC_HOUR_US
+        want[h] = max(want.get(h, -10**9), c)
+    have = {int(r["hour_us"]): int(r["peak"]) for _, r in got.iterrows()}
+    assert have == want
+    # occupancy is conserved: total +1s equal total -1s
+    assert sum(d for _, d in deltas) == 0
