@@ -11470,3 +11470,78 @@ FROM run GROUP BY 1
 
 QUERIES.update({"peak_concurrency": QueryDef(peak_concurrency,
                                              PEAK_CONCURRENCY_SQL)})
+
+
+# --- FIR smoothing: exact fixed-point trailing EWMA per user stream -----------------------
+
+_FIR_TAPS = 32  # binary-decay kernel: weight 2^(31-k) at lag k
+
+
+def fir_ewma_values(sf_dir: str):
+    """Signal smoothing over the change stream: a trailing EWMA per
+    user, made EXACT by a truncated binary-decay FIR kernel — lag-k
+    weight 2^(31-k) over the last 32 events, values in milli-units, so
+    the smoothed output is a fixed-point int64 (implicit denominator
+    2^31) that hashes identically in both engines (float EWMAs can't be
+    oracle-gated; ``**``/pow routes through DOUBLE — the weight here is
+    a bit shift). The recursion s_t = x_t + s_{t-1}/2 every streaming
+    metrics stack runs is this kernel untruncated.
+
+    Distributed shape: ONE bucket exchange on user_id; inside each
+    partition the convolution is 32 shifted vector multiply-adds over
+    the user-major sorted frame (per-user boundaries enforced by a
+    position mask — no per-row loop, no cross-user bleed). Output is
+    row-per-event, computed fully in-cluster."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64()),
+                      "fir_fp": pa.array([], pa.int64())})
+
+    def fir_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        v = round_half_away(df["value"].to_numpy() * 1000.0,
+                            0).astype(np.int64)
+        starts = np.flatnonzero(~_prev_same_key(u))
+        seg_len = np.diff(np.r_[starts, len(u)])
+        pos = np.arange(len(u)) - np.repeat(starts, seg_len)
+        acc = np.zeros(len(u), dtype=np.int64)
+        for k in range(_FIR_TAPS):
+            idx = np.flatnonzero(pos >= k)
+            if not len(idx):
+                break
+            acc[idx] += v[idx - k] << np.int64(_FIR_TAPS - 1 - k)
+        return pa.table({
+            "user_id": pa.array(u.astype(np.int64)),
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "fir_fp": pa.array(acc),
+        })
+
+    return bucketed_groups(ds, "user_id", fir_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+FIR_EWMA_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 1000, 0) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+       CAST(sum(b.v * (CAST(1 AS BIGINT)
+                       << CAST({_FIR_TAPS} - 1 - (a.rn - b.rn) AS INTEGER)))
+            AS BIGINT) AS fir_fp
+FROM o a JOIN o b
+  ON b.user_id = a.user_id
+ AND b.rn BETWEEN a.rn - {_FIR_TAPS - 1} AND a.rn
+GROUP BY a.user_id, a.event_id
+"""
+
+
+QUERIES.update({"fir_ewma_values": QueryDef(fir_ewma_values,
+                                            FIR_EWMA_SQL)})

@@ -922,3 +922,30 @@ def test_peak_concurrency_sequential_parity(ray_session):
     assert have == want
     # occupancy is conserved: total +1s equal total -1s
     assert sum(d for _, d in deltas) == 0
+
+
+def test_fir_ewma_sequential_parity(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import _FIR_TAPS, QUERIES
+
+    got = _df(QUERIES["fir_ewma_values"].fn(SF)).sort_values(
+        ["user_id", "event_id"], ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        v = round_half_away(g["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        eids = g["event_id"].to_numpy()
+        for i in range(len(v)):
+            acc = 0
+            for k in range(min(_FIR_TAPS, i + 1)):
+                acc += int(v[i - k]) << (_FIR_TAPS - 1 - k)
+            want[int(eids[i])] = acc
+    have = {int(r["event_id"]): int(r["fir_fp"]) for _, r in got.iterrows()}
+    assert have == want
+    # the first event of every user is exactly v * 2^(taps-1)
+    first = ev.groupby("user_id").head(1)
+    fv = round_half_away(first["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+    for eid, v0 in zip(first["event_id"].to_numpy(), fv):
+        assert have[int(eid)] == int(v0) << (_FIR_TAPS - 1)
