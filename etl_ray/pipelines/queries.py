@@ -11545,3 +11545,81 @@ GROUP BY a.user_id, a.event_id
 
 QUERIES.update({"fir_ewma_values": QueryDef(fir_ewma_values,
                                             FIR_EWMA_SQL)})
+
+
+# --- anti-entropy audit: order-insensitive per-bucket replica fingerprints ----------------
+
+_FP_BUCKETS = 64
+
+
+def replica_fingerprints(sf_dir: str):
+    """Anti-entropy audit for replica divergence: each key-range bucket
+    reduces to an ORDER-INSENSITIVE additive checksum (sum of avalanche
+    row digests) + row count, so two replicas compare with O(buckets)
+    bytes instead of a full-table diff — the merkle-leaf exchange every
+    replicated store (Dynamo/Cassandra-style) runs, and the scale-true
+    companion to ``cdc_changefeed_replica``'s full-diff closure proof.
+    A mismatched bucket pinpoints which key range to re-sync.
+
+    Row digest: fmix32 over a linear combination of (event_id,
+    value_milli, epoch_us) mod 2^32 — full avalanche (a single flipped
+    bit reroutes the digest), shared constant-for-constant with the SQL
+    oracle via ``fmix32_sql``. Sums stay exact in int64 for < 2^31 rows
+    per bucket (digests are 32-bit). Per-batch combiner shrinks every
+    block to ≤ 64 partial rows; one tiny grouped merge."""
+    from etl_ray.functions.sketch import _fmix32
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "fingerprint": pa.array([], pa.int64()),
+                      "n_rows": pa.array([], pa.int64())})
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tsu = t.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h0 = (eid.astype(np.uint64) * np.uint64(2654435761)
+                  + vm.astype(np.uint64) * np.uint64(40503)
+                  + tsu.astype(np.uint64))
+        hv = _fmix32(h0).astype(np.int64)
+        b = (u % _FP_BUCKETS).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        fp = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(fp, inv, hv)
+        cnt = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        return pa.table({"bucket": pa.array(ub), "fingerprint": pa.array(fp),
+                         "n_rows": pa.array(cnt)})
+
+    parts = ds.map_batches(fp_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return F_agg.grouped_sum(parts, ["bucket"], empty)
+
+
+def _replica_fp_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        f"SELECT user_id % {_FP_BUCKETS} AS b, "
+        "CAST((CAST(event_id AS HUGEINT) * 2654435761 "
+        " + CAST(round(value * 1000, 0) AS HUGEINT) * 40503 "
+        " + epoch_us(ts)) % 4294967296 AS BIGINT) AS h0 FROM events",
+        ["b"],
+    )
+    return f"""
+SELECT CAST(b AS BIGINT) AS bucket,
+       CAST(sum(hv) AS BIGINT) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ({fm}) GROUP BY b
+"""
+
+
+QUERIES.update({"replica_fingerprints": QueryDef(replica_fingerprints,
+                                                 _replica_fp_sql())})

@@ -949,3 +949,43 @@ def test_fir_ewma_sequential_parity(ray_session):
     fv = round_half_away(first["value"].to_numpy() * 1000.0, 0).astype(np.int64)
     for eid, v0 in zip(first["event_id"].to_numpy(), fv):
         assert have[int(eid)] == int(v0) << (_FIR_TAPS - 1)
+
+
+def test_replica_fingerprints_detect_divergence(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import _FP_BUCKETS, QUERIES
+
+    got = _df(QUERIES["replica_fingerprints"].fn(SF)).sort_values(
+        "bucket", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"]
+                       ).to_pandas()
+
+    def fps(df):
+        tsu = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vm = round_half_away(df["value"].to_numpy() * 1000.0,
+                             0).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h0 = (df["event_id"].to_numpy().astype(np.uint64)
+                  * np.uint64(2654435761)
+                  + vm.astype(np.uint64) * np.uint64(40503)
+                  + tsu.astype(np.uint64))
+        hv = _fmix32(h0).astype(np.int64)
+        b = df["user_id"].to_numpy() % _FP_BUCKETS
+        return {int(k): int(hv[b == k].sum()) for k in np.unique(b)}
+
+    want = fps(ev)
+    have = {int(r["bucket"]): int(r["fingerprint"])
+            for _, r in got.iterrows()}
+    assert have == want
+    assert int(got["n_rows"].sum()) == len(ev)
+    # order-insensitive: a shuffled replica fingerprints identically
+    assert fps(ev.sample(frac=1.0, random_state=7)) == want
+    # sensitive: one mutated row flips exactly its bucket's checksum
+    mut = ev.copy()
+    mut.loc[mut.index[0], "value"] += 0.001
+    diverged = fps(mut)
+    hit = int(mut.loc[mut.index[0], "user_id"]) % _FP_BUCKETS
+    assert diverged[hit] != want[hit]
+    assert all(v == want[k] for k, v in diverged.items() if k != hit)
