@@ -11623,3 +11623,89 @@ FROM ({fm}) GROUP BY b
 
 QUERIES.update({"replica_fingerprints": QueryDef(replica_fingerprints,
                                                  _replica_fp_sql())})
+
+
+# --- functional-dependency discovery: does column A determine column B? -------------------
+
+_FD_PAIRS = [("event_id", "user_id"), ("user_id", "event_type"),
+             ("event_type", "user_id")]
+
+
+def fd_profile(sf_dir: str):
+    """Schema-discovery profiling: for each candidate functional
+    dependency lhs→rhs, the distinct-lhs count, distinct-(lhs,rhs)
+    count and the number of VIOLATING lhs values (>1 rhs observed) —
+    the FD holds iff n_pairs == n_lhs. This is what a catalog crawler
+    runs to propose keys and denormalization targets over an unknown
+    lake (TANE-style, restricted to declared candidates).
+
+    Distributed shape: every candidate pair flows through ONE
+    sentinel-tagged partial family — per-batch distinct (pair, lhs,
+    rhs) combiner, one composite bucket exchange on (pair, lhs) so each
+    lhs group lands whole, per-partition counts, then a 3-row grouped
+    sum. Counts are representation-independent (int→str is injective),
+    so no quantization is needed for oracle parity."""
+    cols = sorted({c for p in _FD_PAIRS for c in p})
+    ds = _read(sf_dir, "events", columns=cols)
+    part_empty = pa.table({"pair_id": pa.array([], pa.int64()),
+                           "l": pa.array([], pa.string()),
+                           "r": pa.array([], pa.string())})
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        outs = []
+        for pid, (lc, rc) in enumerate(_FD_PAIRS):
+            df = pd.DataFrame({
+                "l": t.column(lc).cast(pa.string()).to_pandas(),
+                "r": t.column(rc).cast(pa.string()).to_pandas(),
+            }).drop_duplicates()
+            df.insert(0, "pair_id", np.int64(pid))
+            outs.append(pa.Table.from_pandas(df, preserve_index=False))
+        return pa.concat_tables(outs)
+
+    counts_empty = pa.table({"pair_id": pa.array([], pa.int64()),
+                             "n_lhs": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "n_violating": pa.array([], pa.int64())})
+
+    def fd_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return counts_empty
+        nd = (t.to_pandas().drop_duplicates()
+              .groupby(["pair_id", "l"], sort=False)["r"].nunique()
+              .reset_index(name="nd"))
+        g = nd.groupby("pair_id", sort=False).agg(
+            n_lhs=("nd", "size"), n_pairs=("nd", "sum"),
+            n_violating=("nd", lambda s: int((s > 1).sum()))).reset_index()
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = F_agg.bucketed_groups_multi(parts, ["pair_id", "l"],
+                                           fd_counts, n_buckets=8,
+                                           empty=part_empty)
+    out = F_agg.grouped_sum(partials, ["pair_id"], counts_empty)
+    out = out.sort_values("pair_id", ignore_index=True)
+    out.insert(0, "fd", [f"{l}->{r}" for l, r in
+                         (_FD_PAIRS[int(p)] for p in out["pair_id"])])
+    return out.drop(columns=["pair_id"])
+
+
+def _fd_sql() -> str:
+    units = []
+    for lc, rc in _FD_PAIRS:
+        units.append(f"""
+SELECT '{lc}->{rc}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_lhs,
+       CAST(sum(nd) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating
+FROM (SELECT {lc} AS l, count(DISTINCT {rc}) AS nd
+      FROM events GROUP BY {lc})""")
+    return "\nUNION ALL\n".join(units)
+
+
+QUERIES.update({"fd_profile": QueryDef(fd_profile, _fd_sql())})

@@ -989,3 +989,19 @@ def test_replica_fingerprints_detect_divergence(ray_session):
     hit = int(mut.loc[mut.index[0], "user_id"]) % _FP_BUCKETS
     assert diverged[hit] != want[hit]
     assert all(v == want[k] for k, v in diverged.items() if k != hit)
+
+
+def test_fd_profile_matches_direct_recompute(ray_session):
+    from etl_ray.pipelines.queries import _FD_PAIRS, QUERIES
+
+    got = _df(QUERIES["fd_profile"].fn(SF)).set_index("fd")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    for lc, rc in _FD_PAIRS:
+        nd = ev.groupby(lc)[rc].nunique()
+        row = got.loc[f"{lc}->{rc}"]
+        assert int(row["n_lhs"]) == len(nd)
+        assert int(row["n_pairs"]) == int(nd.sum())
+        assert int(row["n_violating"]) == int((nd > 1).sum())
+    # event_id is a key: its FD holds exactly
+    r = got.loc["event_id->user_id"]
+    assert int(r["n_violating"]) == 0 and int(r["n_pairs"]) == int(r["n_lhs"])
