@@ -11709,3 +11709,105 @@ FROM (SELECT {lc} AS l, count(DISTINCT {rc}) AS nd
 
 
 QUERIES.update({"fd_profile": QueryDef(fd_profile, _fd_sql())})
+
+
+# --- change-point detection: one-sided CUSUM drift alarms per user stream -----------------
+
+_CUSUM_H_MILLI = 5000  # alarm threshold on the CUSUM statistic
+
+
+def cusum_alarms(sf_dir: str):
+    """Change-point detection over the change stream: the one-sided
+    CUSUM statistic S_t = max(0, S_{t-1} + (x_t − ref)) per user in
+    time order — the classic drift detector (Page 1954) every metrics
+    pipeline runs against SLO baselines. Although S is a sequential
+    fold, the reflection identity S_t = P_t − min(0, min_{j≤t} P_j)
+    (P = prefix sum of deviations) makes it a segmented cumsum +
+    running-min — vectorizable AND window-SQL-expressible with no
+    recursion. Reported per user: alarm count (S_t > h) and max S.
+
+    Exactness: milli-unit int64 deviations against ref = ⌊Σx/n⌋ (all
+    values positive, so DuckDB's truncating // agrees with the floor).
+    Distributed shape: a tiny global (sum, n) partial fold fixes ref;
+    then ONE user bucket exchange runs the per-segment scan."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+    # pass 1: global milli-mean (one small partial per block)
+    ref_empty = pa.table({"k": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return ref_empty
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        return pa.table({"k": pa.array([np.int64(0)]),
+                         "s": pa.array([vm.sum()]),
+                         "n": pa.array([np.int64(len(vm))])})
+
+    tot = F_agg.grouped_sum(
+        ds.map_batches(sum_partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["k"], ref_empty)
+    ref = int(tot["s"].iloc[0]) // int(tot["n"].iloc[0])
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_alarms": pa.array([], pa.int64()),
+                      "max_stat": pa.array([], pa.int64())})
+
+    def cusum_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        d = round_half_away(df["value"].to_numpy() * 1000.0,
+                            0).astype(np.int64) - ref
+        starts = np.flatnonzero(~_prev_same_key(u))
+        ends = np.r_[starts[1:], len(u)]
+        uids = u[starts].astype(np.int64)
+        n_alarms = np.empty(len(starts), dtype=np.int64)
+        max_stat = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            p = np.cumsum(d[s:e])
+            st = p - np.minimum(np.minimum.accumulate(p), 0)
+            n_alarms[i] = int((st > _CUSUM_H_MILLI).sum())
+            max_stat[i] = int(st.max())
+        return pa.table({"user_id": pa.array(uids),
+                         "n_alarms": pa.array(n_alarms),
+                         "max_stat": pa.array(max_stat)})
+
+    return bucketed_groups(ds, "user_id", cusum_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+CUSUM_SQL = f"""
+WITH ref AS (
+  SELECT sum(CAST(round(value * 1000, 0) AS BIGINT))
+         // count(*) AS r
+  FROM events
+), o AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000, 0) AS BIGINT) - (SELECT r FROM ref) AS d
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id,
+         sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pt
+  FROM o
+), s AS (
+  SELECT user_id,
+         pt - least(min(pt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING),
+                    0) AS st
+  FROM p
+)
+SELECT user_id,
+       CAST(count(CASE WHEN st > {_CUSUM_H_MILLI} THEN 1 END) AS BIGINT)
+           AS n_alarms,
+       CAST(max(st) AS BIGINT) AS max_stat
+FROM s GROUP BY user_id
+"""
+
+
+QUERIES.update({"cusum_alarms": QueryDef(cusum_alarms, CUSUM_SQL)})

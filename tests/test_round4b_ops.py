@@ -1005,3 +1005,27 @@ def test_fd_profile_matches_direct_recompute(ray_session):
     # event_id is a key: its FD holds exactly
     r = got.loc["event_id->user_id"]
     assert int(r["n_violating"]) == 0 and int(r["n_pairs"]) == int(r["n_lhs"])
+
+
+def test_cusum_reflection_identity_matches_sequential_fold(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import _CUSUM_H_MILLI, QUERIES
+
+    got = _df(QUERIES["cusum_alarms"].fn(SF)).sort_values(
+        "user_id", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    vm = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+    ref = int(vm.sum()) // len(vm)
+    want = {}
+    for uid, g in ev.assign(vm=vm).groupby("user_id"):
+        s, mx, n = 0, 0, 0
+        for x in g["vm"].to_numpy():
+            s = max(0, s + int(x) - ref)   # the literal sequential fold
+            mx = max(mx, s)
+            n += s > _CUSUM_H_MILLI
+        want[int(uid)] = (n, mx)
+    have = {int(r["user_id"]): (int(r["n_alarms"]), int(r["max_stat"]))
+            for _, r in got.iterrows()}
+    assert have == want
