@@ -193,7 +193,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "unpivot_user_events", "neardup_eval", "langid_confusion", "psi_value_drift", "zipf_fit", "joinsize_sketch_est",
         "band_join_clicks", "embedding_dim_stats", "window_grace_counts", "capped_sessions",
         "peak_concurrency", "fir_ewma_values", "replica_fingerprints",
-        "fd_profile", "cusum_alarms",
+        "fd_profile", "cusum_alarms", "sliding_distinct_users",
     ]
     q_times = {}
     q_stats = {}

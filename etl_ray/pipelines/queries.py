@@ -285,7 +285,11 @@ DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
 
 
 def parts_by_brand(sf_dir: str):
-    """Filter + groupby over part (SURVEY M3 + A4)."""
+    """Filter + groupby over part (SURVEY M3 + A4). Prices fold as
+    EXACT integer cents — a float partial-sum re-associates across
+    blocks and can land the .005 boundary on the other side of the
+    oracle's (bit 2 rows at sf0.001); the average divides two exact
+    ints, so both engines round the identical double."""
     ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
     ds = ds.map_batches(
         lambda t: t.filter(pc.less(t.column("p_size"), 25)),
@@ -293,31 +297,37 @@ def parts_by_brand(sf_dir: str):
     )
     empty = pa.table({"p_brand": pa.array([], pa.string()),
                       "n_parts": pa.array([], pa.int64()),
-                      "sum_price": pa.array([], pa.float64())})
+                      "sum_cents": pa.array([], pa.int64())})
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        g = (
-            t.to_pandas().groupby("p_brand", sort=False, as_index=False)
-            .agg(n_parts=("p_retailprice", "size"),
-                 sum_price=("p_retailprice", "sum"))
-        )
+        df = pd.DataFrame({
+            "p_brand": t.column("p_brand").to_pandas(),
+            "cents": round_half_away(
+                t.column("p_retailprice").to_numpy(zero_copy_only=False)
+                * 100.0, 0).astype(np.int64),
+        })
+        g = (df.groupby("p_brand", sort=False, as_index=False)
+             .agg(n_parts=("cents", "size"), sum_cents=("cents", "sum")))
         g["n_parts"] = g["n_parts"].astype("int64")
-        return pa.Table.from_pandas(g[["p_brand", "n_parts", "sum_price"]],
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return pa.Table.from_pandas(g[["p_brand", "n_parts", "sum_cents"]],
                                     preserve_index=False)
 
     t = F_agg.grouped_sum(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         ["p_brand"], empty,
     )
-    t["avg_price"] = round_half_away(t["sum_price"] / t["n_parts"], 2)
-    return t.drop(columns=["sum_price"])
+    t["avg_price"] = round_half_away(
+        t["sum_cents"].to_numpy() / t["n_parts"].to_numpy(), 0) / 100.0
+    return t.drop(columns=["sum_cents"])
 
 
 PARTS_BY_BRAND_SQL = """
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-       round(avg(p_retailprice), 2) AS avg_price
+       round(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) * 1.0
+             / count(*), 0) / 100 AS avg_price
 FROM part WHERE p_size < 25 GROUP BY p_brand
 """
 
@@ -11811,3 +11821,81 @@ FROM s GROUP BY user_id
 
 
 QUERIES.update({"cusum_alarms": QueryDef(cusum_alarms, CUSUM_SQL)})
+
+
+# --- sliding-window distinct: 7-day rolling distinct users ---------------------------------
+
+_SLIDE_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def sliding_distinct_users(sf_dir: str):
+    """Rolling 7-day distinct users per day — DAU/WAU-style reach over
+    OVERLAPPING windows, where per-day distinct counts cannot be summed
+    (the same user spans days). Exact, without a per-window rescan: each
+    distinct (user, day) fans out to the ≤7 windows it belongs to and
+    one distinct count per window finishes the job — work is bounded by
+    7 × |distinct (user, day)|, independent of raw event count.
+
+    Distributed shape: per-batch distinct (user, day) combiner shrinks
+    blocks before the fan-out; composite (window, user) bucket exchange
+    lands each window-user group whole, so per-partition nunique
+    partials are disjoint and a tiny grouped sum per window finishes.
+    The sketch-free exact twin of a per-window HLL merge."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    pair_empty = pa.table({"win_day": pa.array([], pa.int64()),
+                           "user_id": pa.array([], pa.int64())})
+
+    def fanout_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pair_empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (t.column("ts").to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64) // _DAY_US)
+        du = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
+        k = np.arange(_SLIDE_DAYS, dtype=np.int64)
+        n = len(du)
+        return pa.table({
+            "win_day": pa.array(np.repeat(du["day"].to_numpy(np.int64), 
+                                          _SLIDE_DAYS)
+                                + np.tile(k, n)),
+            "user_id": pa.array(np.repeat(du["user_id"].to_numpy(np.int64),
+                                          _SLIDE_DAYS)),
+        })
+
+    cnt_empty = pa.table({"win_day": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+
+    def win_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cnt_empty
+        g = (t.to_pandas().drop_duplicates()
+             .groupby("win_day", sort=False, as_index=False)
+             .agg(n_users=("user_id", "size")))
+        for c in g.columns:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = ds.map_batches(fanout_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = F_agg.bucketed_groups_multi(pairs, ["win_day", "user_id"],
+                                           win_counts, n_buckets=8,
+                                           empty=pair_empty)
+    return F_agg.grouped_sum(partials, ["win_day"], cnt_empty)
+
+
+SLIDING_DISTINCT_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), w AS (
+  SELECT user_id, day + k.k AS win_day
+  FROM du, (SELECT unnest(range({_SLIDE_DAYS})) AS k) k
+)
+SELECT CAST(win_day AS BIGINT) AS win_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY win_day
+"""
+
+
+QUERIES.update({"sliding_distinct_users": QueryDef(sliding_distinct_users,
+                                                   SLIDING_DISTINCT_SQL)})

@@ -1029,3 +1029,26 @@ def test_cusum_reflection_identity_matches_sequential_fold(ray_session):
     have = {int(r["user_id"]): (int(r["n_alarms"]), int(r["max_stat"]))
             for _, r in got.iterrows()}
     assert have == want
+
+
+def test_sliding_distinct_users_matches_window_rescan(ray_session):
+    from etl_ray.pipelines.queries import (_DAY_US, _SLIDE_DAYS, QUERIES)
+
+    got = _df(QUERIES["sliding_distinct_users"].fn(SF)).sort_values(
+        "win_day", ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    day = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+           // _DAY_US)
+    du = pd.DataFrame({"u": ev["user_id"], "d": day}).drop_duplicates()
+    want = {}
+    for w in range(int(du["d"].min()), int(du["d"].max()) + _SLIDE_DAYS):
+        n = du[(du["d"] <= w) & (du["d"] > w - _SLIDE_DAYS)]["u"].nunique()
+        if n:
+            want[w] = n
+    have = {int(r["win_day"]): int(r["n_users"]) for _, r in got.iterrows()}
+    assert have == want
+    # windows are supersets of their end day's distinct count
+    daily = du.groupby("d")["u"].nunique()
+    for d, n in daily.items():
+        assert have[int(d)] >= int(n)
