@@ -126,12 +126,17 @@ def q1_pricing_summary(sf_dir: str):
     )
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
     keys = ["l_returnflag", "l_linestatus"]
+    # prices/discounts fold as EXACT integer cents: a float partial sum
+    # re-associates across blocks, and a quotient (avg) that lands on a
+    # rounding boundary can then flip vs the oracle (the parts_by_brand
+    # failure class). Quantities are integral doubles — exact in any
+    # order — so they stay float.
     empty = pa.table(
         {"l_returnflag": pa.array([], pa.string()),
          "l_linestatus": pa.array([], pa.string()),
          "sum_qty": pa.array([], pa.float64()),
-         "sum_base_price": pa.array([], pa.float64()),
-         "sum_disc": pa.array([], pa.float64()),
+         "base_cents": pa.array([], pa.int64()),
+         "disc_cents": pa.array([], pa.int64()),
          "count_order": pa.array([], pa.int64())}
     )
 
@@ -139,32 +144,41 @@ def q1_pricing_summary(sf_dir: str):
         t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
         if t.num_rows == 0:
             return empty
-        g = (
-            t.select([*keys, "l_quantity", "l_extendedprice", "l_discount"])
-            .to_pandas()
-            .groupby(keys, sort=False, as_index=False)
-            .agg(sum_qty=("l_quantity", "sum"),
-                 sum_base_price=("l_extendedprice", "sum"),
-                 sum_disc=("l_discount", "sum"),
-                 count_order=("l_discount", "size"))
-        )
-        g["count_order"] = g["count_order"].astype("int64")
+        df = t.select(keys).to_pandas()
+        df["sum_qty"] = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        df["base_cents"] = round_half_away(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        df["disc_cents"] = round_half_away(
+            t.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0, 0).astype(np.int64)
+        g = (df.groupby(keys, sort=False, as_index=False)
+             .agg(sum_qty=("sum_qty", "sum"),
+                  base_cents=("base_cents", "sum"),
+                  disc_cents=("disc_cents", "sum"),
+                  count_order=("disc_cents", "size")))
+        for c in ("base_cents", "disc_cents", "count_order"):
+            g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     t = F_agg.grouped_sum(parts, keys, empty)
-    t["avg_disc"] = round_half_away(t["sum_disc"] / t["count_order"], 2)
-    t = t.drop(columns=["sum_disc"])
-    for c in ("sum_qty", "sum_base_price"):
-        t[c] = round_half_away(t[c], 2)
-    return t
+    t["avg_disc"] = round_half_away(
+        t["disc_cents"].to_numpy() / t["count_order"].to_numpy(), 0) / 100.0
+    t["sum_base_price"] = t["base_cents"].to_numpy() / 100.0
+    t["sum_qty"] = round_half_away(t["sum_qty"], 2)
+    return t.drop(columns=["base_cents", "disc_cents"])[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "avg_disc", "count_order"]]
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(avg(l_discount), 2) AS avg_disc,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+           AS sum_base_price,
+       round(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) * 1.0
+             / count(*), 0) / 100 AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -200,32 +214,39 @@ def revenue_by_nation(sf_dir: str):
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    # revenue folds as exact integer cents (association-free vs the
+    # float oracle sum — the parts_by_brand failure class)
     empty = pa.table(
         {"n_name": pa.array([], pa.string()),
-         "revenue": pa.array([], pa.float64()),
+         "rev_cents": pa.array([], pa.int64()),
          "n_orders": pa.array([], pa.int64())}
     )
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        g = (
-            t.select(["n_name", "o_totalprice"]).to_pandas()
-            .groupby("n_name", sort=False, as_index=False)
-            .agg(revenue=("o_totalprice", "sum"),
-                 n_orders=("o_totalprice", "size"))
-        )
-        g["n_orders"] = g["n_orders"].astype("int64")
+        df = pd.DataFrame({
+            "n_name": t.column("n_name").to_pandas(),
+            "rev_cents": round_half_away(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0, 0).astype(np.int64),
+        })
+        g = (df.groupby("n_name", sort=False, as_index=False)
+             .agg(rev_cents=("rev_cents", "sum"),
+                  n_orders=("rev_cents", "size")))
+        for c in ("rev_cents", "n_orders"):
+            g[c] = g[c].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     t = F_agg.grouped_sum(parts, ["n_name"], empty)
-    t["revenue"] = round_half_away(t["revenue"], 2)
-    return t
+    t["revenue"] = t["rev_cents"].to_numpy() / 100.0
+    return t.drop(columns=["rev_cents"])[["n_name", "revenue", "n_orders"]]
 
 
 REVENUE_BY_NATION_SQL = """
-SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+SELECT n_name,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS revenue,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -239,18 +260,33 @@ def top_customers(sf_dir: str):
     O4 top-k; ordering ties broken by custkey AFTER rounding so selection
     matches the oracle)."""
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = ds.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+
+    # exact integer cents: the rounded total also ORDERS the top-10
+    # selection, so a float-sum boundary flip could swap rank 10/11
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "cents": pa.array(round_half_away(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                * 100.0, 0).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(to_cents, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="cents"), Count(alias_name="n_orders")
     )
     t = agg.to_pandas()
-    t["total_spent"] = round_half_away(t["total_spent"], 2)
+    t["total_spent"] = t["cents"].to_numpy() / 100.0
     t = t.sort_values(["total_spent", "o_custkey"], ascending=[False, True]).head(10)
     t = t.rename(columns={"o_custkey": "custkey"})
-    return t.reset_index(drop=True)
+    return t.drop(columns=["cents"])[
+        ["custkey", "total_spent", "n_orders"]].reset_index(drop=True)
 
 
 TOP_CUSTOMERS_SQL = """
-SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total_spent,
+SELECT o_custkey AS custkey,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+           AS total_spent,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_custkey
 ORDER BY total_spent DESC, custkey ASC LIMIT 10
@@ -1084,19 +1120,25 @@ def embedding_centroids(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         labels = t.column("label").to_numpy(zero_copy_only=False)
-        m = np.stack(t.column("embedding").to_pandas().to_numpy()).astype(np.float64)
+        # fixed-point 2^23 grid (the float32 mantissa width): both
+        # engines fold IDENTICAL integers, so the centroid average is
+        # association-free — a float partial sum re-associated across
+        # blocks can flip a 6-decimal rounding boundary vs the oracle
+        m = round_half_away(
+            np.stack(t.column("embedding").to_pandas().to_numpy())
+            .astype(np.float64) * 8388608.0, 0).astype(np.int64)
         out_l, out_d, out_s, out_c = [], [], [], []
         for lab in np.unique(labels):
             sel = m[labels == lab]
             out_l.extend([int(lab)] * m.shape[1])
             out_d.extend(range(1, m.shape[1] + 1))
-            out_s.extend(sel.sum(axis=0))
+            out_s.extend(int(x) for x in sel.sum(axis=0))
             out_c.extend([len(sel)] * m.shape[1])
         return pa.table(
             {
                 "label": pa.array(out_l, pa.int64()),
                 "dim": pa.array(out_d, pa.int64()),
-                "s": pa.array(out_s, pa.float64()),
+                "s": pa.array(out_s, pa.int64()),
                 "c": pa.array(out_c, pa.int64()),
             }
         )
@@ -1113,7 +1155,8 @@ def embedding_centroids(sf_dir: str):
     # exchange (keyed.py) — an AllToAll aggregate on a few hundred
     # partial rows is pure coordination overhead
     out = bucketed_groups(agg, "label", fold_partials, n_buckets=_buckets_for(sf_dir, "embeddings")).to_pandas()
-    out["centroid"] = round_half_away(out["s_sum"] / out["c_sum"], 6)
+    out["centroid"] = round_half_away(
+        out["s_sum"].to_numpy() / (out["c_sum"].to_numpy() * 8388608.0), 6)
     return (
         out[["label", "dim", "centroid"]]
         .sort_values(["label", "dim"])
@@ -1123,7 +1166,8 @@ def embedding_centroids(sf_dir: str):
 
 CENTROIDS_SQL = """
 SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
-       round(avg(e), 6) AS centroid
+       round(sum(CAST(round(e * 8388608, 0) AS BIGINT))
+             / (count(*) * 8388608.0), 6) AS centroid
 FROM (
   SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS e,
          generate_subscripts(embedding, 1) AS dim
@@ -4552,16 +4596,23 @@ def q3_shipping_priority(sf_dir: str):
     )
 
     def rev_partial(t: pa.Table) -> pa.Table:
+        # exact 1e-4-unit ints: cents x (100 - disc_cents). A float
+        # partial sum re-associated across blocks can flip the 2-decimal
+        # boundary AND the revenue-ranked top-10 selection vs the oracle
         t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
         if t.num_rows == 0:
             return pa.table({"o_orderkey": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.float64())})
+                             "rev": pa.array([], pa.int64())})
+        cents = round_half_away(
+            t.column("l_extendedprice").to_numpy() * 100.0, 0).astype(np.int64)
+        dcents = round_half_away(
+            t.column("l_discount").to_numpy() * 100.0, 0).astype(np.int64)
         df = pd.DataFrame({
             "o_orderkey": t.column("l_orderkey").to_numpy(),
-            "rev": t.column("l_extendedprice").to_numpy()
-            * (1.0 - t.column("l_discount").to_numpy()),
+            "rev": cents * (100 - dcents),
         })
         g = df.groupby("o_orderkey", sort=False, as_index=False)["rev"].sum()
+        g["rev"] = g["rev"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     line = _read(sf_dir, "lineitem",
@@ -4581,7 +4632,7 @@ def q3_shipping_priority(sf_dir: str):
             pa.schema([("o_orderkey", pa.int64()),
                        ("o_orderdate", pa.timestamp("us")),
                        ("o_orderpriority", pa.string())]),
-            pa.schema([("o_orderkey", pa.int64()), ("rev", pa.float64())]),
+            pa.schema([("o_orderkey", pa.int64()), ("rev", pa.int64())]),
         ),
         n_buckets=nb,
     )
@@ -4590,7 +4641,7 @@ def q3_shipping_priority(sf_dir: str):
     empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
                       "o_orderdate": pa.array([], pa.timestamp("us")),
                       "o_orderpriority": pa.array([], pa.string()),
-                      "rev": pa.array([], pa.float64())})
+                      "rev": pa.array([], pa.int64())})
 
     def sum_partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or not t.column_names:
@@ -4601,7 +4652,8 @@ def q3_shipping_priority(sf_dir: str):
 
     res = F_agg.grouped_sum(
         joined.map_batches(sum_partial, batch_format="pyarrow"), keys, empty)
-    res["revenue"] = round_half_away(res["rev"], 2)
+    res["revenue"] = round_half_away(
+        res["rev"].to_numpy() / 100.0, 0) / 100.0
     res = res.drop(columns=["rev"]).sort_values(
         ["revenue", "o_orderdate", "o_orderkey"],
         ascending=[False, True, True]).head(10)
@@ -4611,7 +4663,9 @@ def q3_shipping_priority(sf_dir: str):
 
 Q3_SQL = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             / 100.0, 0) / 100 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'
@@ -11899,3 +11953,97 @@ FROM w GROUP BY win_day
 
 QUERIES.update({"sliding_distinct_users": QueryDef(sliding_distinct_users,
                                                    SLIDING_DISTINCT_SQL)})
+
+
+# --- quantile normalization: per-group values mapped onto the global distribution ---------
+
+def quantile_normalize(sf_dir: str):
+    """Quantile normalization of event values per event_type — each
+    value maps to the GLOBAL value distribution's member at the same
+    within-group rank quantile, the batch-effect correction used to
+    make heterogeneous sources comparable before pooling (microarray/
+    feature-store lineage). Exact on the cent grid: the global CDF is a
+    domain-bounded histogram (distinct cents, not rows), the target
+    cumulative position is ⌈rank·N/m⌉ in integers, and the mapped value
+    is the first grid point whose cumulative count reaches it.
+
+    Distributed shape: one O(grid)-partial histogram fold builds the
+    CDF (broadcast once via ray.put); one bucket exchange on event_type
+    ranks each group vectorized and maps via a single searchsorted. No
+    global sort of rows, ever."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+    hist_empty = pa.table({"c": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return hist_empty
+        c = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0,
+            0).astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+
+    hist = F_agg.grouped_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["c"], hist_empty).sort_values("c")
+    grid = hist["c"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n_total = int(cum[-1]) if len(cum) else 0
+    cdf_ref = ray.put((grid, cum))
+
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "event_type": pa.array([], pa.string()),
+                      "norm_cents": pa.array([], pa.int64())})
+
+    def normalize_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g_grid, g_cum = ray.get(cdf_ref)
+        df = sorted_pandas(t, ["event_type", "value", "event_id"])
+        et = df["event_type"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        seg_len = np.diff(np.r_[starts, len(et)])
+        rn = np.arange(len(et)) - np.repeat(starts, seg_len) + 1
+        m = np.repeat(seg_len, seg_len).astype(np.int64)
+        target = (rn * n_total + m - 1) // m
+        idx = np.searchsorted(g_cum, target, side="left")
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "event_type": pa.array(et),
+            "norm_cents": pa.array(g_grid[idx]),
+        })
+
+    return bucketed_groups(ds, "event_type", normalize_group, n_buckets=8)
+
+
+QUANTILE_NORM_SQL = """
+WITH hist AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c, count(*) AS n
+  FROM events GROUP BY 1
+), cdf AS (
+  SELECT c, sum(n) OVER (ORDER BY c) AS cum FROM hist
+), tot AS (
+  SELECT count(*) AS n FROM events
+), r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM events
+), q AS (
+  SELECT event_id, event_type,
+         (rn * (SELECT n FROM tot) + m - 1) // m AS target
+  FROM r
+)
+SELECT q.event_id, q.event_type,
+       CAST(min(cdf.c) AS BIGINT) AS norm_cents
+FROM q JOIN cdf ON cdf.cum >= q.target
+GROUP BY q.event_id, q.event_type
+"""
+
+
+QUERIES.update({"quantile_normalize": QueryDef(quantile_normalize,
+                                               QUANTILE_NORM_SQL)})

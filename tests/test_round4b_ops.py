@@ -1052,3 +1052,28 @@ def test_sliding_distinct_users_matches_window_rescan(ray_session):
     daily = du.groupby("d")["u"].nunique()
     for d, n in daily.items():
         assert have[int(d)] >= int(n)
+
+
+def test_quantile_normalize_invariants(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["quantile_normalize"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    assert len(got) == len(ev)
+    cents = np.sort(round_half_away(ev["value"].to_numpy() * 100.0,
+                                    0).astype(np.int64))
+    merged = got.merge(ev, on="event_id")
+    # mapped values come from the global distribution's support
+    assert set(got["norm_cents"]) <= set(cents)
+    for _, g in merged.groupby("event_type_x"):
+        g = g.sort_values(["value", "event_id"])
+        nc = g["norm_cents"].to_numpy()
+        # monotone: higher within-group rank never maps lower
+        assert (np.diff(nc) >= 0).all()
+        # the group's top rank maps to the global maximum
+        assert nc[-1] == cents[-1]
+    # after normalization all groups share one value multiset quantile
+    # grid: the normalized MAX and MIN agree across groups of equal size
