@@ -12047,3 +12047,123 @@ GROUP BY q.event_id, q.event_type
 
 QUERIES.update({"quantile_normalize": QueryDef(quantile_normalize,
                                                QUANTILE_NORM_SQL)})
+
+
+# --- daily resample with LINEAR INTERPOLATION between surrounding events ------------------
+
+def resample_daily_interp(sf_dir: str):
+    """Daily-grid resample with linear interpolation — the gap-fill
+    twin of ``resample_daily_ffill`` for signals where hold-last
+    distorts (sensor drift, balances): each midnight instant g with
+    surrounding events (t0,v0) ≤ g < (t1,v1) gets
+    v0 + (v1−v0)·(g−t0)/(t1−t0), truncated toward zero in EXACT integer
+    milli-units (the product runs in big ints, so no int64 overflow at
+    any span; DuckDB's HUGEINT // truncates, so the engine mirrors
+    truncation explicitly rather than Python's floor).
+
+    Scale shape: identical to the ffill op — one 2-scalar bounds
+    aggregate, ONE user bucket exchange, per-partition composite-key
+    searchsorted; work bounds at users × days."""
+    from ray.data.aggregate import Min as AggMin
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+    bounds = ds.aggregate(AggMin("ts"), Max("ts"))
+    d0 = pd.Timestamp(bounds["min(ts)"]).normalize()
+    d1 = pd.Timestamp(bounds["max(ts)"]).normalize()
+    days = pd.date_range(d0, d1, freq="D")
+    day_ids = (days.year * 10000 + days.month * 100
+               + days.day).to_numpy().astype(np.int64)
+    grid_us = days.to_numpy().astype("datetime64[us]").astype(np.int64)
+    base_us = int(grid_us[0])
+    n_days = len(days)
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "day_id": pa.array([], pa.int64()),
+                      "value_milli": pa.array([], pa.int64())})
+
+    def interp_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vm = round_half_away(df["value"].to_numpy() * 1000.0,
+                             0).astype(np.int64)
+        # same-(user, ts) duplicates: keep the last (max event_id)
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            dup = (u[1:] == u[:-1]) & (ts_us[1:] == ts_us[:-1])
+            keep[:-1][dup] = False
+        u, ts_us, vm = u[keep], ts_us[keep], vm[keep]
+        uniq, seg_start = np.unique(u, return_index=True)
+        seg_end = np.r_[seg_start[1:], len(u)]
+        span = int(ts_us.max() - base_us + 2) if len(ts_us) else 2
+        user_idx = np.cumsum(~_prev_same_key(u)) - 1
+        key_ev = user_idx * span + (ts_us - base_us)
+        qk = (np.repeat(np.arange(len(uniq), dtype=np.int64), n_days) * span
+              + np.tile(grid_us - base_us, len(uniq)))
+        pos = np.searchsorted(key_ev, qk, side="right")
+        # valid: an event at/before g AND a next event strictly after g,
+        # both inside this user's segment
+        s_rep = np.repeat(seg_start, n_days)
+        e_rep = np.repeat(seg_end, n_days)
+        valid = (pos > s_rep) & (pos < e_rep)
+        i1 = pos[valid]
+        i0 = i1 - 1
+        gus = np.tile(grid_us, len(uniq))[valid]
+        t0, t1 = ts_us[i0], ts_us[i1]
+        v0, v1 = vm[i0], vm[i1]
+        # big-int interpolation, truncated toward zero (DuckDB //)
+        out = np.fromiter(
+            (int(a) + (abs(int(b) - int(a)) * (int(g) - int(x0))
+                       // (int(x1) - int(x0)))
+             * (1 if b >= a else -1)
+             for a, b, g, x0, x1 in zip(v0, v1, gus, t0, t1)),
+            dtype=np.int64, count=len(v0))
+        return pa.table({
+            "user_id": pa.array(np.repeat(uniq, n_days)[valid]),
+            "day_id": pa.array(np.tile(day_ids, len(uniq))[valid]),
+            "value_milli": pa.array(out),
+        })
+
+    return bucketed_groups(ds, "user_id", interp_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+RESAMPLE_INTERP_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+  FROM events
+), days AS (
+  SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b),
+                                INTERVAL 1 DAY)) AS g
+), e AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rdup
+  FROM events
+), p AS (
+  SELECT user_id, tu AS t0, vm AS v0,
+         lead(tu) OVER w AS t1, lead(vm) OVER w AS v1
+  FROM e WHERE rdup = 1
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+), j AS (
+  SELECT p.user_id, epoch_us(days.g) AS gu, p.t0, p.v0, p.t1, p.v1,
+         year(days.g) * 10000 + month(days.g) * 100 + day(days.g) AS day_id
+  FROM p JOIN days ON epoch_us(days.g) >= p.t0 AND epoch_us(days.g) < p.t1
+  WHERE p.t1 IS NOT NULL
+)
+SELECT user_id, CAST(day_id AS BIGINT) AS day_id,
+       CAST(v0 + CASE WHEN v1 >= v0
+                 THEN (CAST(v1 - v0 AS HUGEINT) * (gu - t0)) // (t1 - t0)
+                 ELSE -((CAST(v0 - v1 AS HUGEINT) * (gu - t0)) // (t1 - t0))
+                 END AS BIGINT) AS value_milli
+FROM j
+"""
+
+
+QUERIES.update({"resample_daily_interp": QueryDef(resample_daily_interp,
+                                                  RESAMPLE_INTERP_SQL)})

@@ -1077,3 +1077,39 @@ def test_quantile_normalize_invariants(ray_session):
         assert nc[-1] == cents[-1]
     # after normalization all groups share one value multiset quantile
     # grid: the normalized MAX and MIN agree across groups of equal size
+
+
+def test_resample_interp_matches_pointwise_recompute(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["resample_daily_interp"].fn(SF)).sort_values(
+        ["user_id", "day_id"], ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "value"]
+                       ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+    d0 = ev["ts"].min().normalize()
+    d1 = ev["ts"].max().normalize()
+    days = pd.date_range(d0, d1, freq="D")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.drop_duplicates(subset=["ts"], keep="last")
+        t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = round_half_away(g["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+        for day in days:
+            gu = int(day.to_datetime64().astype("datetime64[us]")
+                     .astype(np.int64))
+            i = int(np.searchsorted(t, gu, side="right"))
+            if i == 0 or i >= len(t):
+                continue
+            dv, dt, off = int(v[i]) - int(v[i - 1]), int(t[i] - t[i - 1]), \
+                gu - int(t[i - 1])
+            interp = int(v[i - 1]) + (abs(dv) * off // dt) * (
+                1 if dv >= 0 else -1)
+            want[(int(uid), int(day.year * 10000 + day.month * 100
+                                + day.day))] = interp
+    have = {(int(r["user_id"]), int(r["day_id"])): int(r["value_milli"])
+            for _, r in got.iterrows()}
+    assert have == want
+    # interpolated values stay inside the surrounding-event value range
+    assert len(have) > 0
