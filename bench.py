@@ -194,7 +194,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "band_join_clicks", "embedding_dim_stats", "window_grace_counts", "capped_sessions",
         "peak_concurrency", "fir_ewma_values", "replica_fingerprints",
         "fd_profile", "cusum_alarms", "sliding_distinct_users",
-        "quantile_normalize", "resample_daily_interp",
+        "quantile_normalize", "resample_daily_interp", "weighted_quantiles",
     ]
     q_times = {}
     q_stats = {}

@@ -12167,3 +12167,98 @@ FROM j
 
 QUERIES.update({"resample_daily_interp": QueryDef(resample_daily_interp,
                                                   RESAMPLE_INTERP_SQL)})
+
+
+# --- weighted order statistics: quantity-weighted price quartiles per flag ----------------
+
+def weighted_quantiles(sf_dir: str):
+    """Frequency-WEIGHTED order statistics — the quantity-weighted
+    price quartiles per return flag, where each row counts with its
+    weight (units sold), not once: the pricing analyst's "median price
+    a UNIT actually traded at". Unweighted quantile machinery
+    (value_quantiles*) can't answer this. Exact and division-free on
+    the cent grid: quartile q is the first grid point whose cumulative
+    weight clears ⌈q·W⌉, compared as 4·cw ≥ k·W in integers.
+
+    Distributed shape: per-batch (flag, cent) weight partials (bounded
+    by the price grid, not rows), ONE flag-bucketed merge where the
+    grid is sorted and scanned once. No row ever leaves its block."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag",
+                                            "l_extendedprice",
+                                            "l_quantity"])
+    part_empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                           "c": pa.array([], pa.int64()),
+                           "w": pa.array([], pa.int64())})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas(),
+            "c": round_half_away(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0, 0).astype(np.int64),
+            "w": t.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["l_returnflag", "c"], sort=False,
+                       as_index=False)["w"].sum()
+        g["w"] = g["w"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                          "w_total": pa.array([], pa.int64()),
+                          "wq25_cents": pa.array([], pa.int64()),
+                          "wmedian_cents": pa.array([], pa.int64()),
+                          "wq75_cents": pa.array([], pa.int64())})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return out_empty
+        df = (t.to_pandas().groupby(["l_returnflag", "c"], sort=False,
+                                    as_index=False)["w"].sum()
+              .sort_values(["l_returnflag", "c"]))
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            c = g["c"].to_numpy(np.int64)
+            cw = np.cumsum(g["w"].to_numpy(np.int64))
+            tw = int(cw[-1])
+            rows.append((flag, tw,
+                         int(c[np.searchsorted(4 * cw, tw, "left")]),
+                         int(c[np.searchsorted(2 * cw, tw, "left")]),
+                         int(c[np.searchsorted(4 * cw, 3 * tw, "left")])))
+        out = pd.DataFrame(rows, columns=out_empty.column_names)
+        for col in out.columns[1:]:
+            out[col] = out[col].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return bucketed_groups(parts, "l_returnflag", finalize, n_buckets=8)
+
+
+WEIGHTED_QUANTILES_SQL = """
+WITH h AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, c, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY c) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM h
+)
+SELECT l_returnflag,
+       CAST(max(tw) AS BIGINT) AS w_total,
+       CAST(min(CASE WHEN 4 * cw >= tw THEN c END) AS BIGINT)
+           AS wq25_cents,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS BIGINT)
+           AS wmedian_cents,
+       CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN c END) AS BIGINT)
+           AS wq75_cents
+FROM cum GROUP BY l_returnflag
+"""
+
+
+QUERIES.update({"weighted_quantiles": QueryDef(weighted_quantiles,
+                                               WEIGHTED_QUANTILES_SQL)})

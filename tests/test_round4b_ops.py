@@ -1113,3 +1113,27 @@ def test_resample_interp_matches_pointwise_recompute(ray_session):
     assert have == want
     # interpolated values stay inside the surrounding-event value range
     assert len(have) > 0
+
+
+def test_weighted_quantiles_matches_expansion(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["weighted_quantiles"].fn(SF)).sort_values(
+        "l_returnflag", ignore_index=True)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice",
+                                "l_quantity"]).to_pandas()
+    li["c"] = round_half_away(li["l_extendedprice"].to_numpy() * 100.0,
+                              0).astype(np.int64)
+    li["w"] = li["l_quantity"].astype(np.int64)
+    for _, r in got.iterrows():
+        g = li[li["l_returnflag"] == r["l_returnflag"]]
+        # brute force: literally repeat each price by its weight
+        expanded = np.sort(np.repeat(g["c"].to_numpy(), g["w"].to_numpy()))
+        tw = len(expanded)
+        assert int(r["w_total"]) == tw
+        # lower weighted quantile == element at ceil(q*W) of the expansion
+        assert int(r["wq25_cents"]) == expanded[(tw + 3) // 4 - 1]
+        assert int(r["wmedian_cents"]) == expanded[(tw + 1) // 2 - 1]
+        assert int(r["wq75_cents"]) == expanded[(3 * tw + 3) // 4 - 1]
