@@ -12262,3 +12262,169 @@ FROM cum GROUP BY l_returnflag
 
 QUERIES.update({"weighted_quantiles": QueryDef(weighted_quantiles,
                                                WEIGHTED_QUANTILES_SQL)})
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of dense + lexical top-k ------
+
+def rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion — the hybrid-search primitive (fuse a
+    DENSE retriever's top-k with a LEXICAL retriever's top-k; Cormack's
+    RRF, score = Σ 1/(60+rank)). Query = doc/vec 0: signal A ranks the
+    corpus by exact-integer quantized dot product with its embedding,
+    signal B by distinct-token overlap with its text. Only the two
+    top-100 LISTS are fused (textbook RRF — never whole-corpus ranks),
+    in integer micro-units (1e9 // (60+rank)) so the gate hashes exactly.
+
+    Distributed shape: query vector + query token set broadcast once
+    (``ray.put``); each corpus batch emits a bounded top-100 partial;
+    ONE bucket exchange merges the ≤100·n_blocks candidate rows per
+    signal; fusion closes over ≤200 rows driver-side. The corpus
+    streams — no global sort, no full-rank table.
+    """
+    q_vec_t = pq.read_table(_p(sf_dir, "embeddings"),
+                            filters=[("vec_id", "=", 0)])
+    qv = round_half_away(np.asarray(
+        q_vec_t.column("embedding").to_pylist()[0], dtype=np.float64)
+        * 1000.0, 0).astype(np.int64)
+    q_doc_t = pq.read_table(_p(sf_dir, "documents"),
+                            filters=[("doc_id", "=", 0)], columns=["text"])
+    q_text = (q_doc_t.column("text").to_pylist()[0] or "").lower()
+    import re as _re
+    q_tokens = np.array(sorted(set(_re.findall(r"\S+", q_text))))
+    qv_ref = ray.put(qv)
+    qt_ref = ray.put(q_tokens)
+    K_LIST, K_OUT, RRF_K = 100, 20, 60
+
+    cand_empty = pa.table({"signal": pa.array([], pa.string()),
+                           "doc_id": pa.array([], pa.int64()),
+                           "score": pa.array([], pa.int64())})
+
+    def dense_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cand_empty
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != 0
+        if not keep.any():
+            return cand_empty
+        ids = ids[keep]
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()[keep])
+        codes = round_half_away(m.astype(np.float64) * 1000.0, 0
+                                ).astype(np.int64)
+        dot = codes @ ray.get(qv_ref)
+        sel = np.lexsort((ids, -dot))[:K_LIST]
+        return pa.table({"signal": pa.array(["a"] * len(sel)),
+                         "doc_id": pa.array(ids[sel]),
+                         "score": pa.array(dot[sel])})
+
+    def lexical_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cand_empty
+        keep = pc.not_equal(t.column("doc_id"), 0)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return cand_empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""].drop_duplicates()
+        df = df[df["token"].isin(ray.get(qt_ref))]
+        g = df.groupby("doc_id", sort=False).size().reset_index(name="score")
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable").head(K_LIST)
+        return pa.table({"signal": pa.array(["b"] * len(g)),
+                         "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                         "score": pa.array(g["score"].to_numpy(np.int64))})
+
+    dense = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]
+                  ).map_batches(dense_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    lex = _read(sf_dir, "documents", columns=["doc_id", "text"]
+                ).map_batches(lexical_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # the per-block partials are BOUNDED (≤100 rows each), so the merge
+    # is a driver-side fold over ≤100·n_blocks candidate rows — the same
+    # bounded-side materialization class as the hot-key histogram in
+    # stages/joins.py, and cheaper than an exchange for two tiny lists
+    parts = [t for t in ray.get(dense.union(lex).to_arrow_refs())
+             if t.num_rows and t.column_names]
+    if parts:
+        cand = pa.concat_tables(parts).to_pandas()
+    else:
+        cand = cand_empty.to_pandas()
+
+    def rank_list(sig: str) -> pd.Series:
+        g = cand[cand["signal"] == sig].sort_values(
+            ["score", "doc_id"], ascending=[False, True],
+            kind="stable").head(K_LIST)
+        return pd.Series(np.arange(1, len(g) + 1, dtype=np.int64),
+                         index=g["doc_id"].to_numpy(np.int64))
+
+    a, b = rank_list("a"), rank_list("b")
+    fused = pd.DataFrame(index=a.index.union(b.index))
+    fused["rank_a"] = a.reindex(fused.index).fillna(0).astype(np.int64)
+    fused["rank_b"] = b.reindex(fused.index).fillna(0).astype(np.int64)
+    fused["rrf_score"] = np.array(
+        [(10**9 // (RRF_K + ra) if ra else 0)
+         + (10**9 // (RRF_K + rb) if rb else 0)
+         for ra, rb in zip(fused["rank_a"], fused["rank_b"])],
+        dtype=np.int64)
+    fused = fused.reset_index(names="doc_id").sort_values(
+        ["rrf_score", "doc_id"], ascending=[False, True],
+        kind="stable").head(K_OUT)
+    return fused.reset_index(drop=True)[
+        ["doc_id", "rank_a", "rank_b", "rrf_score"]]
+
+
+RRF_FUSION_SQL = """
+WITH qv AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+), dots AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q) + 1),
+           j -> q[j] * CAST(round(CAST(e.embedding AS DOUBLE[])[j] * 1000, 0)
+                            AS BIGINT))) AS dot
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+), la AS (
+  SELECT doc_id, rn AS rank_a FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS rn
+    FROM dots) WHERE rn <= 100
+), qt AS (
+  SELECT DISTINCT unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id = 0
+), dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id <> 0
+), ovl AS (
+  SELECT d.doc_id, count(*) AS score
+  FROM dt d JOIN qt USING (token) GROUP BY d.doc_id
+), lb AS (
+  SELECT doc_id, rn AS rank_b FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM ovl) WHERE rn <= 100
+), f AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(a.rank_a, 0) AS rank_a,
+         coalesce(b.rank_b, 0) AS rank_b,
+         (CASE WHEN a.rank_a IS NULL THEN 0
+               ELSE 1000000000 // (60 + a.rank_a) END
+          + CASE WHEN b.rank_b IS NULL THEN 0
+                 ELSE 1000000000 // (60 + b.rank_b) END) AS rrf_score
+  FROM la a FULL OUTER JOIN lb b ON a.doc_id = b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+       CAST(rank_b AS BIGINT) AS rank_b, CAST(rrf_score AS BIGINT) AS rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES.update({"rrf_fusion": QueryDef(rrf_fusion, RRF_FUSION_SQL)})
