@@ -12428,3 +12428,93 @@ FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
 
 
 QUERIES.update({"rrf_fusion": QueryDef(rrf_fusion, RRF_FUSION_SQL)})
+
+
+# --- token-bucket admission: per-key rate limiting at the ingest edge -------
+
+def token_bucket_admit(sf_dir: str):
+    """Per-user token-bucket rate limiter — the ingest-edge admission
+    control a CDC front door runs before anything else (reference
+    analog: the per-key sequential state machines of SURVEY §2.3; same
+    order-dependent-fold class as K3's repair, `cdc_repair_fold`).
+    Bucket capacity 3 tokens, refill 1 token per 8 h, 1 token per
+    event; all state in exact integer micro-tokens (refill =
+    Δt_us // 28800), so the gate hashes the full token trajectory.
+
+    Distributed shape: ONE bucket exchange on user_id, then a
+    per-user fold inside each partition (the recurrence's CAP clamp +
+    conditional spend has no associative form — the admit decision
+    jumps non-monotonically at the threshold, so unlike CUSUM there is
+    no reflection identity; the reference runs this class per-key
+    sequentially too). Partition work is bounded by its users' rows.
+    """
+    CAP, COST, DIV = 3_000_000, 1_000_000, 28_800
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64()),
+                      "admitted": pa.array([], pa.int64()),
+                      "tokens_after": pa.array([], pa.int64())})
+
+    def admit_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = len(df)
+        refill = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            refill[1:] = (ts_us[1:] - ts_us[:-1]) // DIV
+        first = ~_prev_same_key(u)
+        admitted = np.zeros(n, dtype=np.int64)
+        tokens = np.zeros(n, dtype=np.int64)
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts, ends):
+            tok = CAP
+            for i in range(s, e):
+                avail = CAP if i == s else min(CAP, tok + int(refill[i]))
+                if avail >= COST:
+                    admitted[i] = 1
+                    tok = avail - COST
+                else:
+                    tok = avail
+                tokens[i] = tok
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": pa.array(df["event_id"].to_numpy(np.int64)),
+            "admitted": pa.array(admitted),
+            "tokens_after": pa.array(tokens),
+        })
+
+    return bucketed_groups(ds, "user_id", admit_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+TOKEN_BUCKET_SQL = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, tu, rn,
+         CAST(1 AS BIGINT) AS admitted,
+         CAST(2000000 AS BIGINT) AS tokens_after
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.event_id, o.tu, o.rn,
+         CAST(CASE WHEN least(3000000,
+                             r.tokens_after + (o.tu - r.tu) // 28800)
+                        >= 1000000 THEN 1 ELSE 0 END AS BIGINT),
+         CAST(least(3000000, r.tokens_after + (o.tu - r.tu) // 28800)
+              - CASE WHEN least(3000000,
+                             r.tokens_after + (o.tu - r.tu) // 28800)
+                          >= 1000000 THEN 1000000 ELSE 0 END AS BIGINT)
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+)
+SELECT user_id, event_id, admitted, tokens_after FROM r
+"""
+
+
+QUERIES.update({"token_bucket_admit": QueryDef(token_bucket_admit,
+                                               TOKEN_BUCKET_SQL)})

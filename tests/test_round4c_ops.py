@@ -50,3 +50,32 @@ def test_rrf_fusion_matches_bruteforce(ray_session):
     }
     for _, r in got.iterrows():
         assert int(r["rank_a"]) == rank_a.get(int(r["doc_id"]), 0)
+
+
+def test_token_bucket_matches_sequential_replay(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["token_bucket_admit"].fn(SF)).sort_values(
+        ["user_id", "event_id"], ignore_index=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    CAP, COST, DIV = 3_000_000, 1_000_000, 28_800
+    want = {}
+    for uid, g in ev.groupby("user_id", sort=False):
+        tok, prev = CAP, None
+        for _, r in g.iterrows():
+            tu = r["ts"].value // 1000  # ns -> us
+            avail = CAP if prev is None else min(
+                CAP, tok + (tu - prev) // DIV)
+            adm = 1 if avail >= COST else 0
+            tok = avail - COST * adm
+            prev = tu
+            want[(int(uid), int(r["event_id"]))] = (adm, tok)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(int(r["user_id"]), int(r["event_id"]))] == (
+            int(r["admitted"]), int(r["tokens_after"]))
+    # the limiter actually limits on this data (both classes present)
+    assert got["admitted"].min() == 0 and got["admitted"].max() == 1
+    assert got["tokens_after"].between(0, CAP).all()
