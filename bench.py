@@ -195,7 +195,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "peak_concurrency", "fir_ewma_values", "replica_fingerprints",
         "fd_profile", "cusum_alarms", "sliding_distinct_users",
         "quantile_normalize", "resample_daily_interp", "weighted_quantiles",
-        "rrf_fusion", "token_bucket_admit",
+        "rrf_fusion", "token_bucket_admit", "pit_join_state",
     ]
     q_times = {}
     q_stats = {}

@@ -12518,3 +12518,112 @@ SELECT user_id, event_id, admitted, tokens_after FROM r
 
 QUERIES.update({"token_bucket_admit": QueryDef(token_bucket_admit,
                                                TOKEN_BUCKET_SQL)})
+
+
+# --- point-in-time join: facts against a versioned (SCD2) dimension ---------
+
+def pit_join_state(sf_dir: str):
+    """Point-in-time join — the feature-store correctness primitive
+    (each fact row must see the dimension version that was valid AT ITS
+    TIMESTAMP, never a later one; leakage otherwise). Facts: 'purchase'
+    events at query time ts − 1 h ("what state was this user in an hour
+    before buying"). Dimension: the SCD2 state-run history derived from
+    the same stream (`scd2_history` semantics). Purchases before a
+    user's first version are dropped (inner PIT join).
+
+    Distributed shape: fact and dimension co-partition on user_id, so
+    the interval lookup collapses to ONE bucket exchange + a vectorized
+    per-partition searchsorted over the user-offset run-start array —
+    no interval cross join, no second exchange. SURVEY J-family analog:
+    the reference's dimension lookups (J8) with temporal validity."""
+    LAG_US = 3_600_000_000
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "version": pa.array([], pa.int64()),
+                      "state": pa.array([], pa.string()),
+                      "state_age_us": pa.array([], pa.int64())})
+
+    def pit_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        ts_us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same_key = _prev_same_key(u)
+        same_state = np.zeros(len(et), dtype=bool)
+        if len(et) > 1:
+            same_state[1:] = et[1:] == et[:-1]
+        start = ~(same_key & same_state)
+        su, se, sf_ = u[start], et[start], ts_us[start]
+        # 1-based version per user (runs are user-contiguous)
+        first_of_user = ~_prev_same_key(su)
+        idx = np.arange(len(su), dtype=np.int64)
+        version = idx - np.maximum.accumulate(
+            np.where(first_of_user, idx, 0)) + 1
+        # exact merged-scan PIT lookup (the cdc_attribution grouped-ffill
+        # shape, magnitude-safe at any user count / time range): dim run
+        # starts and fact query times interleave in (user, time, dim<fact)
+        # order; per-user forward-fill of the last dim row answers every
+        # fact's "version valid at tq" in two cython passes
+        fact = (et == "purchase")
+        tq = ts_us[fact] - LAG_US
+        eid = df["event_id"].to_numpy(np.int64)[fact]
+        ufact = u[fact]
+        nd = len(su)
+        mu = np.concatenate([su, ufact])
+        mt = np.concatenate([sf_, tq])
+        kind = np.concatenate([np.zeros(nd, np.int8),
+                               np.ones(len(tq), np.int8)])
+        order = np.lexsort((kind, mt, mu))
+        kind_o = kind[order]
+        pos = np.where(kind_o == 0, order.astype(float), np.nan)
+        prev = (pd.Series(pos).groupby(mu[order], sort=False)
+                .ffill().to_numpy())
+        sel = (kind_o == 1) & ~np.isnan(prev)
+        run_idx = prev[sel].astype(np.int64)
+        fidx = order[sel] - nd
+        return pa.table({
+            "event_id": pa.array(eid[fidx]),
+            "user_id": pa.array(ufact[fidx]),
+            "version": pa.array(version[run_idx]),
+            "state": pa.array(se[run_idx]),
+            "state_age_us": pa.array(tq[fidx] - sf_[run_idx]),
+        })
+
+    return bucketed_groups(ds, "user_id", pit_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+PIT_JOIN_SQL = """
+WITH runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version
+  FROM runs WHERE is_start = 1
+), iv AS (
+  SELECT user_id, event_type, version, epoch_us(ts) AS f,
+         coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY version)),
+                  253402214400000000) AS t
+  FROM s
+), p AS (
+  SELECT event_id, user_id, epoch_us(ts) - 3600000000 AS tq
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, CAST(iv.version AS BIGINT) AS version,
+       iv.event_type AS state, CAST(p.tq - iv.f AS BIGINT) AS state_age_us
+FROM p JOIN iv ON p.user_id = iv.user_id
+              AND p.tq >= iv.f AND p.tq < iv.t
+"""
+
+
+QUERIES.update({"pit_join_state": QueryDef(pit_join_state, PIT_JOIN_SQL)})

@@ -79,3 +79,40 @@ def test_token_bucket_matches_sequential_replay(ray_session):
     # the limiter actually limits on this data (both classes present)
     assert got["admitted"].min() == 0 and got["admitted"].max() == 1
     assert got["tokens_after"].between(0, CAP).all()
+
+
+def test_pit_join_never_leaks_future_state(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["pit_join_state"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    LAG = 3_600_000_000
+    # rebuild the run intervals sequentially
+    runs = {}
+    for uid, g in ev.groupby("user_id", sort=False):
+        rs = []
+        for _, r in g.iterrows():
+            tu = r["ts"].value // 1000
+            if not rs or rs[-1][1] != r["event_type"]:
+                rs.append([tu, r["event_type"]])
+        runs[int(uid)] = rs
+    purchases = ev[ev["event_type"] == "purchase"]
+    n_expected = 0
+    for _, r in purchases.iterrows():
+        tq = r["ts"].value // 1000 - LAG
+        rs = runs[int(r["user_id"])]
+        if tq >= rs[0][0]:
+            n_expected += 1
+    assert len(got) == n_expected
+    by_eid = got.set_index("event_id")
+    for eid, r in by_eid.iterrows():
+        rs = runs[int(r["user_id"])]
+        v = int(r["version"])
+        tq_probe = rs[v - 1][0] + int(r["state_age_us"])
+        # PIT correctness: version v was valid at the probe time —
+        # started at or before it, and the NEXT version started after
+        assert int(r["state_age_us"]) >= 0
+        assert rs[v - 1][1] == r["state"]
+        if v < len(rs):
+            assert rs[v][0] > tq_probe
