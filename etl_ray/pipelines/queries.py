@@ -12627,3 +12627,160 @@ FROM p JOIN iv ON p.user_id = iv.user_id
 
 
 QUERIES.update({"pit_join_state": QueryDef(pit_join_state, PIT_JOIN_SQL)})
+
+
+# --- incremental view maintenance of a JOIN view across checkpoints ---------
+
+def _derive_doc_events_ivm(t: pa.Table) -> pa.Table:
+    """documents → change log shaped for the join-IVM gate: every doc
+    INSERTs in window 0 (seq 4d); only d%13==5 docs UPDATE in window 1
+    (seq 4d+2) and d%31==0 docs DELETE in window 1 (seq 4d+3), so the
+    second checkpoint's churn is a BOUNDED subset of the 499 repos —
+    the non-vacuous shape an IVM gate needs (with the base derivation,
+    every repo churns every window and "incremental" == recompute)."""
+    doc_id = t.column("doc_id").to_numpy(zero_copy_only=False)
+    text = t.column("text").to_pandas().to_numpy(dtype=object)
+    lang = t.column("lang").to_pandas().to_numpy(dtype=object)
+    upd = doc_id % 13 == 5
+    dele = doc_id % 31 == 0
+    reps = 1 + upd.astype(np.int64) + dele.astype(np.int64)
+    ridx = np.repeat(np.arange(len(doc_id)), reps)
+    # row kind within doc: 0=I, then U (if upd), then D (if dele)
+    k = (np.concatenate([np.arange(r) for r in reps])
+         if len(reps) else np.array([], int))
+    d = doc_id[ridx]
+    is_upd = (k == 1) & upd[ridx]
+    is_del = (k > 0) & ~is_upd
+    op = np.where(is_del, "D", np.where(is_upd, "U", "I")).astype(object)
+    seq = 4 * d + np.where(is_del, 3, np.where(is_upd, 2, 0))
+    content = np.array(
+        ["" if dl else
+         (tx or "")[: 110 if up else 100] + (":v1" if up else ":v0")
+         for dl, up, tx in zip(is_del, is_upd, text[ridx])],
+        dtype=object)
+    return pa.table({
+        "seq": pa.array(seq, pa.int64()),
+        "op": pa.array(op, pa.string()),
+        "commit_seq": pa.array(seq, pa.int64()),
+        "repo": pa.array(["repo" + str(x % 499) for x in d], pa.string()),
+        "path": pa.array([f"docs/{x}.txt" for x in d], pa.string()),
+        "commit": pa.array([f"c{c}" for c in seq], pa.string()),
+        "lang": pa.array(lang[ridx], pa.string()),
+        "content": pa.array(content, pa.string()),
+    })
+
+
+def ivm_join_view(sf_dir: str):
+    """Incrementally-maintained JOIN view — IVM beyond additive
+    aggregates (the cascade engine's class): V = doc_state ⋈ per-repo
+    stats (n_docs, repo_bytes). Built once at checkpoint 0, then
+    maintained for checkpoint 1 by touching ONLY the repos the window
+    churned: V1 = V0[repo ∉ churned] ∪ (A1 ⋈ B1)[churned] — the
+    ΔA-side join-key closure rule (a doc change invalidates every view
+    row of its repo, because B's stats changed too). The oracle
+    recomputes the view from the final state from scratch; equality
+    proves the maintenance converges. Fails loudly if the window
+    churned EVERY repo (the gate would be a vacuous full recompute).
+
+    Scale shape: churned-repo set is window-bounded, held driver-side
+    and broadcast; survivors filter distributed; the delta join is ONE
+    bucket exchange over churned-repo rows only (SURVEY §2.9 north
+    rule: maintained, never recomputed)."""
+    eng = _run_doc_replay(sf_dir, variant="-ivmjoin",
+                          derive_fn=_derive_doc_events_ivm)
+    assert eng.store.current().checkpoint_id == 1
+    cols = ["repo", "path", "commit_seq", "content"]
+    empty = pa.table({"repo": pa.array([], pa.string()),
+                      "path": pa.array([], pa.string()),
+                      "commit_seq": pa.array([], pa.int64()),
+                      "content_len": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "repo_bytes": pa.array([], pa.int64())})
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = t.to_pandas()
+        df["content_len"] = df["content"].str.len().astype(np.int64)
+        b = df.groupby("repo", as_index=False).agg(
+            n_docs=("content_len", "size"),
+            repo_bytes=("content_len", "sum"))
+        out = df.drop(columns=["content"]).merge(b, on="repo")
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["repo_bytes"] = out["repo_bytes"].astype(np.int64)
+        return pa.Table.from_pandas(out[empty.column_names],
+                                    preserve_index=False)
+
+    nb = _buckets_for(sf_dir, "documents")
+    v0 = bucketed_groups(eng.final_state(columns=cols, as_of=0),
+                         "repo", join_partition, n_buckets=nb)
+
+    # window-bounded churn discovery: distinct repos in the diff
+    def diff_repos(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"repo": pa.array([], pa.string())})
+        return pa.table({"repo": t.column("repo").unique()})
+
+    churn_parts = [t for t in ray.get(
+        eng.diff(0, n_buckets=nb).map_batches(
+            diff_repos, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    churned = (np.sort(pa.concat_tables(churn_parts).column("repo")
+                       .unique().to_pandas().to_numpy(dtype=object))
+               if churn_parts else np.array([], dtype=object))
+    churn_ref = ray.put(churned)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        r = t.column("repo").to_pandas().to_numpy(dtype=object)
+        return t.filter(pa.array(~np.isin(r, ray.get(churn_ref))))
+
+    def keep_churned(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({c: pa.array(
+                [], pa.int64() if c == "commit_seq" else pa.string())
+                for c in cols})
+        r = t.column("repo").to_pandas().to_numpy(dtype=object)
+        return t.filter(pa.array(np.isin(r, ray.get(churn_ref))))
+
+    survivors = v0.map_batches(keep_clean, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    delta = bucketed_groups(
+        eng.final_state(columns=cols).map_batches(
+            keep_churned, batch_format="pyarrow", zero_copy_batch=True),
+        "repo", join_partition, n_buckets=nb)
+
+    out = to_pandas_typed(survivors.union(delta), empty)
+    # non-vacuous incremental contract: some repos churned, some didn't
+    n_repos = out["repo"].nunique()
+    if not (0 < len(churned) < n_repos):
+        raise RuntimeError(
+            f"ivm_join_view vacuous: {len(churned)} churned of {n_repos}")
+    return out.sort_values(["repo", "path"], ignore_index=True)
+
+
+IVM_JOIN_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 499 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(CASE WHEN doc_id % 13 = 5 THEN 4 * doc_id + 2
+                   ELSE 4 * doc_id END AS BIGINT) AS commit_seq,
+         substr(text, 1, CASE WHEN doc_id % 13 = 5 THEN 110 ELSE 100 END)
+           || ':v' || CAST(CASE WHEN doc_id % 13 = 5
+                                THEN 1 ELSE 0 END AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 31 <> 0
+), b AS (
+  SELECT repo, count(*) AS n_docs,
+         sum(length(content)) AS repo_bytes
+  FROM fin GROUP BY repo
+)
+SELECT f.repo, f.path, f.commit_seq,
+       CAST(length(f.content) AS BIGINT) AS content_len,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(b.repo_bytes AS BIGINT) AS repo_bytes
+FROM fin f JOIN b USING (repo)
+"""
+
+
+QUERIES.update({"ivm_join_view": QueryDef(ivm_join_view, IVM_JOIN_SQL)})

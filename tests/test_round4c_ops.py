@@ -116,3 +116,24 @@ def test_pit_join_never_leaks_future_state(ray_session):
         assert rs[v - 1][1] == r["state"]
         if v < len(rs):
             assert rs[v][0] > tq_probe
+
+
+def test_ivm_join_view_internally_consistent(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["ivm_join_view"].fn(SF))
+    # the per-repo stats carried on every row must equal a from-scratch
+    # regroup of the returned view (join consistency after maintenance)
+    g = got.groupby("repo").agg(n=("content_len", "size"),
+                                s=("content_len", "sum"))
+    for repo, r in g.iterrows():
+        rows = got[got["repo"] == repo]
+        assert (rows["n_docs"] == r["n"]).all()
+        assert (rows["repo_bytes"] == r["s"]).all()
+    # deleted docs (doc_id % 31 == 0) are absent; updated docs carry v1
+    doc_ids = got["path"].str.extract(
+        r"docs/(\d+)\.txt")[0].astype(int)
+    assert not (doc_ids % 31 == 0).any()
+    upd = doc_ids % 13 == 5
+    assert (got.loc[upd.to_numpy(), "commit_seq"].to_numpy()
+            == 4 * doc_ids[upd].to_numpy() + 2).all()
