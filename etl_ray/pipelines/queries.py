@@ -12784,3 +12784,130 @@ FROM fin f JOIN b USING (repo)
 
 
 QUERIES.update({"ivm_join_view": QueryDef(ivm_join_view, IVM_JOIN_SQL)})
+
+
+# --- grouped multiple regression: exact-integer 2-feature OLS ----------------
+
+def ols_two_feature(sf_dir: str):
+    """Grouped MULTIPLE regression — per event type, OLS of value on
+    (hour-of-day, ISO day-of-week) with intercept, solved by Cramer's
+    rule over the 3×3 normal equations in EXACT integer arithmetic
+    (value → milli units; sums folded as Python ints — the 10 sufficient
+    statistics overflow int64 around 1e9 rows/group, and det terms pass
+    2^63 already at bench scale; the oracle mirrors with HUGEINT, and
+    `dev*dev`-style explicit products avoid DuckDB's **-through-DOUBLE).
+    Extends `value_hour_slope` (single-feature) to the multi-feature
+    normal-equation family. βs emitted micro-scaled with the
+    truncation-mirrored division (DuckDB // truncates; Python floors).
+
+    Distributed shape: per-batch int64 partials (10 sums × n_types
+    rows), ONE tiny type-bucketed merge where the Cramer solve runs on
+    Python ints. Raw rows never ride the exchange."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    scols = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    part_empty = pa.table({"event_type": pa.array([], pa.string()),
+                           **{c: pa.array([], pa.int64()) for c in scols}})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        df = pd.DataFrame({"event_type": t.column("event_type").to_pandas()})
+        ts = t.column("ts").to_pandas()
+        x1 = ts.dt.hour.to_numpy(np.int64)
+        x2 = (ts.dt.dayofweek + 1).to_numpy(np.int64)  # ISO 1=Mon..7=Sun
+        y = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        df["n"] = np.int64(1)
+        df["s1"], df["s2"] = x1, x2
+        df["s11"], df["s12"], df["s22"] = x1 * x1, x1 * x2, x2 * x2
+        df["sy"], df["s1y"], df["s2y"] = y, x1 * y, x2 * y
+        g = df.groupby("event_type", sort=False, as_index=False)[scols].sum()
+        for c in scols:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "beta0_micro": pa.array([], pa.int64()),
+                          "beta1_micro": pa.array([], pa.int64()),
+                          "beta2_micro": pa.array([], pa.int64())})
+
+    def _tdiv(num: int, den: int) -> int:
+        # DuckDB // truncates toward zero; Python floors — mirror
+        q = abs(num) // abs(den)
+        return -q if (num < 0) != (den < 0) else q
+
+    def solve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return out_empty
+        df = t.to_pandas()
+        # fold partials as PYTHON ints (unbounded) before the solve
+        g = df.astype({c: object for c in scols}).groupby(
+            "event_type", sort=False, as_index=False)[scols].sum()
+        rows = []
+        for _, r in g.iterrows():
+            n, s1, s2, s11, s12, s22, sy, s1y, s2y = (
+                int(r[c]) for c in scols)
+            det = (n * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2))
+            det0 = (sy * (s11 * s22 - s12 * s12)
+                    - s1 * (s1y * s22 - s12 * s2y)
+                    + s2 * (s1y * s12 - s11 * s2y))
+            det1 = (n * (s1y * s22 - s12 * s2y)
+                    - sy * (s1 * s22 - s12 * s2)
+                    + s2 * (s1 * s2y - s1y * s2))
+            det2 = (n * (s11 * s2y - s1y * s12)
+                    - s1 * (s1 * s2y - s1y * s2)
+                    + sy * (s1 * s12 - s11 * s2))
+            # y was milli-scaled: β·1e6 in value units = det_i·1e3/det
+            rows.append((r["event_type"], n,
+                         _tdiv(det0 * 1000, det),
+                         _tdiv(det1 * 1000, det),
+                         _tdiv(det2 * 1000, det)))
+        out = pd.DataFrame(rows, columns=out_empty.column_names)
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return bucketed_groups(parts, "event_type", solve, n_buckets=8)
+
+
+OLS_TWO_FEATURE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(hour(ts) AS HUGEINT) AS x1,
+         CAST(isodow(ts) AS HUGEINT) AS x2,
+         CAST(round(value * 1000, 0) AS HUGEINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         sum(x1) AS s1, sum(x2) AS s2, sum(x1 * x1) AS s11,
+         sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+         sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+  FROM e GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s12 - s11 * s2) AS det,
+    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      + s2 * (s1 * s2y - s1y * s2) AS det1,
+    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(det0 * 1000 // det AS BIGINT) AS beta0_micro,
+       CAST(det1 * 1000 // det AS BIGINT) AS beta1_micro,
+       CAST(det2 * 1000 // det AS BIGINT) AS beta2_micro
+FROM d
+"""
+
+
+QUERIES.update({"ols_two_feature": QueryDef(ols_two_feature,
+                                            OLS_TWO_FEATURE_SQL)})

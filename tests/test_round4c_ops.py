@@ -137,3 +137,24 @@ def test_ivm_join_view_internally_consistent(ray_session):
     upd = doc_ids % 13 == 5
     assert (got.loc[upd.to_numpy(), "commit_seq"].to_numpy()
             == 4 * doc_ids[upd].to_numpy() + 2).all()
+
+
+def test_ols_two_feature_matches_lstsq(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["ols_two_feature"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    for _, r in got.iterrows():
+        g = ev[ev["event_type"] == r["event_type"]]
+        x1 = g["ts"].dt.hour.to_numpy(float)
+        x2 = (g["ts"].dt.dayofweek + 1).to_numpy(float)
+        y = round_half_away(g["value"].to_numpy() * 1000.0, 0) / 1000.0
+        X = np.column_stack([np.ones(len(g)), x1, x2])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert int(r["n"]) == len(g)
+        # exact-integer Cramer agrees with float lstsq to ~1e-6
+        for j, col in enumerate(["beta0_micro", "beta1_micro",
+                                 "beta2_micro"]):
+            assert abs(int(r[col]) / 1e6 - beta[j]) < 1e-4, (col, beta[j])
