@@ -196,7 +196,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "fd_profile", "cusum_alarms", "sliding_distinct_users",
         "quantile_normalize", "resample_daily_interp", "weighted_quantiles",
         "rrf_fusion", "token_bucket_admit", "pit_join_state",
-        "ivm_join_view", "ols_two_feature",
+        "ivm_join_view", "ols_two_feature", "trailing_features",
     ]
     q_times = {}
     q_stats = {}

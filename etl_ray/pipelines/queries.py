@@ -12911,3 +12911,66 @@ FROM d
 
 QUERIES.update({"ols_two_feature": QueryDef(ols_two_feature,
                                             OLS_TWO_FEATURE_SQL)})
+
+
+# --- trailing lag features: next-event-prediction training rows -------------
+
+def trailing_features(sf_dir: str):
+    """Per-event trailing feature extraction — the training-row builder
+    for next-event prediction (each event labeled with its user's two
+    PRECEDING event types and the exact µs gaps to them; the lag-feature
+    matrix an LLM-ops/behavioral model trains on). History-less slots
+    carry the sentinel ('none', -1) on BOTH engines so every column
+    stays non-null and hash-stable (nullable-int pitfall).
+
+    Distributed shape: ONE bucket exchange on user_id, then grouped
+    cython shifts inside the partition (pandas groupby.shift — no
+    per-key dispatch, no global sort). SURVEY §2.3 K-family analog:
+    per-key ordered state, here read-only lags."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "prev1_type": pa.array([], pa.string()),
+                      "prev2_type": pa.array([], pa.string()),
+                      "gap1_us": pa.array([], pa.int64()),
+                      "gap2_us": pa.array([], pa.int64())})
+
+    def lag_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        ts_us = pd.Series(
+            df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64))
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "prev1_type": g["event_type"].shift(1),
+            "prev2_type": g["event_type"].shift(2),
+        })
+        t1 = pd.Series(ts_us).groupby(df["user_id"], sort=False).shift(1)
+        t2 = pd.Series(ts_us).groupby(df["user_id"], sort=False).shift(2)
+        out["gap1_us"] = (ts_us - t1).fillna(-1).astype("int64")
+        out["gap2_us"] = (ts_us - t2).fillna(-1).astype("int64")
+        out["prev1_type"] = out["prev1_type"].fillna("none")
+        out["prev2_type"] = out["prev2_type"].fillna("none")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_groups(ds, "user_id", lag_partition,
+                           n_buckets=_buckets_for(sf_dir, "events"))
+
+
+TRAILING_FEATURES_SQL = """
+SELECT event_id, user_id,
+       coalesce(lag(event_type, 1) OVER w, 'none') AS prev1_type,
+       coalesce(lag(event_type, 2) OVER w, 'none') AS prev2_type,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER w, -1) AS gap1_us,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts), 2) OVER w, -1) AS gap2_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES.update({"trailing_features": QueryDef(trailing_features,
+                                              TRAILING_FEATURES_SQL)})

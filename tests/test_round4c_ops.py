@@ -158,3 +158,26 @@ def test_ols_two_feature_matches_lstsq(ray_session):
         for j, col in enumerate(["beta0_micro", "beta1_micro",
                                  "beta2_micro"]):
             assert abs(int(r[col]) / 1e6 - beta[j]) < 1e-4, (col, beta[j])
+
+
+def test_trailing_features_sequential_parity(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["trailing_features"].fn(SF)).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    assert len(got) == len(ev)
+    hist = {}
+    for _, r in ev.iterrows():
+        uid = int(r["user_id"])
+        h = hist.setdefault(uid, [])
+        tu = r["ts"].value // 1000
+        row = got.loc[int(r["event_id"])]
+        p1 = h[-1] if h else None
+        p2 = h[-2] if len(h) > 1 else None
+        assert row["prev1_type"] == (p1[0] if p1 else "none")
+        assert row["prev2_type"] == (p2[0] if p2 else "none")
+        assert int(row["gap1_us"]) == (tu - p1[1] if p1 else -1)
+        assert int(row["gap2_us"]) == (tu - p2[1] if p2 else -1)
+        h.append((r["event_type"], tu))
+    assert (got["gap1_us"] >= -1).all()
