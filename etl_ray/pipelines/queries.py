@@ -12974,3 +12974,96 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 QUERIES.update({"trailing_features": QueryDef(trailing_features,
                                               TRAILING_FEATURES_SQL)})
+
+
+# --- leave-one-out target encoding: categorical feature for training --------
+
+def target_encode_loo(sf_dir: str):
+    """Leave-one-out target encoding — the categorical-feature encoder
+    supervised pipelines run over high-cardinality keys (each event's
+    event_type encoded as the mean target of all OTHER rows of that
+    type: (S_g − y_i)/(n_g − 1), the leakage-safe variant of mean
+    encoding). Exact integer milli units with truncated division
+    mirrored on both engines; singleton groups emit the −1 sentinel.
+
+    Distributed shape: per-batch (type, sum, n) combiners → one tiny
+    grouped merge → group stats broadcast via ray.put → ONE zero-shuffle
+    encode pass over the stream. Raw rows never ride an exchange."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    part_empty = pa.table({"event_type": pa.array([], pa.string()),
+                           "s": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "s": round_half_away(
+                t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+                0).astype(np.int64),
+        })
+        g = df.groupby("event_type", sort=False).agg(
+            s=("s", "sum"), n=("s", "size")).reset_index()
+        g["s"] = g["s"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats_parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    if stats_parts:
+        sdf = (pa.concat_tables(stats_parts).to_pandas()
+               .groupby("event_type", as_index=False)[["s", "n"]].sum())
+    else:
+        sdf = part_empty.to_pandas()
+    stats_ref = ray.put({r["event_type"]: (int(r["s"]), int(r["n"]))
+                         for _, r in sdf.iterrows()})
+
+    out_empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "te_milli": pa.array([], pa.int64())})
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return out_empty
+        stats = ray.get(stats_ref)
+        et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+        y = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        s = np.array([stats[x][0] for x in et], dtype=np.int64)
+        n = np.array([stats[x][1] for x in et], dtype=np.int64)
+        num = s - y
+        # truncation-mirrored division (DuckDB // truncates toward zero;
+        # values are non-negative today, but don't let that be load-bearing)
+        q = np.abs(num) // np.maximum(n - 1, 1)
+        te = np.where(n > 1, np.where(num < 0, -q, q), -1)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "te_milli": pa.array(te.astype(np.int64)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+TARGET_ENCODE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         sum(CAST(round(value * 1000, 0) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CAST(CASE WHEN g.n > 1
+                 THEN (g.s - CAST(round(e.value * 1000, 0) AS BIGINT))
+                      // (g.n - 1)
+                 ELSE -1 END AS BIGINT) AS te_milli
+FROM events e JOIN g USING (event_type)
+"""
+
+
+QUERIES.update({"target_encode_loo": QueryDef(target_encode_loo,
+                                              TARGET_ENCODE_SQL)})

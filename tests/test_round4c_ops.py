@@ -181,3 +181,20 @@ def test_trailing_features_sequential_parity(ray_session):
         assert int(row["gap2_us"]) == (tu - p2[1] if p2 else -1)
         h.append((r["event_type"], tu))
     assert (got["gap1_us"] >= -1).all()
+
+
+def test_target_encode_loo_leakage_free(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["target_encode_loo"].fn(SF)).set_index("event_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    y = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype(np.int64)
+    ev["y"] = y
+    g = ev.groupby("event_type")["y"].agg(["sum", "size"])
+    for _, r in ev.iterrows():
+        s, n = g.loc[r["event_type"]]
+        want = (int(s) - int(r["y"])) // (int(n) - 1) if n > 1 else -1
+        assert int(got.loc[int(r["event_id"]), "te_milli"]) == want
