@@ -13067,3 +13067,188 @@ FROM events e JOIN g USING (event_type)
 
 QUERIES.update({"target_encode_loo": QueryDef(target_encode_loo,
                                               TARGET_ENCODE_SQL)})
+
+
+# --- BM25 scoring: the standard lexical ranker ------------------------------
+
+def bm25_scores(sf_dir: str):
+    """BM25 (k1=1.2, b=0.75) of every corpus doc against query doc 0 —
+    the standard lexical ranking `rrf_fusion`'s overlap signal
+    approximates. All arithmetic exact-integer via a corpus-bounded
+    rescale: avgdl is quantized once to milli (avgdl_milli = 1000·L//N),
+    and each term contributes
+        idf_micro·44·avgdl_milli·tf // (20·avgdl_milli·tf
+                                        + 6·avgdl_milli + 18000·dl)
+    — the k1/b constants folded in as exact rationals (11/5, 3/4), with
+    every factor bounded by per-doc length / vocab df, NEVER by total
+    corpus size, so int64 holds at any scale. The only float, ln of an
+    identical double, is rounded to micro once per query term on both
+    engines (the `unigram_logprob_score` discipline). Division is
+    sign-aware truncated (idf goes negative for df > N/2).
+
+    Distributed shape: pass 1 streams the corpus once for (N, L, df)
+    partials (df is query-bounded); idf table broadcast; pass 2 streams
+    once more emitting per-batch bounded top-20 partials merged
+    driver-side. No exchange carries a corpus-sized table."""
+    import re as _re
+
+    q_doc_t = pq.read_table(_p(sf_dir, "documents"),
+                            filters=[("doc_id", "=", 0)], columns=["text"])
+    q_text = (q_doc_t.column("text").to_pylist()[0] or "").lower()
+    q_tokens = np.array(sorted(set(_re.findall(r"\S+", q_text))),
+                        dtype=object)
+    qt_ref = ray.put(q_tokens)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    stat_empty = pa.table({"token": pa.array([], pa.string()),
+                           "df": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64()),
+                           "l": pa.array([], pa.int64())})
+
+    def _doc_tokens(t: pa.Table):
+        keep = pc.not_equal(t.column("doc_id"), 0)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return None
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""]
+        return ids, df
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return stat_empty
+        parsed = _doc_tokens(t)
+        if parsed is None:
+            return stat_empty
+        _, df = parsed
+        dl = df.groupby("doc_id", sort=False).size()
+        dl = dl[dl > 0]
+        qdf = (df[df["token"].isin(ray.get(qt_ref))]
+               .drop_duplicates().groupby("token", sort=False).size())
+        out = pd.DataFrame({"token": qdf.index.to_numpy(dtype=object),
+                            "df": qdf.to_numpy(np.int64)})
+        out["n"] = np.int64(0)
+        out["l"] = np.int64(0)
+        scal = pd.DataFrame({"token": ["\x00scalar"],
+                             "df": [np.int64(0)],
+                             "n": [np.int64(len(dl))],
+                             "l": [np.int64(int(dl.sum()))]})
+        return pa.Table.from_pandas(pd.concat([out, scal],
+                                              ignore_index=True),
+                                    preserve_index=False)
+
+    parts = [t for t in ray.get(
+        ds.map_batches(stats_partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    sdf = (pa.concat_tables(parts).to_pandas()
+           .groupby("token", as_index=False)[["df", "n", "l"]].sum()
+           if parts else stat_empty.to_pandas())
+    N = int(sdf["n"].sum())
+    L = int(sdf["l"].sum())
+    dfs = sdf[sdf["token"] != "\x00scalar"]
+    idf_micro = round_half_away(
+        np.log((N - dfs["df"].to_numpy(np.float64) + 0.5)
+               / (dfs["df"].to_numpy(np.float64) + 0.5)) * 1_000_000.0,
+        0).astype(np.int64)
+    avgdl_milli = (1000 * L) // max(N, 1)
+    idf_ref = ray.put({t: int(v) for t, v in
+                       zip(dfs["token"], idf_micro)})
+
+    out_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64()),
+                          "bm25_micro": pa.array([], pa.int64())})
+    K_OUT = 20
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return out_empty
+        parsed = _doc_tokens(t)
+        if parsed is None:
+            return out_empty
+        _, df = parsed
+        idf = ray.get(idf_ref)
+        dl = df.groupby("doc_id", sort=False).size()
+        m = df[df["token"].isin(idf.keys())]
+        if not len(m):
+            return out_empty
+        tf = (m.groupby(["doc_id", "token"], sort=False).size()
+              .reset_index(name="tf"))
+        tf["idf"] = tf["token"].map(idf).astype(np.int64)
+        tf["dl"] = tf["doc_id"].map(dl).astype(np.int64)
+        a = np.int64(avgdl_milli)
+        num = tf["idf"].to_numpy(np.int64) * 44 * a \
+            * tf["tf"].to_numpy(np.int64)
+        den = (20 * a * tf["tf"].to_numpy(np.int64)
+               + 6 * a + 18000 * tf["dl"].to_numpy(np.int64))
+        q = np.abs(num) // den
+        tf["term"] = np.where(num < 0, -q, q)
+        s = tf.groupby("doc_id", sort=False).agg(
+            dl=("dl", "first"), bm25_micro=("term", "sum")).reset_index()
+        s = s.sort_values(["bm25_micro", "doc_id"],
+                          ascending=[False, True],
+                          kind="stable").head(K_OUT)
+        for c in ("doc_id", "dl", "bm25_micro"):
+            s[c] = s[c].astype("int64")
+        return pa.Table.from_pandas(s[out_empty.column_names],
+                                    preserve_index=False)
+
+    cand = [t for t in ray.get(
+        ds.map_batches(score_partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+    out = (pa.concat_tables(cand).to_pandas()
+           if cand else out_empty.to_pandas())
+    return out.sort_values(["bm25_micro", "doc_id"],
+                           ascending=[False, True],
+                           kind="stable").head(K_OUT).reset_index(drop=True)
+
+
+BM25_SQL = """
+WITH qt AS (
+  SELECT DISTINCT unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id = 0
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id <> 0
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS l FROM dl
+), dfs AS (
+  SELECT t.token, count(DISTINCT t.doc_id) AS df
+  FROM tok t JOIN qt USING (token) GROUP BY t.token
+), idf AS (
+  SELECT token,
+         CAST(round(ln((s.n - df + 0.5) / (df + 0.5)) * 1000000, 0)
+              AS BIGINT) AS idf_micro
+  FROM dfs, stats s
+), a AS (
+  SELECT (1000 * l) // n AS avgdl_milli FROM stats
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok JOIN qt USING (token) GROUP BY doc_id, token
+), terms AS (
+  SELECT tf.doc_id,
+         (i.idf_micro * 44 * a.avgdl_milli * tf.tf)
+           // (20 * a.avgdl_milli * tf.tf + 6 * a.avgdl_milli
+               + 18000 * d.dl) AS term
+  FROM tf JOIN idf i USING (token) JOIN dl d USING (doc_id), a
+), s AS (
+  SELECT doc_id, sum(term) AS bm25_micro FROM terms GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(d.dl AS BIGINT) AS dl,
+       CAST(s.bm25_micro AS BIGINT) AS bm25_micro
+FROM s JOIN dl d USING (doc_id)
+ORDER BY bm25_micro DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES.update({"bm25_scores": QueryDef(bm25_scores, BM25_SQL)})

@@ -198,3 +198,44 @@ def test_target_encode_loo_leakage_free(ray_session):
         s, n = g.loc[r["event_type"]]
         want = (int(s) - int(r["y"])) // (int(n) - 1) if n > 1 else -1
         assert int(got.loc[int(r["event_id"]), "te_milli"]) == want
+
+
+def test_bm25_matches_float_reference(ray_session):
+    import re
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["bm25_scores"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = {int(r["doc_id"]): re.findall(r"\S+",
+                                         (r["text"] or "").lower())
+            for _, r in docs.iterrows()}
+    q = set(toks[0])
+    corpus = {d: t for d, t in toks.items() if d != 0 and len(t)}
+    N = len(corpus)
+    L = sum(len(t) for t in corpus.values())
+    avgdl = L / N
+    df = {t: sum(1 for tk in corpus.values() if t in set(tk)) for t in q}
+    k1, b = 1.2, 0.75
+    float_scores = {}
+    for d, tk in corpus.items():
+        s = 0.0
+        for t in q:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = np.log((N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b
+                                                   + b * len(tk) / avgdl))
+        float_scores[d] = s
+    # integer BM25 tracks float BM25 to quantization error (~1e-3)
+    for _, r in got.iterrows():
+        assert abs(int(r["bm25_micro"]) / 1e6
+                   - float_scores[int(r["doc_id"])]) < 2e-3
+    # and the returned 20 dominate: no unreturned doc beats the
+    # returned minimum by more than quantization slack
+    floor_val = got["bm25_micro"].min() / 1e6
+    best_out = max(v for d, v in float_scores.items()
+                   if d not in set(got["doc_id"]))
+    assert best_out <= floor_val + 2e-3
