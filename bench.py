@@ -197,7 +197,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "quantile_normalize", "resample_daily_interp", "weighted_quantiles",
         "rrf_fusion", "token_bucket_admit", "pit_join_state",
         "ivm_join_view", "ols_two_feature", "trailing_features",
-        "target_encode_loo", "bm25_scores",
+        "target_encode_loo", "bm25_scores", "knn_hamming_topk",
     ]
     q_times = {}
     q_stats = {}

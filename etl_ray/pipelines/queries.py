@@ -13252,3 +13252,88 @@ ORDER BY bm25_micro DESC, doc_id LIMIT 20
 
 
 QUERIES.update({"bm25_scores": QueryDef(bm25_scores, BM25_SQL)})
+
+
+# --- binary-embedding ANN: sign binarization + Hamming top-k -----------------
+
+def knn_hamming_topk(sf_dir: str):
+    """Binary-embedding KNN — sign-binarize every vector (bit j = 1 iff
+    x_j ≥ 0, the 32×-compression serving trick) and rank by exact
+    Hamming distance for queries vec_id<5. Completes the compressed-ANN
+    family (float cosine → int8 L2 → 1-bit Hamming). Distances are
+    small exact integers, so the full result hash-gates.
+
+    Distributed shape: query bit-matrix broadcast once; corpus streamed
+    with per-batch vectorized XOR-count + bounded top-k partials; ONE
+    query-bucketed merge (the `knn_quantized_topk` shape)."""
+    k = 10
+    q_t = pq.read_table(_p(sf_dir, "embeddings"),
+                        filters=[("vec_id", "<", 5)],
+                        columns=["vec_id", "embedding"])
+    q_ids = q_t.column("vec_id").to_numpy(zero_copy_only=False)
+    q_bits = np.stack(q_t.column("embedding").to_pandas().to_numpy()) >= 0
+    q_ref = ray.put({"ids": q_ids, "bits": q_bits})
+
+    empty_cand = pa.table({"query_id": pa.array([], pa.int64()),
+                           "neighbor_id": pa.array([], pa.int64()),
+                           "hamming": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cand
+        q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        bits = np.stack(t.column("embedding").to_pandas().to_numpy()) >= 0
+        d = (q["bits"][:, None, :] != bits[None, :, :]).sum(
+            axis=2).astype(np.int64)
+        kk = min(k + 1, d.shape[1])
+        sel = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(q["ids"], kk)),
+            "neighbor_id": pa.array(ids[sel].ravel()),
+            "hamming": pa.array(np.take_along_axis(d, sel, axis=1).ravel()),
+        })
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_cand
+        df = t.to_pandas()
+        df = df[df["neighbor_id"] != df["query_id"]]
+        df = df.sort_values(["query_id", "hamming", "neighbor_id"],
+                            kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("query_id", sort=False).head(k),
+            preserve_index=False)
+
+    cand = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]
+                 ).map_batches(scan, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = bucketed_groups(cand, "query_id", topk_partition, n_buckets=8)
+    return to_pandas_typed(out, empty_cand).sort_values(
+        ["query_id", "hamming", "neighbor_id"], ignore_index=True)
+
+
+KNN_HAMMING_SQL = """
+WITH b AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, bits AS qb FROM b WHERE vec_id < 5
+), s AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(qb) + 1),
+           j -> CASE WHEN qb[j] <> c.bits[j] THEN 1 ELSE 0 END)) AS hamming
+  FROM q CROSS JOIN b c WHERE c.vec_id <> query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+FROM r WHERE rn <= 10 ORDER BY query_id, hamming, neighbor_id
+"""
+
+
+QUERIES.update({"knn_hamming_topk": QueryDef(knn_hamming_topk,
+                                             KNN_HAMMING_SQL)})

@@ -239,3 +239,21 @@ def test_bm25_matches_float_reference(ray_session):
     best_out = max(v for d, v in float_scores.items()
                    if d not in set(got["doc_id"]))
     assert best_out <= floor_val + 2e-3
+
+
+def test_knn_hamming_matches_bruteforce(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["knn_hamming_topk"].fn(SF))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    bits = np.stack(emb["embedding"].to_numpy()) >= 0
+    ids = emb["vec_id"].to_numpy(np.int64)
+    for qid in range(5):
+        qb = bits[ids == qid][0]
+        d = (bits != qb).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))[:10]
+        want = list(zip(ids[mask][order], d[mask][order]))
+        g = got[got["query_id"] == qid]
+        have = list(zip(g["neighbor_id"], g["hamming"]))
+        assert have == want
