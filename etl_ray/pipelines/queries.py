@@ -13337,3 +13337,92 @@ FROM r WHERE rn <= 10 ORDER BY query_id, hamming, neighbor_id
 
 QUERIES.update({"knn_hamming_topk": QueryDef(knn_hamming_topk,
                                              KNN_HAMMING_SQL)})
+
+
+# --- two-sample Kolmogorov-Smirnov: distribution drift beyond PSI -----------
+
+def ks_two_sample(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of 'click' and 'purchase' events — the
+    binning-free companion to `psi_value_drift` (PSI needs chosen bins;
+    KS is the sup-distance between empirical CDFs). Exact integers
+    throughout: D = max|cum1·n2 − cum2·n1| on the milli-value grid,
+    reported micro-scaled with truncated division, plus the grid value
+    attaining it (smallest on ties).
+
+    Distributed shape: per-batch (value, sample) count partials — the
+    partial table is bounded by the VALUE GRID (≤ ~5.6e5 cells here),
+    not by rows, the `weighted_quantiles` argument — merged by ONE
+    grouped sum; the CDF sweep closes over the grid-bounded table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    part_empty = pa.table({"vm": pa.array([], pa.int64()),
+                           "c1": pa.array([], pa.int64()),
+                           "c2": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+        keep = (et == "click") | (et == "purchase")
+        if not keep.any():
+            return part_empty
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False)[keep]
+            * 1000.0, 0).astype(np.int64)
+        is1 = (et[keep] == "click")
+        df = pd.DataFrame({"vm": vm,
+                           "c1": is1.astype(np.int64),
+                           "c2": (~is1).astype(np.int64)})
+        g = df.groupby("vm", sort=False, as_index=False)[["c1", "c2"]].sum()
+        g["c1"] = g["c1"].astype("int64")
+        g["c2"] = g["c2"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = F_agg.grouped_sum(parts, ["vm"], part_empty).sort_values(
+        "vm", ignore_index=True)
+    n1, n2 = int(g["c1"].sum()), int(g["c2"].sum())
+    cum1 = g["c1"].to_numpy(np.int64).cumsum()
+    cum2 = g["c2"].to_numpy(np.int64).cumsum()
+    # cross-multiplied integer CDF gap (n1·n2 bounded by rows² — Python
+    # ints would be needed past ~3e9 rows/sample; document and fold obj)
+    num = np.abs(cum1.astype(object) * n2 - cum2.astype(object) * n1)
+    mx = int(num.max()) if len(num) else 0
+    at = int(g["vm"].to_numpy(np.int64)[
+        np.flatnonzero(num == mx)[0]]) if len(num) else -1
+    ks_micro = (mx * 1_000_000) // (n1 * n2) if n1 and n2 else 0
+    return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                         "ks_micro": [np.int64(ks_micro)],
+                         "ks_at_milli": [np.int64(at)]})
+
+
+KS_TWO_SAMPLE_SQL = """
+WITH v AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+), g AS (
+  SELECT vm, count(*) FILTER (s = 1) AS c1,
+         count(*) FILTER (s = 2) AS c2
+  FROM v GROUP BY vm
+), n AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g
+), c AS (
+  SELECT vm, sum(c1) OVER (ORDER BY vm) AS cum1,
+         sum(c2) OVER (ORDER BY vm) AS cum2
+  FROM g
+), d AS (
+  SELECT vm, abs(CAST(cum1 AS HUGEINT) * n.n2
+                 - CAST(cum2 AS HUGEINT) * n.n1) AS num
+  FROM c, n
+), m AS (SELECT max(num) AS mx FROM d)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(m.mx * 1000000 // (n.n1 * n.n2) AS BIGINT) AS ks_micro,
+       CAST((SELECT min(vm) FROM d WHERE d.num = m.mx) AS BIGINT)
+         AS ks_at_milli
+FROM n, m
+"""
+
+
+QUERIES.update({"ks_two_sample": QueryDef(ks_two_sample, KS_TWO_SAMPLE_SQL)})

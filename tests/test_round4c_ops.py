@@ -257,3 +257,25 @@ def test_knn_hamming_matches_bruteforce(ray_session):
         g = got[got["query_id"] == qid]
         have = list(zip(g["neighbor_id"], g["hamming"]))
         assert have == want
+
+
+def test_ks_two_sample_matches_scipy_style(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["ks_two_sample"].fn(SF)).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = round_half_away(
+        ev.loc[ev["event_type"] == "click", "value"].to_numpy() * 1000.0,
+        0).astype(np.int64)
+    b = round_half_away(
+        ev.loc[ev["event_type"] == "purchase", "value"].to_numpy() * 1000.0,
+        0).astype(np.int64)
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    d = np.abs(f1 - f2)
+    assert int(got["n1"]) == len(a) and int(got["n2"]) == len(b)
+    assert abs(int(got["ks_micro"]) / 1e6 - d.max()) < 2e-6
+    assert int(got["ks_at_milli"]) == int(grid[np.argmax(d)])
