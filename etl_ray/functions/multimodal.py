@@ -362,3 +362,48 @@ def sample_frames(ds: rd.Dataset, max_frames: int = 8,
 
 def _frame_sample_task(batch: pa.Table, max_frames: int = 8) -> pa.Table:
     return FrameSampleStage(max_frames)(batch)
+
+
+class ThumbnailStage:
+    """Actor-pool RESIZE stage: decode BMP → nearest-neighbor 16×16 →
+    4×4 RGB thumbnail → exact-integer thumbnail statistics. The resize
+    index maps are built once per actor in ``__init__``; ``__call__``
+    processes one Arrow batch and DROPS the payload column so the wide
+    bytes never outlive the stage. Statistics are position-weighted
+    (Σ (pos+1)·byte) so a transposed / mis-strided resize cannot pass.
+    Audio rows pass through untouched by design (image-only op)."""
+
+    OUT_W = OUT_H = 4
+
+    def __init__(self, src_w: int = _IMG_W, src_h: int = _IMG_H):
+        sy = (np.arange(self.OUT_H) * src_h) // self.OUT_H
+        sx = (np.arange(self.OUT_W) * src_w) // self.OUT_W
+        self.sy, self.sx = sy, sx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out = {"media_id": [], "thumb_checksum": [],
+               "mean_r_milli": [], "mean_g_milli": [], "mean_b_milli": []}
+        for mid, p, k in zip(ids, payloads, kinds):
+            if k != "image":
+                continue
+            img = decode_bmp(p)
+            thumb = img[self.sy][:, self.sx, :].astype(np.int64)
+            flat = thumb.reshape(-1)
+            npx = self.OUT_W * self.OUT_H
+            out["media_id"].append(int(mid))
+            out["thumb_checksum"].append(
+                int(((np.arange(len(flat)) + 1) * flat).sum()))
+            for c, name in enumerate(("mean_r_milli", "mean_g_milli",
+                                      "mean_b_milli")):
+                out[name].append(int(1000 * int(thumb[:, :, c].sum()))
+                                 // npx)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "thumb_checksum": pa.array(out["thumb_checksum"], pa.int64()),
+            "mean_r_milli": pa.array(out["mean_r_milli"], pa.int64()),
+            "mean_g_milli": pa.array(out["mean_g_milli"], pa.int64()),
+            "mean_b_milli": pa.array(out["mean_b_milli"], pa.int64()),
+        })

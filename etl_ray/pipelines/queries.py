@@ -13426,3 +13426,58 @@ FROM n, m
 
 
 QUERIES.update({"ks_two_sample": QueryDef(ks_two_sample, KS_TWO_SAMPLE_SQL)})
+
+
+# --- multimodal resize: BMP decode → nearest-neighbor thumbnail -------------
+
+def image_thumbnail(sf_dir: str):
+    """Multimodal RESIZE stage (the decode → resize → stats link the
+    brief's image path needs beyond decode/feature/frame-sample):
+    genuine 16×16 BMP payloads are decoded and nearest-neighbor
+    downsampled to 4×4 by an actor-pool stage whose index maps are
+    per-actor state (functions/multimodal.py:ThumbnailStage). Gated on
+    POSITION-WEIGHTED exact statistics — a transposed, mis-strided or
+    bottom-up-confused resize cannot hash-match. Payload content is
+    fmix32-derived, so the oracle recomputes the resized pixels without
+    parsing binaries while the engine round-trips real container bytes.
+
+    Scale shape: payload-aware batch size, payload dropped inside the
+    stage, no exchange at all (map-only)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(F_mm.synthesize_media, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = ds.map_batches(F_mm.ThumbnailStage, batch_format="pyarrow",
+                         concurrency=pool_size(), batch_size=256,
+                         zero_copy_batch=True)
+    return out.to_pandas()
+
+
+def _image_thumbnail_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        """SELECT doc_id, (j * 4 + i) * 3 + ch AS pos, ch,
+              (doc_id * 4096 + ((4 * j * 16 + 4 * i) * 3 + ch))
+                % 4294967296 AS h0
+       FROM documents,
+            (SELECT unnest(range(4)) AS j),
+            (SELECT unnest(range(4)) AS i),
+            (SELECT unnest(range(3)) AS ch)
+       WHERE doc_id % 2 = 0""",
+        ["doc_id", "pos", "ch"],
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, pos, ch, hv % 256 AS x FROM ({fm})
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(sum((pos + 1) * x) AS BIGINT) AS thumb_checksum,
+       CAST(1000 * sum(x) FILTER (ch = 0) // 16 AS BIGINT) AS mean_r_milli,
+       CAST(1000 * sum(x) FILTER (ch = 1) // 16 AS BIGINT) AS mean_g_milli,
+       CAST(1000 * sum(x) FILTER (ch = 2) // 16 AS BIGINT) AS mean_b_milli
+FROM p GROUP BY 1
+"""
+
+
+QUERIES.update({"image_thumbnail": QueryDef(image_thumbnail,
+                                            _image_thumbnail_sql())})

@@ -279,3 +279,29 @@ def test_ks_two_sample_matches_scipy_style(ray_session):
     assert int(got["n1"]) == len(a) and int(got["n2"]) == len(b)
     assert abs(int(got["ks_micro"]) / 1e6 - d.max()) < 2e-6
     assert int(got["ks_at_milli"]) == int(grid[np.argmax(d)])
+
+
+def test_image_thumbnail_resize_is_nearest_neighbor(ray_session):
+    from etl_ray.functions.multimodal import (
+        ThumbnailStage,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # deterministic ramp image: pixel (y, x, c) = (y*16 + x)*3 + c mod 256
+    px = (np.arange(16 * 16 * 3, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(16, 16, 3)
+    payload = encode_bmp(px)
+    assert (decode_bmp(payload) == px).all()
+    import pyarrow as pa
+
+    batch = pa.table({"media_id": pa.array([7], pa.int64()),
+                      "kind": pa.array(["image"]),
+                      "payload": pa.array([payload], pa.binary())})
+    out = ThumbnailStage()(batch).to_pandas().iloc[0]
+    thumb = px[::4, ::4, :].astype(np.int64)
+    flat = thumb.reshape(-1)
+    assert int(out["thumb_checksum"]) == int(
+        ((np.arange(48) + 1) * flat).sum())
+    assert int(out["mean_g_milli"]) == 1000 * int(
+        thumb[:, :, 1].sum()) // 16
