@@ -198,7 +198,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rrf_fusion", "token_bucket_admit", "pit_join_state",
         "ivm_join_view", "ols_two_feature", "trailing_features",
         "target_encode_loo", "bm25_scores", "knn_hamming_topk",
-        "ks_two_sample", "image_thumbnail",
+        "ks_two_sample", "image_thumbnail", "audio_decimate",
     ]
     q_times = {}
     q_stats = {}

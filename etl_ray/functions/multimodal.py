@@ -407,3 +407,38 @@ class ThumbnailStage:
             "mean_g_milli": pa.array(out["mean_g_milli"], pa.int64()),
             "mean_b_milli": pa.array(out["mean_b_milli"], pa.int64()),
         })
+
+
+class DecimateStage:
+    """Actor-pool audio RESAMPLE stage: decode WAV → 2:1 decimation with
+    exact pair averaging (out[i] = trunc((s[2i] + s[2i+1]) / 2), the
+    anti-aliasing box filter in integer form) → exact statistics.
+    Truncation (not floor) mirrors DuckDB ``//`` on negative samples.
+    Image rows pass through untouched (audio-only op)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out = {"media_id": [], "n_out": [], "out_checksum": [],
+               "out_peak": []}
+        for mid, p, k in zip(ids, payloads, kinds):
+            if k != "audio":
+                continue
+            rate, s = decode_wav(p)
+            s = s.astype(np.int64)
+            n2 = len(s) // 2
+            pair = s[: 2 * n2].reshape(n2, 2).sum(axis=1)
+            q = np.abs(pair) // 2
+            dec = np.where(pair < 0, -q, q)
+            out["media_id"].append(int(mid))
+            out["n_out"].append(int(n2))
+            out["out_checksum"].append(
+                int(((np.arange(n2) + 1) * dec).sum()))
+            out["out_peak"].append(int(np.abs(dec).max()) if n2 else 0)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_out": pa.array(out["n_out"], pa.int64()),
+            "out_checksum": pa.array(out["out_checksum"], pa.int64()),
+            "out_peak": pa.array(out["out_peak"], pa.int64()),
+        })

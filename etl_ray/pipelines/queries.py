@@ -13481,3 +13481,54 @@ FROM p GROUP BY 1
 
 QUERIES.update({"image_thumbnail": QueryDef(image_thumbnail,
                                             _image_thumbnail_sql())})
+
+
+# --- multimodal audio resample: WAV decode → 2:1 decimation ------------------
+
+def audio_decimate(sf_dir: str):
+    """Multimodal audio RESAMPLE (the WAV analog of `image_thumbnail`):
+    genuine 256-sample PCM payloads are decoded and 2:1-decimated with
+    the exact integer box filter trunc((s[2i]+s[2i+1])/2) by an
+    actor-pool stage (functions/multimodal.py:DecimateStage); gated on
+    position-weighted checksum + peak, so a mis-aligned or mis-signed
+    decimation cannot hash-match. Oracle recomputes the fmix32 samples
+    without parsing the RIFF container; the engine round-trips real
+    bytes. Map-only, payload dropped in-stage."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    ds = ds.map_batches(F_mm.synthesize_media, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = ds.map_batches(F_mm.DecimateStage, batch_format="pyarrow",
+                         concurrency=pool_size(), batch_size=256,
+                         zero_copy_batch=True)
+    return out.to_pandas()
+
+
+def _audio_decimate_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        """SELECT doc_id, i,
+              (doc_id * 4096 + 1024 + i) % 4294967296 AS h0
+       FROM documents, (SELECT unnest(range(256)) AS i)
+       WHERE doc_id % 2 = 1""",
+        ["doc_id", "i"],
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, i, hv % 65536 - 32768 AS x FROM ({fm})
+), p AS (
+  SELECT doc_id, i // 2 AS j, sum(x) AS pair
+  FROM s GROUP BY doc_id, i // 2
+), d AS (
+  SELECT doc_id, j, pair // 2 AS y FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum((j + 1) * y) AS BIGINT) AS out_checksum,
+       CAST(max(abs(y)) AS BIGINT) AS out_peak
+FROM d GROUP BY 1
+"""
+
+
+QUERIES.update({"audio_decimate": QueryDef(audio_decimate,
+                                           _audio_decimate_sql())})

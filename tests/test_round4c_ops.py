@@ -305,3 +305,23 @@ def test_image_thumbnail_resize_is_nearest_neighbor(ray_session):
         ((np.arange(48) + 1) * flat).sum())
     assert int(out["mean_g_milli"]) == 1000 * int(
         thumb[:, :, 1].sum()) // 16
+
+
+def test_audio_decimate_exact_box_filter(ray_session):
+    import pyarrow as pa
+
+    from etl_ray.functions.multimodal import DecimateStage, encode_wav
+
+    s = np.array([100, 200, -101, -100, 7, -8, 32767, -32768],
+                 dtype=np.int16)
+    batch = pa.table({"media_id": pa.array([3], pa.int64()),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([encode_wav(s)], pa.binary())})
+    out = DecimateStage()(batch).to_pandas().iloc[0]
+    # trunc((a+b)/2): (100+200)/2=150, (-101-100)/2=trunc(-100.5)=-100,
+    # (7-8)/2=trunc(-0.5)=0, (32767-32768)/2=trunc(-0.5)=0
+    want = np.array([150, -100, 0, 0], dtype=np.int64)
+    assert int(out["n_out"]) == 4
+    assert int(out["out_checksum"]) == int(
+        ((np.arange(4) + 1) * want).sum())
+    assert int(out["out_peak"]) == 150
