@@ -13532,3 +13532,100 @@ FROM d GROUP BY 1
 
 QUERIES.update({"audio_decimate": QueryDef(audio_decimate,
                                            _audio_decimate_sql())})
+
+
+# --- GDPR-style erasure: delete propagation through the lake ----------------
+
+def cdc_erasure(sf_dir: str):
+    """Right-to-be-forgotten propagation — the compliance op every CDC
+    lake needs: an erasure request ("drop every document of repo3")
+    becomes a batch of delete events appended to the log, replayed
+    through the SAME exactly-once pipeline (no side-channel mutation of
+    lake files), committing a new checkpoint whose snapshot diff is
+    PURE removals of exactly the requested keys — both verified before
+    returning. With the opt-in changefeed on, downstream consumers see
+    the deletes as ordinary CDF rows. The oracle recomputes the final
+    state from scratch minus the erased repo.
+
+    Scale shape: the request key list is request-bounded (collected
+    from a distributed repo filter); the append replay touches only the
+    partitions holding erased keys (untouched partitions are never
+    rewritten — the engine's delta discipline)."""
+    saved = os.environ.get("ETL_RAY_CHANGEFEED")
+    os.environ["ETL_RAY_CHANGEFEED"] = "1"
+    try:
+        eng = _run_doc_replay(sf_dir, variant="-erase")
+        assert eng.store.current().checkpoint_id == 1
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "-erase"
+        log_dir = f"/tmp/etl_ray_gate/{tag}/log"
+
+        # erasure request: every CURRENT doc of repo3 (request-bounded)
+        tgt_parts = [t for t in ray.get(
+            eng.final_state(columns=["repo", "path", "lang"])
+            .filter(lambda r: r["repo"] == "repo3").to_arrow_refs())
+            if t.num_rows]
+        if not tgt_parts:
+            raise RuntimeError("cdc_erasure: nothing to erase")
+        tgt = pa.concat_tables(tgt_parts).to_pandas().sort_values(
+            "path", ignore_index=True)
+        n_req = len(tgt)
+        seq = 10_000_000 + np.arange(n_req, dtype=np.int64)
+        erase_log = pa.table({
+            "seq": pa.array(seq),
+            "op": pa.array(["D"] * n_req, pa.string()),
+            "commit_seq": pa.array(seq),
+            "repo": pa.array(tgt["repo"], pa.string()),
+            "path": pa.array(tgt["path"], pa.string()),
+            "commit": pa.array([f"erase{i}" for i in range(n_req)],
+                               pa.string()),
+            "lang": pa.array(tgt["lang"], pa.string()),
+            "content": pa.array([""] * n_req, pa.string()),
+        })
+        pq.write_table(erase_log, f"{log_dir}/events-00004.parquet")
+        eng.replay(log_dir, window_events=max(1, n_req))
+        assert eng.store.current().checkpoint_id == 2
+
+        # the erasure contract: the new checkpoint's diff is PURE
+        # removals of exactly the requested keys
+        diff_parts = [t for t in ray.get(
+            eng.diff(1, n_buckets=_buckets_for(sf_dir, "documents"))
+            .to_arrow_refs()) if t.num_rows]
+        dd = (pa.concat_tables(diff_parts).to_pandas()
+              if diff_parts else pd.DataFrame(columns=["repo", "change"]))
+        if not ((dd["change"] == "removed").all()
+                and len(dd) == n_req
+                and (dd["repo"] == "repo3").all()):
+            raise RuntimeError("cdc_erasure: diff is not pure erasure")
+        # downstream visibility: the CDF carries the deletes
+        cf_parts = [t for t in ray.get(
+            eng.changefeed_read(since=2).to_arrow_refs()) if t.num_rows]
+        cf = pa.concat_tables(cf_parts,
+                              promote_options="default").to_pandas()
+        if len(cf[cf["change_type"] == "delete"]) != n_req:
+            raise RuntimeError("cdc_erasure: changefeed missed deletes")
+        return eng.final_state(
+            columns=["repo", "path", "commit_seq", "lang",
+                     "content_sha256"]).to_pandas()
+    finally:
+        if saved is None:
+            os.environ.pop("ETL_RAY_CHANGEFEED", None)
+        else:
+            os.environ["ETL_RAY_CHANGEFEED"] = saved
+
+
+CDC_ERASURE_SQL = """
+WITH fin AS (
+  SELECT 'repo' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         CAST(doc_id * 10 + (doc_id % 3) AS BIGINT) AS commit_seq,
+         lang,
+         substr(text, 1, 100 + 10 * (doc_id % 3)) || ':v'
+           || CAST(doc_id % 3 AS VARCHAR) AS content
+  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 7 <> 3
+)
+SELECT repo, path, commit_seq, lang, sha256(content) AS content_sha256
+FROM fin
+"""
+
+
+QUERIES.update({"cdc_erasure": QueryDef(cdc_erasure, CDC_ERASURE_SQL)})

@@ -325,3 +325,18 @@ def test_audio_decimate_exact_box_filter(ray_session):
     assert int(out["out_checksum"]) == int(
         ((np.arange(4) + 1) * want).sum())
     assert int(out["out_peak"]) == 150
+
+
+def test_cdc_erasure_removes_only_requested_repo(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["cdc_erasure"].fn(SF))
+    assert not (got["repo"] == "repo3").any()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    d = docs["doc_id"].to_numpy()
+    want = int(((d % 11 != 0) & (d % 7 != 3)).sum())
+    assert len(got) == want
+    # every other repo untouched vs the base replay oracle rule
+    keep = d[(d % 11 != 0) & (d % 7 != 3)]
+    assert set(got["path"]) == {f"docs/{x}.txt" for x in keep}
