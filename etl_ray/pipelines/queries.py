@@ -13629,3 +13629,104 @@ FROM fin
 
 
 QUERIES.update({"cdc_erasure": QueryDef(cdc_erasure, CDC_ERASURE_SQL)})
+
+
+# --- content-defined chunking: rolling-hash boundaries (storage dedup) ------
+
+def content_chunks(sf_dir: str):
+    """Content-DEFINED chunking — the storage-dedup boundary rule
+    (rsync/LBFS/backup-dedup family): a chunk boundary falls after
+    position i whenever the Horner hash of the trailing 8-codepoint
+    window ≡ 0 (mod 64), so boundaries survive insertions/deletions
+    elsewhere in the doc (fixed-size `chunk_docs` boundaries don't —
+    that is the point of CDC chunking). Per doc: chunk count + the
+    largest chunk. Windowed hash = Σ cp[i−k]·31^k mod 2^32, exactly
+    replayed by the oracle per position.
+
+    Distributed shape: zero-shuffle map pass; per-batch the hash is ONE
+    vectorized sliding-window dot product over the codepoint buffer —
+    no per-character Python. Window terms bound at 2^59, exact in
+    uint64 before the mod."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, DIV = 8, 64
+    pows = (31 ** np.arange(W - 1, -1, -1, dtype=np.uint64))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_chunks": pa.array([], pa.int64()),
+                      "max_chunk_len": pa.array([], pa.int64())})
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        out_n = np.zeros(len(ids), np.int64)
+        out_mx = np.zeros(len(ids), np.int64)
+        for j, txt in enumerate(t.column("text").to_pylist()):
+            cp = np.frombuffer((txt or "").encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.uint64)
+            n = len(cp)
+            if n == 0:
+                continue
+            if n < W:
+                out_n[j], out_mx[j] = 1, n
+                continue
+            h = (sliding_window_view(cp, W) @ pows) % (1 << 32)
+            # boundary AFTER 1-based position i = w_end (i ∈ [W, n])
+            b = np.flatnonzero(h % DIV == 0) + W
+            edges = np.concatenate(([0], b, [n])) if len(b) else \
+                np.array([0, n], dtype=np.int64)
+            lens = np.diff(edges)
+            lens = lens[lens > 0]
+            out_n[j] = len(lens)
+            out_mx[j] = int(lens.max())
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_chunks": pa.array(out_n),
+                         "max_chunk_len": pa.array(out_mx)})
+
+    out = ds.map_batches(chunk_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return to_pandas_typed(out, empty)
+
+
+def _content_chunks_sql() -> str:
+    W, DIV = 8, 64
+    terms = " + ".join(
+        f"cp[i - {k}] * {31 ** k}" for k in range(W))
+    return f"""
+WITH cps AS (
+  SELECT doc_id,
+         [CAST(unicode(x) AS BIGINT) FOR x IN
+          split(coalesce(text, ''), '')] AS cp,
+         length(coalesce(text, '')) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, n, unnest(range({W}, n + 1)) AS i, cp
+  FROM cps WHERE n >= {W}
+), b AS (
+  SELECT doc_id, n, i
+  FROM pos WHERE ({terms}) % 4294967296 % {DIV} = 0
+), segs AS (
+  SELECT doc_id, n,
+         i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+           AS seg
+  FROM b
+  UNION ALL
+  SELECT doc_id, n, n - max(i) AS seg FROM b GROUP BY doc_id, n
+), agg AS (
+  SELECT doc_id, count(*) FILTER (seg > 0) AS n_chunks,
+         max(seg) AS max_chunk_len
+  FROM segs GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(CASE WHEN c.n = 0 THEN 0
+                 ELSE coalesce(a.n_chunks, 1) END AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN c.n = 0 THEN 0
+                 ELSE coalesce(a.max_chunk_len, c.n) END AS BIGINT)
+         AS max_chunk_len
+FROM cps c LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES.update({"content_chunks": QueryDef(content_chunks,
+                                           _content_chunks_sql())})

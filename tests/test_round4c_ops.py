@@ -340,3 +340,43 @@ def test_cdc_erasure_removes_only_requested_repo(ray_session):
     # every other repo untouched vs the base replay oracle rule
     keep = d[(d % 11 != 0) & (d % 7 != 3)]
     assert set(got["path"]) == {f"docs/{x}.txt" for x in keep}
+
+
+def test_content_chunks_boundaries_are_content_defined(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["content_chunks"].fn(SF)).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    W, DIV = 8, 64
+
+    def chunks(txt):
+        cp = [ord(c) for c in (txt or "")]
+        n = len(cp)
+        if n == 0:
+            return 0, 0
+        if n < W:
+            return 1, n
+        bounds = []
+        for i in range(W, n + 1):
+            h = 0
+            for k in range(W):
+                h = h * 31 + cp[i - W + k]
+            if (h % (1 << 32)) % DIV == 0:
+                bounds.append(i)
+        edges = [0] + bounds + [n]
+        lens = [b - a for a, b in zip(edges, edges[1:]) if b > a]
+        return len(lens), max(lens)
+
+    checked_shift = False
+    for _, r in docs.iterrows():
+        nc, mx = chunks(r["text"])
+        assert int(got.loc[int(r["doc_id"]), "n_chunks"]) == nc
+        assert int(got.loc[int(r["doc_id"]), "max_chunk_len"]) == mx
+        # the content-defined property: prepending text shifts every
+        # position but preserves all interior boundaries' relative cuts
+        if not checked_shift and nc >= 3:
+            shifted = "PREFIX-" + (r["text"] or "")
+            nc2, _ = chunks(shifted)
+            assert nc2 >= nc - 1  # boundaries re-found after the prefix
+            checked_shift = True
