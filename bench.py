@@ -199,7 +199,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ivm_join_view", "ols_two_feature", "trailing_features",
         "target_encode_loo", "bm25_scores", "knn_hamming_topk",
         "ks_two_sample", "image_thumbnail", "audio_decimate",
-        "cdc_erasure", "content_chunks",
+        "cdc_erasure", "content_chunks", "postings_compression",
     ]
     q_times = {}
     q_stats = {}

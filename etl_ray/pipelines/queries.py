@@ -13730,3 +13730,107 @@ FROM cps c LEFT JOIN agg a USING (doc_id)
 
 QUERIES.update({"content_chunks": QueryDef(content_chunks,
                                            _content_chunks_sql())})
+
+
+# --- posting-list compression accounting: delta + varint sizing -------------
+
+def postings_compression(sf_dir: str):
+    """Index-storage engineering: size every posting list under
+    delta-gap + LEB128-varint encoding vs raw int64 postings — the
+    compression accounting an index builder runs before choosing a
+    layout. Per token (df ≥ 4, the compressible ones): df, raw bytes
+    (8·df), varint bytes (Σ ⌈bits(gap)/7⌉ with first id as its own gap
+    from 0), and the micro-scaled ratio. Exact integers end to end.
+
+    Distributed shape: per-batch exact distinct (token, doc) pairs →
+    ONE token exchange → per-token sorted-gap fold, all vectorized
+    (the `inverted_index` shape with a sizing finalize)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    empty_pairs = pa.table({"token": pa.array([], pa.string()),
+                            "doc_id": pa.array([], pa.int64())})
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_pairs
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+            "doc_id": np.repeat(ids, lens),
+        })
+        df = df[df["token"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty_out = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "raw_bytes": pa.array([], pa.int64()),
+                          "varint_bytes": pa.array([], pa.int64()),
+                          "ratio_micro": pa.array([], pa.int64())})
+
+    def size_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty_out
+        df = t.to_pandas().sort_values(["token", "doc_id"],
+                                       kind="stable", ignore_index=True)
+        tok = df["token"].to_numpy(dtype=object)
+        ids = df["doc_id"].to_numpy(np.int64)
+        first = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            first[1:] = tok[1:] != tok[:-1]
+        gaps = np.empty(len(df), np.int64)
+        gaps[first] = ids[first]          # first posting: gap from 0
+        gaps[~first] = (ids - np.roll(ids, 1))[~first]
+        # LEB128 size = ceil(bit_length(max(gap,1)) / 7); bit length via
+        # log2 on exact small doubles (gaps are doc-id-bounded ints,
+        # exact in float64 — same double op the oracle runs)
+        g = np.maximum(gaps, 1).astype(np.uint64)
+        bits = np.floor(np.log2(g.astype(np.float64))).astype(np.int64) + 1
+        vb = (bits + 6) // 7
+        out = pd.DataFrame({"token": tok, "vb": vb})
+        agg = out.groupby("token", sort=False).agg(
+            df_=("vb", "size"), varint_bytes=("vb", "sum")).reset_index()
+        agg = agg[agg["df_"] >= 4]
+        agg["raw_bytes"] = 8 * agg["df_"]
+        agg["ratio_micro"] = (1_000_000 * agg["varint_bytes"]
+                              ) // agg["raw_bytes"]
+        agg = agg.rename(columns={"df_": "df"})
+        for c in ("df", "raw_bytes", "varint_bytes", "ratio_micro"):
+            agg[c] = agg[c].astype("int64")
+        return pa.Table.from_pandas(agg[empty_out.column_names],
+                                    preserve_index=False)
+
+    p = docs.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return bucketed_groups(p, "token", size_partition,
+                           n_buckets=_buckets_for(sf_dir, "documents"))
+
+
+POSTINGS_COMPRESSION_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), g AS (
+  SELECT token, doc_id,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY token
+                                             ORDER BY doc_id),
+                  doc_id) AS gap
+  FROM tok
+), v AS (
+  SELECT token,
+         (CAST(floor(log2(greatest(gap, 1))) AS BIGINT) + 1 + 6) // 7
+           AS vb
+  FROM g
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CAST(8 * count(*) AS BIGINT) AS raw_bytes,
+       CAST(sum(vb) AS BIGINT) AS varint_bytes,
+       CAST(1000000 * sum(vb) // (8 * count(*)) AS BIGINT) AS ratio_micro
+FROM v GROUP BY token HAVING count(*) >= 4
+"""
+
+
+QUERIES.update({"postings_compression": QueryDef(postings_compression,
+                                                 POSTINGS_COMPRESSION_SQL)})

@@ -380,3 +380,26 @@ def test_content_chunks_boundaries_are_content_defined(ray_session):
             nc2, _ = chunks(shifted)
             assert nc2 >= nc - 1  # boundaries re-found after the prefix
             checked_shift = True
+
+
+def test_postings_compression_varint_sizes_exact(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["postings_compression"].fn(SF))
+    assert (got["df"] >= 4).all()
+    assert (got["raw_bytes"] == 8 * got["df"]).all()
+    # rebuild one token's posting list and size it the slow way
+    import re
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    row = got.sort_values("df", ascending=False).iloc[0]
+    token = row["token"]
+    postings = sorted(
+        int(r["doc_id"]) for _, r in docs.iterrows()
+        if token in set(re.findall(r"\S+", (r["text"] or "").lower())))
+    gaps = [postings[0]] + [b - a for a, b in zip(postings, postings[1:])]
+    vb = sum((max(g, 1).bit_length() + 6) // 7 for g in gaps)
+    assert int(row["df"]) == len(postings)
+    assert int(row["varint_bytes"]) == vb
+    assert int(row["ratio_micro"]) == 1_000_000 * vb // (8 * len(postings))
