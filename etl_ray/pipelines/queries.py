@@ -13834,3 +13834,112 @@ FROM v GROUP BY token HAVING count(*) >= 4
 
 QUERIES.update({"postings_compression": QueryDef(postings_compression,
                                                  POSTINGS_COMPRESSION_SQL)})
+
+
+# --- code-switching detection: windowed language-ID per doc -----------------
+
+def code_switch_windows(sf_dir: str):
+    """Code-switching detector — the per-doc QUALITY signal windowed
+    language-ID gives that whole-doc langid can't: docs whose 40-token
+    windows disagree on language are mixed-language (or boilerplate
+    stitched) and get filtered/tagged in pretraining pipelines. Reuses
+    the `langid_heuristic` stopword profiles and first-max tie-break
+    per WINDOW; per doc emits window count, adjacent-window switches,
+    and distinct predicted languages.
+
+    Distributed shape: zero-shuffle map pass; tokenize once, window ids
+    by token ordinal, per-lang isin + grouped sums (C kernels), no
+    per-row Python."""
+    W = 40
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    langs = ["en", "de", "fr", "es"]
+    profiles = {k: frozenset(v) for k, v in F_text._STOPWORDS.items()}
+    import re as _re
+
+    word = _re.compile(r"[a-z']+")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_windows": pa.array([], pa.int64()),
+                      "n_switches": pa.array([], pa.int64()),
+                      "n_langs": pa.array([], pa.int64())})
+
+    def win_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(word)
+        ex = toks.explode().dropna()
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_windows": np.int64(0), "n_switches": np.int64(0),
+            "n_langs": np.int64(0)})
+        if len(ex) == 0:
+            return out
+        pos = ex.groupby(level=0).cumcount()
+        t = pd.DataFrame({"row": ex.index, "win": (pos // W).to_numpy(),
+                          "tok": ex.to_numpy(dtype=object)})
+        scores = (t.assign(**{
+            lng: t["tok"].isin(profiles[lng]) for lng in langs})
+            .groupby(["row", "win"], sort=True)[langs].sum())
+        mx = scores[langs].max(axis=1)
+        pred = scores[langs].idxmax(axis=1).where(mx > 0, "und")
+        g = pred.groupby(level=0)
+        nw = g.size()
+        ns = g.apply(lambda s: int((s.to_numpy()[1:]
+                                    != s.to_numpy()[:-1]).sum()))
+        nl = g.nunique()
+        out = out.set_index(out.index)
+        out.loc[nw.index, "n_windows"] = nw.astype("int64")
+        out.loc[ns.index, "n_switches"] = ns.astype("int64")
+        out.loc[nl.index, "n_langs"] = nl.astype("int64")
+        for c in ("n_windows", "n_switches", "n_langs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = ds.map_batches(win_batch, batch_format="pandas", batch_size=1024)
+    res = out.to_pandas()
+    return res if len(res) else empty.to_pandas()
+
+
+def _code_switch_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         (unnest(range(len(toks))) ) // 40 AS win
+  FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT doc_id, win,
+    count(*) FILTER (tok IN ({_stop_list_sql("en")})) AS s_en,
+    count(*) FILTER (tok IN ({_stop_list_sql("de")})) AS s_de,
+    count(*) FILTER (tok IN ({_stop_list_sql("fr")})) AS s_fr,
+    count(*) FILTER (tok IN ({_stop_list_sql("es")})) AS s_es
+  FROM e GROUP BY doc_id, win
+), p AS (
+  SELECT doc_id, win,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es' END AS pred
+  FROM s
+), sw AS (
+  SELECT doc_id,
+         count(*) AS n_windows,
+         count(*) FILTER (pred <> lag_pred) AS n_switches,
+         count(DISTINCT pred) AS n_langs
+  FROM (SELECT doc_id, pred,
+               lag(pred) OVER (PARTITION BY doc_id ORDER BY win)
+                 AS lag_pred
+        FROM p)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(sw.n_switches, 0) AS BIGINT) AS n_switches,
+       CAST(coalesce(sw.n_langs, 0) AS BIGINT) AS n_langs
+FROM documents d LEFT JOIN sw USING (doc_id)
+"""
+
+
+QUERIES.update({"code_switch_windows": QueryDef(code_switch_windows,
+                                                _code_switch_sql())})

@@ -403,3 +403,34 @@ def test_postings_compression_varint_sizes_exact(ray_session):
     assert int(row["df"]) == len(postings)
     assert int(row["varint_bytes"]) == vb
     assert int(row["ratio_micro"]) == 1_000_000 * vb // (8 * len(postings))
+
+
+def test_code_switch_windows_sequential_parity(ray_session):
+    import re
+
+    from etl_ray.functions.text import _STOPWORDS
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["code_switch_windows"].fn(SF)).set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    word = re.compile(r"[a-z']+")
+    langs = ["en", "de", "fr", "es"]
+    profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+    found_switch = False
+    for _, r in docs.iterrows():
+        toks = word.findall((r["text"] or "").lower())
+        preds = []
+        for w0 in range(0, len(toks), 40):
+            win = toks[w0:w0 + 40]
+            scores = [sum(1 for t in win if t in profiles[lng])
+                      for lng in langs]
+            preds.append(langs[int(np.argmax(scores))]
+                         if max(scores) > 0 else "und")
+        row = got.loc[int(r["doc_id"])]
+        assert int(row["n_windows"]) == len(preds)
+        assert int(row["n_switches"]) == sum(
+            1 for a, b in zip(preds, preds[1:]) if a != b)
+        assert int(row["n_langs"]) == len(set(preds))
+        found_switch = found_switch or int(row["n_switches"]) > 0
+    assert found_switch  # the detector actually fires on this corpus
