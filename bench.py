@@ -200,7 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "target_encode_loo", "bm25_scores", "knn_hamming_topk",
         "ks_two_sample", "image_thumbnail", "audio_decimate",
         "cdc_erasure", "content_chunks", "postings_compression",
-        "code_switch_windows",
+        "code_switch_windows", "user_split_assign",
     ]
     q_times = {}
     q_stats = {}

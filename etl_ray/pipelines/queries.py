@@ -13943,3 +13943,78 @@ FROM documents d LEFT JOIN sw USING (doc_id)
 
 QUERIES.update({"code_switch_windows": QueryDef(code_switch_windows,
                                                 _code_switch_sql())})
+
+
+# --- group-aware split: leakage-safe train/val/test by USER ------------------
+
+def user_split_assign(sf_dir: str):
+    """GROUP-aware train/val/test split — the leakage-safe variant of
+    `split_assign`: the hash is taken over user_id, so every event of a
+    user lands in the SAME split (row-hash splits leak a user's
+    behavior across train and test — the classic evaluation bug this op
+    exists to prevent). 80/10/10 by fmix32(user_id) % 100. The gate
+    pins (count, Σ event_id) per (event_type, split); the no-user-
+    spans-splits property is asserted in tests.
+
+    Zero-shuffle map + per-batch combiner, ≤ |types|×3 partial rows."""
+    from etl_ray.functions import sketch as F_sketch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type"])
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "split": pa.array([], pa.string()),
+                      "n_events": pa.array([], pa.int64()),
+                      "sum_event_id": pa.array([], pa.int64())})
+    names = np.array(["train", "val", "test"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        hv = F_sketch._fmix32(u.astype(np.uint64)) % np.uint64(100)
+        sel = np.where(hv < 80, 0, np.where(hv < 90, 1, 2))
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "split": names[sel],
+            "n_events": np.int64(1),
+            "sum_event_id": t.column("event_id").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["event_type", "split"], sort=False,
+                       as_index=False)[["n_events", "sum_event_id"]].sum()
+        for c in ("n_events", "sum_event_id"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = F_agg.grouped_sum(parts, ["event_type", "split"], empty)
+    return out.sort_values(["event_type", "split"], ignore_index=True)
+
+
+def _user_split_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT event_type, event_id, "
+        "user_id % 4294967296 AS h0 FROM events",
+        ["event_type", "event_id"],
+    )
+    return f"""
+WITH f AS ({fm}),
+a AS (
+  SELECT event_type,
+         CASE WHEN hv % 100 < 80 THEN 'train'
+              WHEN hv % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         event_id
+  FROM f
+)
+SELECT event_type, split, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES.update({"user_split_assign": QueryDef(user_split_assign,
+                                              _user_split_sql())})

@@ -434,3 +434,26 @@ def test_code_switch_windows_sequential_parity(ray_session):
         assert int(row["n_langs"]) == len(set(preds))
         found_switch = found_switch or int(row["n_switches"]) > 0
     assert found_switch  # the detector actually fires on this corpus
+
+
+def test_user_split_is_leakage_free(ray_session):
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["user_split_assign"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id",
+                                "event_type"]).to_pandas()
+    hv = _fmix32(ev["user_id"].to_numpy(np.uint64)) % np.uint64(100)
+    split = np.where(hv < 80, "train", np.where(hv < 90, "val", "test"))
+    ev["split"] = split
+    # no user spans splits (the leakage-safety property)
+    assert (ev.groupby("user_id")["split"].nunique() == 1).all()
+    want = ev.groupby(["event_type", "split"]).agg(
+        n_events=("event_id", "size"),
+        sum_event_id=("event_id", "sum")).reset_index()
+    m = got.merge(want, on=["event_type", "split"],
+                  suffixes=("", "_w"), how="outer")
+    assert len(m) == len(got) == len(want)
+    assert (m["n_events"] == m["n_events_w"]).all()
+    assert (m["sum_event_id"] == m["sum_event_id_w"]).all()
