@@ -14018,3 +14018,110 @@ FROM a GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"user_split_assign": QueryDef(user_split_assign,
                                               _user_split_sql())})
+
+
+# --- funnel latency: first-view → first-purchase lag quartiles ---------------
+
+def conversion_lag_quartiles(sf_dir: str):
+    """Funnel LATENCY — how long conversion takes, not just whether it
+    happens (`funnel_users` counts; this measures): per user, the lag
+    from first 'view' to first 'purchase', quartiled exactly on the
+    SECONDS grid (lower order statistic, division-free 4·cw ≥ k·tw
+    compare — the `weighted_quantiles` discipline; the grid is bounded
+    by the retention window, never by users).
+
+    Distributed shape: per-batch per-user (min view, min purchase)
+    combiners → ONE user-bucketed grouped-min merge emitting second-grid
+    lag counts → grid-bounded driver fold for the quartile scan."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    SENT = np.int64(1 << 62)
+    part_empty = pa.table({"user_id": pa.array([], pa.int64()),
+                           "tv": pa.array([], pa.int64()),
+                           "tp": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+        keep = (et == "view") | (et == "purchase")
+        if not keep.any():
+            return part_empty
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(
+                zero_copy_only=False)[keep],
+            "tv": np.where(et[keep] == "view", ts_us[keep], SENT),
+            "tp": np.where(et[keep] == "purchase", ts_us[keep], SENT),
+        })
+        g = df.groupby("user_id", sort=False, as_index=False)[
+            ["tv", "tp"]].min()
+        for c in ("tv", "tp"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt_empty = pa.table({"lag_s": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64())})
+
+    def lag_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cnt_empty
+        g = t.to_pandas().groupby("user_id", as_index=False)[
+            ["tv", "tp"]].min()
+        ok = (g["tv"] < SENT) & (g["tp"] < SENT) & (g["tp"] > g["tv"])
+        lag = ((g.loc[ok, "tp"] - g.loc[ok, "tv"])
+               // 1_000_000).astype(np.int64)
+        c = lag.value_counts().sort_index()
+        return pa.table({"lag_s": pa.array(c.index.to_numpy(np.int64)),
+                         "w": pa.array(c.to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = bucketed_groups(parts, "user_id", lag_partition,
+                             n_buckets=_buckets_for(sf_dir, "events"))
+    g = F_agg.grouped_sum(counts, ["lag_s"], cnt_empty).sort_values(
+        "lag_s", ignore_index=True)
+    lag_s = g["lag_s"].to_numpy(np.int64)
+    cw = g["w"].to_numpy(np.int64).cumsum()
+    tw = int(cw[-1]) if len(cw) else 0
+    if tw == 0:
+        return pd.DataFrame({"n_users": [np.int64(0)],
+                             "q1_s": [np.int64(-1)],
+                             "median_s": [np.int64(-1)],
+                             "q3_s": [np.int64(-1)]})
+    return pd.DataFrame({
+        "n_users": [np.int64(tw)],
+        "q1_s": [np.int64(lag_s[np.searchsorted(4 * cw, tw, "left")])],
+        "median_s": [np.int64(lag_s[np.searchsorted(2 * cw, tw, "left")])],
+        "q3_s": [np.int64(lag_s[np.searchsorted(4 * cw, 3 * tw, "left")])],
+    })
+
+
+CONVERSION_LAG_SQL = """
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS tv,
+         min(ts) FILTER (event_type = 'purchase') AS tp
+  FROM events GROUP BY user_id
+), l AS (
+  SELECT (epoch_us(tp) - epoch_us(tv)) // 1000000 AS lag_s
+  FROM u WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+), c AS (
+  SELECT lag_s, count(*) AS w FROM l GROUP BY lag_s
+), cum AS (
+  SELECT lag_s, w, sum(w) OVER (ORDER BY lag_s) AS cw,
+         sum(w) OVER () AS tw
+  FROM c
+)
+SELECT CAST(max(tw) AS BIGINT) AS n_users,
+       CAST(min(CASE WHEN 4 * cw >= tw THEN lag_s END) AS BIGINT) AS q1_s,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN lag_s END) AS BIGINT)
+         AS median_s,
+       CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN lag_s END) AS BIGINT)
+         AS q3_s
+FROM cum
+"""
+
+
+QUERIES.update({"conversion_lag_quartiles": QueryDef(
+    conversion_lag_quartiles, CONVERSION_LAG_SQL)})

@@ -457,3 +457,22 @@ def test_user_split_is_leakage_free(ray_session):
     assert len(m) == len(got) == len(want)
     assert (m["n_events"] == m["n_events_w"]).all()
     assert (m["sum_event_id"] == m["sum_event_id_w"]).all()
+
+
+def test_conversion_lag_quartiles_match_expansion(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["conversion_lag_quartiles"].fn(SF)).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    lags = []
+    for _, g in ev.groupby("user_id"):
+        v = g.loc[g["event_type"] == "view", "ts"]
+        p = g.loc[g["event_type"] == "purchase", "ts"]
+        if len(v) and len(p) and p.min() > v.min():
+            lags.append((p.min().value - v.min().value) // 1_000_000_000)
+    lags = np.sort(np.array(lags, dtype=np.int64))
+    n = len(lags)
+    assert int(got["n_users"]) == n
+    assert int(got["q1_s"]) == lags[(n + 3) // 4 - 1]
+    assert int(got["median_s"]) == lags[(n + 1) // 2 - 1]
+    assert int(got["q3_s"]) == lags[(3 * n + 3) // 4 - 1]
