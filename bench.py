@@ -201,7 +201,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "ks_two_sample", "image_thumbnail", "audio_decimate",
         "cdc_erasure", "content_chunks", "postings_compression",
         "code_switch_windows", "user_split_assign",
-        "conversion_lag_quartiles",
+        "conversion_lag_quartiles", "q5_local_supplier_volume",
     ]
     q_times = {}
     q_stats = {}

@@ -14125,3 +14125,162 @@ FROM cum
 
 QUERIES.update({"conversion_lag_quartiles": QueryDef(
     conversion_lag_quartiles, CONVERSION_LAG_SQL)})
+
+
+# --- TPC-H Q5: the classic 6-table local-supplier-volume join ----------------
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 — revenue by nation for ASIA customers served by a
+    supplier of the SAME nation, orders in [1996, 1997). The 6-table
+    composition test of the join planner: region→nation resolves to a
+    BROADCAST key set (tiny side, `ray.put` once), customer prunes to
+    the region pre-exchange, then two big-big SHUFFLE joins
+    (orders⋈customer on custkey, (that)⋈lineitem on orderkey) and one
+    more on suppkey, with the same-nation predicate applied as a
+    post-join vectorized filter. Revenue folds as exact 1e-4-unit ints
+    (the q3 discipline). Every probe side is column-pruned at the read.
+    """
+    from etl_ray.stages.joins import shuffle_join
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    nb = _buckets_for(sf_dir, "orders", "lineitem")
+
+    # region → ASIA nation keys + names: broadcast dict (tiny)
+    reg = pq.read_table(_p(sf_dir, "region"),
+                        filters=[("r_name", "=", "ASIA")])
+    rkeys = set(reg.column("r_regionkey").to_pylist())
+    nat = pq.read_table(_p(sf_dir, "nation"))
+    nmap = {int(k): n for k, n, r in zip(
+        nat.column("n_nationkey").to_pylist(),
+        nat.column("n_name").to_pylist(),
+        nat.column("n_regionkey").to_pylist()) if int(r) in rkeys}
+    nref = ray.put(nmap)
+
+    def cust_part(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("c_nationkey"),
+                        value_set=pa.array(sorted(ray.get(nref)),
+                                           pa.int64()))
+        t = t.filter(keep)
+        return pa.table({
+            "o_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64())})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                 ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi))).drop_columns(
+            ["o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    oc = shuffle_join(
+        ords, cust, on="o_custkey", how="inner",
+        schemas=(pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())]),
+                 pa.schema([("o_custkey", pa.int64()),
+                            ("c_nationkey", pa.int64())])),
+        n_buckets=nb,
+    ).map_batches(
+        lambda t: (t.drop_columns(["o_custkey"])
+                   .rename_columns(["l_orderkey", "c_nationkey"])
+                   if t.column_names else t),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_part(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t.column("l_extendedprice").to_numpy() * 100.0, 0
+        ).astype(np.int64)
+        dcents = round_half_away(
+            t.column("l_discount").to_numpy() * 100.0, 0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "s_suppkey": t.column("l_suppkey"),
+            "rev": pa.array(cents * (100 - dcents)),
+        })
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"]).map_batches(
+        line_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    ol = shuffle_join(
+        oc, line, on="l_orderkey", how="inner",
+        schemas=(pa.schema([("l_orderkey", pa.int64()),
+                            ("c_nationkey", pa.int64())]),
+                 pa.schema([("l_orderkey", pa.int64()),
+                            ("s_suppkey", pa.int64()),
+                            ("rev", pa.int64())])),
+        n_buckets=nb,
+    ).map_batches(
+        lambda t: t.drop_columns(["l_orderkey"]) if t.column_names else t,
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": pc.cast(t.column("s_suppkey"), pa.int64()),
+            "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int64())})
+        if t.column_names else t,
+        batch_format="pyarrow", zero_copy_batch=True)
+    final = shuffle_join(
+        ol, supp, on="s_suppkey", how="inner",
+        schemas=(pa.schema([("c_nationkey", pa.int64()),
+                            ("s_suppkey", pa.int64()),
+                            ("rev", pa.int64())]),
+                 pa.schema([("s_suppkey", pa.int64()),
+                            ("s_nationkey", pa.int64())])),
+        n_buckets=nb,
+    )
+
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "revenue_e4": pa.array([], pa.int64())})
+
+    def fin_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return empty
+        t = t.filter(pc.equal(t.column("c_nationkey"),
+                              t.column("s_nationkey")))
+        if t.num_rows == 0:
+            return empty
+        nm = ray.get(nref)
+        df = pd.DataFrame({
+            "n_name": [nm[int(k)] for k in
+                       t.column("c_nationkey").to_pylist()],
+            "revenue_e4": t.column("rev").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("n_name", sort=False, as_index=False)[
+            "revenue_e4"].sum()
+        g["revenue_e4"] = g["revenue_e4"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = final.map_batches(fin_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = F_agg.grouped_sum(parts, ["n_name"], empty)
+    return out.sort_values("revenue_e4", ascending=False,
+                           ignore_index=True)
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue_e4 DESC
+"""
+
+
+QUERIES.update({"q5_local_supplier_volume": QueryDef(
+    q5_local_supplier_volume, Q5_SQL)})

@@ -476,3 +476,36 @@ def test_conversion_lag_quartiles_match_expansion(ray_session):
     assert int(got["q1_s"]) == lags[(n + 3) // 4 - 1]
     assert int(got["median_s"]) == lags[(n + 1) // 2 - 1]
     assert int(got["q3_s"]) == lags[(3 * n + 3) // 4 - 1]
+
+
+def test_q5_matches_pandas_join(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["q5_local_supplier_volume"].fn(SF))
+    rd_ = lambda t, cols=None: pq.read_table(
+        f"{SF}/{t}.parquet", columns=cols).to_pandas()
+    reg = rd_("region")
+    nat = rd_("nation")
+    cust = rd_("customer", ["c_custkey", "c_nationkey"])
+    orders = rd_("orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = rd_("lineitem", ["l_orderkey", "l_suppkey",
+                            "l_extendedprice", "l_discount"])
+    supp = rd_("supplier", ["s_suppkey", "s_nationkey"])
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"],
+                     left_on="n_regionkey", right_on="r_regionkey")
+    orders = orders[(orders["o_orderdate"] >= "1996-01-01")
+                    & (orders["o_orderdate"] < "1997-01-01")]
+    j = (orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(line, left_on="o_orderkey", right_on="l_orderkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey"))
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    j = j.merge(asia, left_on="s_nationkey", right_on="n_nationkey")
+    cents = round_half_away(j["l_extendedprice"].to_numpy() * 100.0,
+                            0).astype(np.int64)
+    dc = round_half_away(j["l_discount"].to_numpy() * 100.0,
+                         0).astype(np.int64)
+    j["rev"] = cents * (100 - dc)
+    want = j.groupby("n_name")["rev"].sum().sort_values(ascending=False)
+    assert list(got["n_name"]) == list(want.index)
+    assert list(got["revenue_e4"]) == [int(x) for x in want.to_numpy()]
