@@ -14284,3 +14284,157 @@ GROUP BY n_name ORDER BY revenue_e4 DESC
 
 QUERIES.update({"q5_local_supplier_volume": QueryDef(
     q5_local_supplier_volume, Q5_SQL)})
+
+
+# --- CUPED-adjusted A/B metric: experimentation analytics --------------------
+
+def cuped_adjusted_metric(sf_dir: str):
+    """CUPED variance reduction — the experimentation-platform op: users
+    split A/B by fmix32 parity, per-user PRE-period value (first 15
+    days) as covariate X, post-period value as metric Y; the pooled
+    θ = cov(X,Y)/var(X) and pooled mean(X) are quantized ONCE (micro /
+    milli), then each variant reports its raw and CUPED-adjusted mean
+    (adjusted = mean(Y) − θ·(mean(X) − μX), all divisions truncation-
+    mirrored). Exact integers end to end — the five sufficient
+    statistics fold as Python ints (n·ΣXY passes 2^63 at scale), the
+    oracle mirrors with HUGEINT.
+
+    Distributed shape: per-batch per-user partial sums → ONE user
+    exchange (grouped sum) emitting per-variant sufficient-statistic
+    partials → tiny driver fold. Raw rows never leave their block."""
+    from etl_ray.functions import sketch as F_sketch
+
+    CUT = np.int64(pd.Timestamp("2024-01-16").value // 1000)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    part_empty = pa.table({"user_id": pa.array([], pa.int64()),
+                           "x": pa.array([], pa.int64()),
+                           "y": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        pre = ts_us < CUT
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "x": np.where(pre, vm, 0),
+            "y": np.where(pre, 0, vm),
+        })
+        g = df.groupby("user_id", sort=False, as_index=False)[
+            ["x", "y"]].sum()
+        g["x"] = g["x"].astype("int64")
+        g["y"] = g["y"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stat_cols = ["n", "sx", "sy", "sxx", "sxy"]
+    stat_empty = pa.table({"variant": pa.array([], pa.string()),
+                           **{c: pa.array([], pa.int64())
+                              for c in stat_cols}})
+
+    def stats_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return stat_empty
+        g = t.to_pandas().groupby("user_id", as_index=False)[
+            ["x", "y"]].sum()
+        hv = F_sketch._fmix32(
+            g["user_id"].to_numpy(np.uint64)) % np.uint64(2)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        rows = []
+        for v in (0, 1):
+            m = hv == v
+            # int64 per-partition partials; the cross-partition fold is
+            # Python-int (sxx/sxy pass 2^63 first)
+            rows.append(("A" if v == 0 else "B", int(m.sum()),
+                         int(x[m].sum()), int(y[m].sum()),
+                         int((x[m].astype(object) * x[m]).sum() or 0),
+                         int((x[m].astype(object) * y[m]).sum() or 0)))
+        out = pd.DataFrame(rows, columns=["variant", *stat_cols])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    stats = bucketed_groups(parts, "user_id", stats_partition,
+                            n_buckets=_buckets_for(sf_dir, "events"))
+    sp = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+    sdf = (pa.concat_tables(sp).to_pandas()
+           .astype({c: object for c in stat_cols})
+           .groupby("variant", as_index=False)[stat_cols].sum()
+           if sp else stat_empty.to_pandas())
+
+    def _tdiv(num: int, den: int) -> int:
+        q = abs(num) // abs(den)
+        return -q if (num < 0) != (den < 0) else q
+
+    tot = {c: int(sdf[c].sum()) for c in stat_cols}
+    n, sx, sy, sxx, sxy = (tot[c] for c in stat_cols)
+    var_num = n * sxx - sx * sx
+    theta_micro = _tdiv(1_000_000 * (n * sxy - sx * sy), var_num) \
+        if var_num else 0
+    mu_x_milli = _tdiv(sx, n) if n else 0
+    rows = []
+    for _, r in sdf.sort_values("variant").iterrows():
+        nv, sxv, syv = int(r["n"]), int(r["sx"]), int(r["sy"])
+        mean_y = _tdiv(1000 * syv, nv) if nv else 0
+        adj = mean_y - _tdiv(theta_micro * (sxv - nv * mu_x_milli),
+                             1000 * nv) if nv else 0
+        rows.append((r["variant"], nv, mean_y, adj))
+    out = pd.DataFrame(rows, columns=["variant", "n_users",
+                                      "mean_y_micro", "adj_mean_micro"])
+    out["theta_micro"] = np.int64(theta_micro)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _cuped_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT DISTINCT user_id, user_id % 4294967296 AS h0 FROM events",
+        ["user_id"],
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 1000, 0) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(round(value * 1000, 0) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS y
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT u.*, CASE WHEN f.hv % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM u JOIN ({fm}) f USING (user_id)
+), pooled AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM v
+), consts AS (
+  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0
+              ELSE 1000000 * (n * sxy - sx * sy)
+                   // (n * sxx - sx * sx) END AS theta_micro,
+         sx // n AS mu_x_milli
+  FROM pooled
+), per AS (
+  SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+         sum(x) AS sxv, sum(y) AS syv
+  FROM v GROUP BY variant
+)
+SELECT variant, CAST(nv AS BIGINT) AS n_users,
+       CAST(1000 * syv // nv AS BIGINT) AS mean_y_micro,
+       CAST(1000 * syv // nv
+            - (c.theta_micro * (sxv - nv * c.mu_x_milli)) // (1000 * nv)
+            AS BIGINT) AS adj_mean_micro,
+       CAST(c.theta_micro AS BIGINT) AS theta_micro
+FROM per, consts c ORDER BY variant
+"""
+
+
+QUERIES.update({"cuped_adjusted_metric": QueryDef(cuped_adjusted_metric,
+                                                  _cuped_sql())})

@@ -509,3 +509,37 @@ def test_q5_matches_pandas_join(ray_session):
     want = j.groupby("n_name")["rev"].sum().sort_values(ascending=False)
     assert list(got["n_name"]) == list(want.index)
     assert list(got["revenue_e4"]) == [int(x) for x in want.to_numpy()]
+
+
+def test_cuped_reduces_variance_and_is_exact(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["cuped_adjusted_metric"].fn(SF))
+    assert list(got["variant"]) == ["A", "B"]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    ev["vm"] = round_half_away(ev["value"].to_numpy() * 1000.0,
+                               0).astype(np.int64)
+    cut = pd.Timestamp("2024-01-16")
+    u = ev.groupby("user_id").apply(
+        lambda g: pd.Series({
+            "x": int(g.loc[g["ts"] < cut, "vm"].sum()),
+            "y": int(g.loc[g["ts"] >= cut, "vm"].sum())}),
+        include_groups=False)
+    hv = _fmix32(u.index.to_numpy(np.uint64)) % np.uint64(2)
+    x, y = u["x"].to_numpy(float), u["y"].to_numpy(float)
+    n = len(u)
+    theta = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2)
+    assert abs(int(got["theta_micro"].iloc[0]) / 1e6 - theta) < 1e-5
+    # CUPED reduces (or preserves) the pooled metric variance
+    adj = y - theta * (x - x.mean())
+    assert adj.var() <= y.var() + 1e-9
+    # per-variant exactness of the raw mean
+    for i, v in enumerate((0, 1)):
+        m = hv == v
+        assert int(got["n_users"].iloc[i]) == int(m.sum())
+        assert int(got["mean_y_micro"].iloc[i]) == int(
+            1000 * int(u["y"].to_numpy(np.int64)[m].sum()) // int(m.sum()))
