@@ -14438,3 +14438,99 @@ FROM per, consts c ORDER BY variant
 
 QUERIES.update({"cuped_adjusted_metric": QueryDef(cuped_adjusted_metric,
                                                   _cuped_sql())})
+
+
+# --- Mann-Whitney U: nonparametric two-sample location test ------------------
+
+def mannwhitney_u(sf_dir: str):
+    """Mann–Whitney U — the rank-based two-sample test completing the
+    drift/test suite (chi² for categories, KS for CDF shape, CUPED for
+    means; U for LOCATION without normality). Doubled-U convention
+    keeps ties exact in integers: 2·U₁ = Σ_g c₁[g]·(2·cum₂[<g] + c₂[g])
+    on the milli-value grid, plus the large-sample z-score in micro
+    units (σ from the tie-corrected variance, the only float — one
+    sqrt, rounded once; both engines share the identical double).
+
+    Distributed shape: the `ks_two_sample` grid fold — per-batch
+    (value, sample) count partials bounded by the value GRID, one
+    grouped-sum merge, grid-bounded scan."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    part_empty = pa.table({"vm": pa.array([], pa.int64()),
+                           "c1": pa.array([], pa.int64()),
+                           "c2": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+        keep = (et == "click") | (et == "purchase")
+        if not keep.any():
+            return part_empty
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False)[keep]
+            * 1000.0, 0).astype(np.int64)
+        is1 = (et[keep] == "click")
+        df = pd.DataFrame({"vm": vm,
+                           "c1": is1.astype(np.int64),
+                           "c2": (~is1).astype(np.int64)})
+        g = df.groupby("vm", sort=False, as_index=False)[["c1", "c2"]].sum()
+        g["c1"] = g["c1"].astype("int64")
+        g["c2"] = g["c2"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = F_agg.grouped_sum(parts, ["vm"], part_empty).sort_values(
+        "vm", ignore_index=True)
+    c1 = g["c1"].to_numpy(np.int64)
+    c2 = g["c2"].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    cum2 = np.concatenate(([0], c2.cumsum()))[:-1]  # cum2 strictly below
+    u2x = int((c1.astype(object) * (2 * cum2.astype(object) + c2)).sum())
+    # tie-corrected normal approximation (the lone float, shared op)
+    t_ = (c1 + c2).astype(np.float64)
+    n = float(n1 + n2)
+    tie = float(((t_ ** 3 - t_)).sum())
+    var = n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    z = ((u2x - n1 * n2) / 2.0) / math.sqrt(var) if var > 0 else 0.0
+    return pd.DataFrame({
+        "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+        "u1_doubled": [np.int64(u2x)],
+        "z_micro": [np.int64(round_half_away(np.array([z * 1e6]), 0)[0])],
+    })
+
+
+MANNWHITNEY_SQL = """
+WITH v AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS vm,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS s
+  FROM events WHERE event_type IN ('click', 'purchase')
+), g AS (
+  SELECT vm, count(*) FILTER (s = 1) AS c1,
+         count(*) FILTER (s = 2) AS c2
+  FROM v GROUP BY vm
+), c AS (
+  SELECT vm, c1, c2,
+         coalesce(sum(c2) OVER (ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum2
+  FROM g
+), s AS (
+  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c2) AS HUGEINT) AS n2,
+         sum(CAST(c1 AS HUGEINT) * (2 * cum2 + c2)) AS u2x,
+         sum(CAST(c1 + c2 AS DOUBLE) ** 3 - (c1 + c2)) AS tie
+  FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(u2x AS BIGINT) AS u1_doubled,
+       CAST(round(
+         ((CAST(u2x AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) / 2.0)
+         / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                   - tie / (CAST(n1 + n2 AS DOUBLE)
+                            * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+         * 1000000, 0) AS BIGINT) AS z_micro
+FROM s
+"""
+
+
+QUERIES.update({"mannwhitney_u": QueryDef(mannwhitney_u, MANNWHITNEY_SQL)})

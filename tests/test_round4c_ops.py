@@ -543,3 +543,36 @@ def test_cuped_reduces_variance_and_is_exact(ray_session):
         assert int(got["n_users"].iloc[i]) == int(m.sum())
         assert int(got["mean_y_micro"].iloc[i]) == int(
             1000 * int(u["y"].to_numpy(np.int64)[m].sum()) // int(m.sum()))
+
+
+def test_mannwhitney_matches_scipy_convention(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["mannwhitney_u"].fn(SF)).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    a = round_half_away(
+        ev.loc[ev["event_type"] == "click", "value"].to_numpy() * 1000.0,
+        0).astype(np.int64)
+    b = round_half_away(
+        ev.loc[ev["event_type"] == "purchase", "value"].to_numpy()
+        * 1000.0, 0).astype(np.int64)
+    # brute-force doubled U1: wins count 2, ties count 1
+    u2 = 0
+    bs = np.sort(b)
+    for x in a:
+        lt = np.searchsorted(bs, x, side="left")
+        eq = np.searchsorted(bs, x, side="right") - lt
+        u2 += 2 * lt + eq
+    assert int(got["u1_doubled"]) == u2
+    assert int(got["n1"]) == len(a) and int(got["n2"]) == len(b)
+    try:
+        from scipy.stats import mannwhitneyu  # noqa
+
+        have_scipy = True
+    except Exception:
+        have_scipy = False
+    if have_scipy:
+        res = mannwhitneyu(a, b, alternative="two-sided", method="asymptotic")
+        assert abs(u2 / 2 - res.statistic) < 1e-9
