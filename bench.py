@@ -202,7 +202,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cdc_erasure", "content_chunks", "postings_compression",
         "code_switch_windows", "user_split_assign",
         "conversion_lag_quartiles", "q5_local_supplier_volume",
-        "cuped_adjusted_metric", "mannwhitney_u",
+        "cuped_adjusted_metric", "mannwhitney_u", "kaplan_meier",
     ]
     q_times = {}
     q_stats = {}

@@ -14534,3 +14534,125 @@ FROM s
 
 
 QUERIES.update({"mannwhitney_u": QueryDef(mannwhitney_u, MANNWHITNEY_SQL)})
+
+
+# --- Kaplan-Meier: time-to-conversion survival with censoring ----------------
+
+def kaplan_meier(sf_dir: str):
+    """Kaplan–Meier estimator — survival analysis for conversion ("how
+    long until a user purchases, given many never do"): per user the
+    duration from first event to first purchase (event) or to last
+    event (right-censored). At every distinct event time: risk-set
+    size, conversions d, censorings c, and the survival estimate
+    Π(1−d/n) — carried as Σln(1−d/n) over the SAME sorted order on
+    both engines (sequential accumulation, identical libm doubles),
+    rounded once to micro. All other columns are exact integers.
+
+    Distributed shape: per-batch per-user (first ts, first purchase,
+    last ts) combiners → ONE user exchange → duration-grid counts
+    (seconds grid, window-bounded) → grid fold for the risk-set scan."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    SENT = np.int64(1 << 62)
+    part_empty = pa.table({"user_id": pa.array([], pa.int64()),
+                           "t0": pa.array([], pa.int64()),
+                           "tp": pa.array([], pa.int64()),
+                           "tl": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        et = t.column("event_type").to_pandas().to_numpy(dtype=object)
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+            "t0": ts_us,
+            "tp": np.where(et == "purchase", ts_us, SENT),
+            "tl": -ts_us,
+        })
+        g = df.groupby("user_id", sort=False, as_index=False).min()
+        for c in ("t0", "tp", "tl"):
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt_empty = pa.table({"dur_s": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+
+    def dur_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cnt_empty
+        g = t.to_pandas().groupby("user_id", as_index=False).min()
+        t0 = g["t0"].to_numpy(np.int64)
+        tp = g["tp"].to_numpy(np.int64)
+        tl = -g["tl"].to_numpy(np.int64)
+        conv = (tp < SENT) & (tp > t0)
+        dur = np.where(conv, tp - t0, tl - t0) // 1_000_000
+        keep = dur > 0  # zero-duration users carry no information
+        df = pd.DataFrame({"dur_s": dur[keep].astype(np.int64),
+                           "d": conv[keep].astype(np.int64),
+                           "c": (~conv[keep]).astype(np.int64)})
+        gg = df.groupby("dur_s", sort=False, as_index=False)[
+            ["d", "c"]].sum()
+        for cc in ("d", "c"):
+            gg[cc] = gg[cc].astype("int64")
+        return pa.Table.from_pandas(gg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = bucketed_groups(parts, "user_id", dur_partition,
+                             n_buckets=_buckets_for(sf_dir, "events"))
+    g = F_agg.grouped_sum(counts, ["dur_s"], cnt_empty).sort_values(
+        "dur_s", ignore_index=True)
+    d = g["d"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    tot = int((d + c).sum())
+    n_risk = tot - np.concatenate(([0], (d + c).cumsum()))[:-1]
+    keep = d > 0  # KM steps only at event times
+    lnterm = np.log(1.0 - d[keep].astype(np.float64)
+                    / n_risk[keep].astype(np.float64))
+    surv = np.exp(lnterm.cumsum())
+    return pd.DataFrame({
+        "dur_s": g["dur_s"].to_numpy(np.int64)[keep],
+        "n_risk": n_risk[keep].astype(np.int64),
+        "d": d[keep],
+        "c_before": c[keep],
+        "surv_micro": round_half_away(surv * 1e6, 0).astype(np.int64),
+    })
+
+
+KAPLAN_MEIER_SQL = """
+WITH u AS (
+  SELECT user_id, min(ts) AS t0, max(ts) AS tl,
+         min(ts) FILTER (event_type = 'purchase') AS tp
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT CASE WHEN tp IS NOT NULL AND tp > t0
+              THEN (epoch_us(tp) - epoch_us(t0)) // 1000000
+              ELSE (epoch_us(tl) - epoch_us(t0)) // 1000000 END AS dur_s,
+         CASE WHEN tp IS NOT NULL AND tp > t0 THEN 1 ELSE 0 END AS ev
+  FROM u
+), g AS (
+  SELECT dur_s, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(count(*) - sum(ev) AS BIGINT) AS c
+  FROM dur WHERE dur_s > 0 GROUP BY dur_s
+), r AS (
+  SELECT dur_s, d, c,
+         CAST(sum(d + c) OVER () AS BIGINT)
+           - CAST(coalesce(sum(d + c) OVER (ORDER BY dur_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+  FROM g
+), s AS (
+  SELECT dur_s, n_risk, d, c,
+         exp(sum(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY dur_s)) AS surv
+  FROM r WHERE d > 0
+)
+SELECT dur_s, n_risk, d, c AS c_before,
+       CAST(round(surv * 1000000, 0) AS BIGINT) AS surv_micro
+FROM s
+"""
+
+
+QUERIES.update({"kaplan_meier": QueryDef(kaplan_meier, KAPLAN_MEIER_SQL)})

@@ -576,3 +576,33 @@ def test_mannwhitney_matches_scipy_convention(ray_session):
     if have_scipy:
         res = mannwhitneyu(a, b, alternative="two-sided", method="asymptotic")
         assert abs(u2 / 2 - res.statistic) < 1e-9
+
+
+def test_kaplan_meier_matches_textbook(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["kaplan_meier"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    durs = []
+    for _, g in ev.groupby("user_id"):
+        t0, tl = g["ts"].min(), g["ts"].max()
+        p = g.loc[g["event_type"] == "purchase", "ts"]
+        if len(p) and p.min() > t0:
+            durs.append(((p.min() - t0).value // 10**9, 1))
+        else:
+            durs.append(((tl - t0).value // 10**9, 0))
+    durs = [(t, e) for t, e in durs if t > 0]
+    times = sorted({t for t, e in durs if e == 1})
+    surv, prev = {}, 1.0
+    for t in times:
+        n_risk = sum(1 for tt, _ in durs if tt >= t)
+        d = sum(1 for tt, e in durs if tt == t and e == 1)
+        prev *= 1.0 - d / n_risk
+        surv[t] = (n_risk, d, prev)
+    assert len(got) == len(times)
+    for _, r in got.iterrows():
+        n_risk, d, s = surv[int(r["dur_s"])]
+        assert int(r["n_risk"]) == n_risk and int(r["d"]) == d
+        assert abs(int(r["surv_micro"]) / 1e6 - s) < 2e-6
+    # survival is monotonically non-increasing
+    assert (np.diff(got["surv_micro"].to_numpy()) <= 0).all()
