@@ -286,6 +286,11 @@ class ReplayEngine:
     ):
         self.store = ManifestStore(lake_dir)
         self.lake_dir = lake_dir
+        #: writer-fence epoch (state/manifest.py:fence) — claimed lazily
+        #: before the first commit-producing operation of this engine,
+        #: re-claimed per replay() call; a zombie engine resuming after
+        #: another driver advanced the lake fails loudly at its commit
+        self._epoch: int | None = None
         current = self.store.current()
         if current is not None and current.num_partitions:
             num_partitions = current.num_partitions
@@ -349,6 +354,13 @@ class ReplayEngine:
                 "ETL_RAY_ENSURE_ACTORS: the actor merge path does not "
                 "stage change files — disable one of the two"
             )
+
+    def _fence_epoch(self) -> int:
+        """The engine's writer fence, claimed lazily before the first
+        commit-producing operation (replay() re-claims per call)."""
+        if self._epoch is None:
+            self._epoch = self.store.fence()
+        return self._epoch
 
     @contextmanager
     def _parallelism_scope(self):
@@ -633,6 +645,7 @@ class ReplayEngine:
         files = (
             events_path if isinstance(events_path, list) else list_segments(events_path)
         )
+        self._epoch = self.store.fence()
         schema = unified_schema(files)
         current = self.store.current()
         files_done = current.log_files_done if current else 0
@@ -1024,7 +1037,7 @@ class ReplayEngine:
         agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
         agg["wall_sec"] = round(time.perf_counter() - t0, 4)
         m.metrics = agg
-        self.store.commit(m)  # ← the exactly-once boundary
+        self.store.commit(m, epoch=self._fence_epoch())  # ← the exactly-once boundary
         return agg
 
     def _stage_rejects(self, window: Window, staging: str, ckpt_id: int) -> dict:
@@ -1205,7 +1218,7 @@ class ReplayEngine:
             rejects=dict(m.rejects),
             changes=dict(m.changes),
         )
-        self.store.commit(new_m)
+        self.store.commit(new_m, epoch=self._fence_epoch())
         # sync the LIVE engine: subsequent apply()/replay() on this
         # instance must route by the new layout (a stale
         # self.num_partitions silently splits keys across layouts)
@@ -1275,7 +1288,7 @@ class ReplayEngine:
             entry["file"] = self.store.rel_path(out)
             entry["ckpt"] = ckpt_id
             new_m.partitions[p] = entry
-        self.store.commit(new_m)
+        self.store.commit(new_m, epoch=self._fence_epoch())
         return {"compacted": len(chained), "checkpoint_id": ckpt_id}
 
     def export(

@@ -35,6 +35,12 @@ MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 
 
+class StaleWriterError(RuntimeError):
+    """A writer with an older fence epoch tried to commit after a newer
+    writer already committed — the zombie-driver failure mode (a paused
+    replay resuming against a lake another driver has since advanced)."""
+
+
 @dataclass
 class Manifest:
     checkpoint_id: int = -1
@@ -65,6 +71,13 @@ class Manifest:
     #: chained fingerprint of the consumed (name, rows) prefix —
     #: sources/events.py:chain_fingerprint; verified loudly on resume
     log_fingerprint: str = ""
+    #: optimistic-concurrency fence: the epoch of the writer that
+    #: committed this manifest (0 = unfenced/legacy). Epochs are claimed
+    #: atomically (O_EXCL claim files) and never recycled — rollback
+    #: moves the pointer, not the epoch domain — so a zombie writer
+    #: resuming after a pause always holds a LOWER epoch than any newer
+    #: writer and is rejected at its next commit.
+    writer_epoch: int = 0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
@@ -107,8 +120,41 @@ class ManifestStore:
         with open(p) as f:
             return Manifest.from_json(f.read())
 
-    def commit(self, m: Manifest) -> None:
-        """Two-phase: write numbered manifest, then swap the pointer."""
+    def fence(self) -> int:
+        """Claim the next writer epoch atomically (O_CREAT|O_EXCL claim
+        file — POSIX-atomic, exactly one claimant per epoch). Claim files
+        survive rollback, so epochs are never recycled."""
+        cur = self.current()
+        e = (cur.writer_epoch if cur else 0) + 1
+        d = os.path.join(self.lake_dir, MANIFEST_DIR)
+        while True:
+            try:
+                fd = os.open(os.path.join(d, f"epoch-{e:06d}.claim"),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return e
+            except FileExistsError:
+                e += 1
+
+    def commit(self, m: Manifest, epoch: int | None = None) -> None:
+        """Two-phase: write numbered manifest, then swap the pointer.
+
+        With ``epoch`` (from :meth:`fence`), the commit is rejected when
+        a NEWER writer has already committed — optimistic concurrency on
+        the pointer. This fences the realistic multi-writer failure (a
+        zombie driver resuming a paused replay); it is not a byte-level
+        CAS — two writers racing inside the read-swap window need an
+        external catalog, the same caveat Iceberg has on bare POSIX."""
+        if epoch is not None:
+            cur = self.current()
+            if cur is not None and cur.writer_epoch > epoch:
+                raise StaleWriterError(
+                    f"writer epoch {epoch} is stale: the lake was advanced "
+                    f"by epoch {cur.writer_epoch} (checkpoint "
+                    f"{cur.checkpoint_id}); this driver must re-read the "
+                    f"manifest and re-plan before writing"
+                )
+            m.writer_epoch = epoch
         numbered = os.path.join(
             self.lake_dir, MANIFEST_DIR, f"manifest-{m.checkpoint_id:06d}.json"
         )

@@ -130,7 +130,7 @@ def test_repartition_crash_before_swap_is_recoverable(lake, monkeypatch):
     ckpt_before = eng.store.current().checkpoint_id
     real_commit = ManifestStore.commit
 
-    def boom(self, m):
+    def boom(self, m, epoch=None):
         raise RuntimeError("simulated crash before repartition swap")
 
     monkeypatch.setattr(ManifestStore, "commit", boom)

@@ -104,7 +104,7 @@ def test_crash_between_staging_and_swap(ray_session, tmp_path, monkeypatch):
 
     real_commit = ManifestStore.commit
 
-    def boom(self, m):
+    def boom(self, m, epoch=None):
         raise RuntimeError("simulated crash before manifest swap")
 
     monkeypatch.setattr(ManifestStore, "commit", boom)
