@@ -203,6 +203,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "code_switch_windows", "user_split_assign",
         "conversion_lag_quartiles", "q5_local_supplier_volume",
         "cuped_adjusted_metric", "mannwhitney_u", "kaplan_meier",
+        "did_estimator", "benford_deviation", "daily_autocorr",
     ]
     q_times = {}
     q_stats = {}

@@ -14656,3 +14656,271 @@ FROM s
 
 
 QUERIES.update({"kaplan_meier": QueryDef(kaplan_meier, KAPLAN_MEIER_SQL)})
+
+
+# --- difference-in-differences: the quasi-experimental estimator -------------
+
+def did_estimator(sf_dir: str):
+    """Difference-in-differences — the quasi-experimental companion to
+    `cuped_adjusted_metric`: users split A/B by fmix32 parity, periods
+    split at 2024-01-16; DiD = (B̄post − B̄pre) − (Āpost − Āpre) over
+    per-event values. Four cell means micro-quantized with the SAME
+    truncated division on both engines, the estimator composed from the
+    quantized means (so the gate pins every intermediate, not just the
+    headline number).
+
+    Zero-shuffle: per-batch 4-cell combiners (sum, n), tiny driver fold."""
+    from etl_ray.functions import sketch as F_sketch
+
+    CUT = np.int64(pd.Timestamp("2024-01-16").value // 1000)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    cells = ["a_pre", "a_post", "b_pre", "b_post"]
+    part_empty = pa.table({"cell": pa.array([], pa.string()),
+                           "s": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        hv = F_sketch._fmix32(u.astype(np.uint64)) % np.uint64(2)
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        cell = np.where(hv == 0,
+                        np.where(ts_us < CUT, "a_pre", "a_post"),
+                        np.where(ts_us < CUT, "b_pre", "b_post"))
+        df = pd.DataFrame({"cell": cell, "s": vm, "n": np.int64(1)})
+        g = df.groupby("cell", sort=False, as_index=False)[["s", "n"]].sum()
+        g["s"] = g["s"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = F_agg.grouped_sum(parts, ["cell"], part_empty).set_index("cell")
+
+    def mean_micro(c: str) -> int:
+        s, n = int(g.loc[c, "s"]), int(g.loc[c, "n"])
+        return (1000 * s) // n if n else 0  # values non-negative
+
+    m = {c: mean_micro(c) for c in cells}
+    did = (m["b_post"] - m["b_pre"]) - (m["a_post"] - m["a_pre"])
+    out = pd.DataFrame({
+        **{f"mean_{c}_micro": [np.int64(m[c])] for c in cells},
+        **{f"n_{c}": [np.int64(int(g.loc[c, "n"]) if c in g.index else 0)]
+           for c in cells},
+        "did_micro": [np.int64(did)],
+    })
+    return out
+
+
+def _did_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT ts, value, user_id % 4294967296 AS h0 FROM events",
+        ["ts", "value"],
+    )
+    return f"""
+WITH f AS ({fm}),
+c AS (
+  SELECT CASE WHEN hv % 2 = 0 THEN 'a' ELSE 'b' END
+           || CASE WHEN ts < TIMESTAMP '2024-01-16'
+                   THEN '_pre' ELSE '_post' END AS cell,
+         CAST(round(value * 1000, 0) AS BIGINT) AS vm
+  FROM f
+), g AS (
+  SELECT cell, CAST(sum(vm) AS HUGEINT) AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM c GROUP BY cell
+), m AS (
+  SELECT
+    CAST(max(CASE WHEN cell = 'a_pre' THEN 1000 * s // n END)
+         AS BIGINT) AS mean_a_pre_micro,
+    CAST(max(CASE WHEN cell = 'a_post' THEN 1000 * s // n END)
+         AS BIGINT) AS mean_a_post_micro,
+    CAST(max(CASE WHEN cell = 'b_pre' THEN 1000 * s // n END)
+         AS BIGINT) AS mean_b_pre_micro,
+    CAST(max(CASE WHEN cell = 'b_post' THEN 1000 * s // n END)
+         AS BIGINT) AS mean_b_post_micro,
+    CAST(max(CASE WHEN cell = 'a_pre' THEN n END) AS BIGINT) AS n_a_pre,
+    CAST(max(CASE WHEN cell = 'a_post' THEN n END) AS BIGINT) AS n_a_post,
+    CAST(max(CASE WHEN cell = 'b_pre' THEN n END) AS BIGINT) AS n_b_pre,
+    CAST(max(CASE WHEN cell = 'b_post' THEN n END) AS BIGINT) AS n_b_post
+  FROM g
+)
+SELECT mean_a_pre_micro, mean_a_post_micro, mean_b_pre_micro,
+       mean_b_post_micro, n_a_pre, n_a_post, n_b_pre, n_b_post,
+       CAST((mean_b_post_micro - mean_b_pre_micro)
+            - (mean_a_post_micro - mean_a_pre_micro) AS BIGINT)
+         AS did_micro
+FROM m
+"""
+
+
+QUERIES.update({"did_estimator": QueryDef(did_estimator, _did_sql())})
+
+
+# --- Benford first-digit deviation: data forensics ---------------------------
+
+_BENFORD_MICRO = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                  6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_deviation(sf_dir: str):
+    """Benford first-digit audit — the data-forensics screen (fabricated
+    or unit-mangled numeric feeds violate the log-law long before any
+    schema check fires). First significant digit taken from the milli
+    integer's decimal string (identical on both engines — no log10
+    boundary risk); expected probabilities are SHARED micro constants
+    (round(log10(1+1/d)·1e6)). Per digit: count, observed frequency
+    (micro, truncated), expected, and the signed deviation.
+
+    Zero-shuffle: per-batch digit-count combiners, 9-row fold."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    part_empty = pa.table({"digit": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        vm = vm[vm > 0]
+        if not len(vm):
+            return part_empty
+        first = pd.Series(vm).astype(str).str[0].astype(np.int64)
+        c = first.value_counts()
+        return pa.table({"digit": pa.array(c.index.to_numpy(np.int64)),
+                         "n": pa.array(c.to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = F_agg.grouped_sum(parts, ["digit"], part_empty).set_index("digit")
+    total = int(g["n"].sum())
+    rows = []
+    for d in range(1, 10):
+        n = int(g.loc[d, "n"]) if d in g.index else 0
+        freq = (1_000_000 * n) // total if total else 0
+        rows.append((d, n, freq, _BENFORD_MICRO[d],
+                     freq - _BENFORD_MICRO[d]))
+    return pd.DataFrame(rows, columns=["digit", "n", "freq_micro",
+                                       "benford_micro", "dev_micro"]
+                        ).astype("int64")
+
+
+def _benford_sql() -> str:
+    vals = ", ".join(f"({d}, {m})" for d, m in _BENFORD_MICRO.items())
+    return f"""
+WITH v AS (
+  SELECT CAST(round(value * 1000, 0) AS BIGINT) AS vm FROM events
+  WHERE CAST(round(value * 1000, 0) AS BIGINT) > 0
+), f AS (
+  SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v
+), c AS (
+  SELECT digit, count(*) AS n FROM f GROUP BY digit
+), t AS (SELECT sum(n) AS total FROM c),
+b(digit, benford_micro) AS (VALUES {vals})
+SELECT b.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       CAST(1000000 * coalesce(c.n, 0) // t.total AS BIGINT) AS freq_micro,
+       CAST(b.benford_micro AS BIGINT) AS benford_micro,
+       CAST(1000000 * coalesce(c.n, 0) // t.total
+            - b.benford_micro AS BIGINT) AS dev_micro
+FROM b LEFT JOIN c USING (digit), t
+"""
+
+
+QUERIES.update({"benford_deviation": QueryDef(benford_deviation,
+                                              _benford_sql())})
+
+
+# --- daily-count autocorrelation: time-series memory -------------------------
+
+def daily_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — the
+    time-series MEMORY diagnostic (CUSUM finds level shifts, the slope
+    finds trend; r₁ answers "does yesterday predict today"). Pearson r
+    over consecutive-day pairs of the observed-day series; the five
+    sufficient statistics are exact integers, the numerator and both
+    variance terms are emitted exactly, and r itself takes the one
+    shared sqrt, rounded to micro.
+
+    Distributed shape: per-batch (day, count) combiners → day-grid
+    merge (calendar-bounded) → vectorized pair fold."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+    part_empty = pa.table({"day_id": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = ts_us // 86_400_000_000
+        c = pd.Series(day).value_counts()
+        return pa.table({"day_id": pa.array(c.index.to_numpy(np.int64)),
+                         "n": pa.array(c.to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    g = F_agg.grouped_sum(parts, ["day_id"], part_empty).sort_values(
+        "day_id", ignore_index=True)
+    x = g["n"].to_numpy(np.int64)
+    if len(x) < 2:
+        return pd.DataFrame({"n_pairs": [np.int64(0)],
+                             "num": [np.int64(0)],
+                             "varx": [np.int64(0)],
+                             "vary": [np.int64(0)],
+                             "r1_micro": [np.int64(0)]})
+    a, b = x[:-1].astype(object), x[1:].astype(object)
+    np_ = len(a)
+    sx, sy = int(sum(a)), int(sum(b))
+    sxx = int(sum(a * a))
+    syy = int(sum(b * b))
+    sxy = int(sum(a * b))
+    num = np_ * sxy - sx * sy
+    varx = np_ * sxx - sx * sx
+    vary = np_ * syy - sy * sy
+    r1 = num / math.sqrt(float(varx) * float(vary)) \
+        if varx > 0 and vary > 0 else 0.0
+    return pd.DataFrame({
+        "n_pairs": [np.int64(np_)], "num": [np.int64(num)],
+        "varx": [np.int64(varx)], "vary": [np.int64(vary)],
+        "r1_micro": [np.int64(round_half_away(
+            np.array([r1 * 1e6]), 0)[0])],
+    })
+
+
+DAILY_AUTOCORR_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_id, count(*) AS n
+  FROM events GROUP BY day_id
+), p AS (
+  SELECT n AS x, lead(n) OVER (ORDER BY day_id) AS y FROM d
+), q AS (
+  SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM p WHERE y IS NOT NULL
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS np_, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM q
+)
+SELECT CAST(np_ AS BIGINT) AS n_pairs,
+       CAST(np_ * sxy - sx * sy AS BIGINT) AS num,
+       CAST(np_ * sxx - sx * sx AS BIGINT) AS varx,
+       CAST(np_ * syy - sy * sy AS BIGINT) AS vary,
+       CAST(round(CAST(np_ * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(np_ * sxx - sx * sx AS DOUBLE)
+                         * CAST(np_ * syy - sy * sy AS DOUBLE))
+                  * 1000000, 0) AS BIGINT) AS r1_micro
+FROM s
+"""
+
+
+QUERIES.update({"daily_autocorr": QueryDef(daily_autocorr,
+                                           DAILY_AUTOCORR_SQL)})

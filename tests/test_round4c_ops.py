@@ -606,3 +606,42 @@ def test_kaplan_meier_matches_textbook(ray_session):
         assert abs(int(r["surv_micro"]) / 1e6 - s) < 2e-6
     # survival is monotonically non-increasing
     assert (np.diff(got["surv_micro"].to_numpy()) <= 0).all()
+
+
+def test_did_composes_from_cell_means(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["did_estimator"].fn(SF)).iloc[0]
+    assert int(got["did_micro"]) == (
+        int(got["mean_b_post_micro"]) - int(got["mean_b_pre_micro"])
+    ) - (int(got["mean_a_post_micro"]) - int(got["mean_a_pre_micro"]))
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    assert sum(int(got[f"n_{c}"]) for c in
+               ("a_pre", "a_post", "b_pre", "b_post")) == len(ev)
+
+
+def test_benford_frequencies_sum_and_sign(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["benford_deviation"].fn(SF))
+    assert list(got["digit"]) == list(range(1, 10))
+    total = int(got["n"].sum())
+    assert total > 0
+    # truncated frequencies sum to ≤ 1e6 and within 9 micro of it
+    s = int(got["freq_micro"].sum())
+    assert 1_000_000 - 9 <= s <= 1_000_000
+    assert (got["dev_micro"] == got["freq_micro"]
+            - got["benford_micro"]).all()
+
+
+def test_daily_autocorr_matches_numpy(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["daily_autocorr"].fn(SF)).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    day = (ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    x = pd.Series(day).value_counts().sort_index().to_numpy(np.float64)
+    r = np.corrcoef(x[:-1], x[1:])[0, 1]
+    assert int(got["n_pairs"]) == len(x) - 1
+    assert abs(int(got["r1_micro"]) / 1e6 - r) < 2e-6
