@@ -14924,3 +14924,162 @@ FROM s
 
 QUERIES.update({"daily_autocorr": QueryDef(daily_autocorr,
                                            DAILY_AUTOCORR_SQL)})
+
+
+# --- rank-biased overlap: retrieval-ranking agreement ------------------------
+
+_RBO_W_NANO = [100000000, 90000000, 81000000, 72900000, 65610000,
+               59049000, 53144100, 47829690, 43046721, 38742049,
+               34867844, 31381060, 28242954, 25418658, 22876792,
+               20589113, 18530202, 16677182, 15009464, 13508517]
+
+
+def rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (p=0.9, depth 20) between the DENSE and
+    LEXICAL rankings `rrf_fusion` fuses — the retrieval-eval metric that
+    answers "do my two retrievers even agree?" (Webber et al.'s RBO,
+    top-weighted unlike Kendall). Depth weights (1−p)·p^(d−1) are SHARED
+    nano constants; per-depth agreement counts are exact integers;
+    rbo_nano = Σ w_d·|A_d ∩ B_d| // d with truncated per-term division.
+
+    Distributed shape: the two bounded top-20 lists come from the same
+    per-batch bounded top-k partials as `rrf_fusion` (query broadcast,
+    corpus streamed); the RBO fold closes over 40 rows driver-side."""
+    import re as _re
+
+    K = 20
+    q_vec_t = pq.read_table(_p(sf_dir, "embeddings"),
+                            filters=[("vec_id", "=", 0)])
+    qv = round_half_away(np.asarray(
+        q_vec_t.column("embedding").to_pylist()[0], dtype=np.float64)
+        * 1000.0, 0).astype(np.int64)
+    q_doc_t = pq.read_table(_p(sf_dir, "documents"),
+                            filters=[("doc_id", "=", 0)], columns=["text"])
+    q_text = (q_doc_t.column("text").to_pylist()[0] or "").lower()
+    q_tokens = np.array(sorted(set(_re.findall(r"\S+", q_text))))
+    qv_ref, qt_ref = ray.put(qv), ray.put(q_tokens)
+
+    cand_empty = pa.table({"signal": pa.array([], pa.string()),
+                           "doc_id": pa.array([], pa.int64()),
+                           "score": pa.array([], pa.int64())})
+
+    def dense_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cand_empty
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ids != 0
+        if not keep.any():
+            return cand_empty
+        ids = ids[keep]
+        codes = round_half_away(
+            np.stack(t.column("embedding").to_pandas().to_numpy()[keep]
+                     ).astype(np.float64) * 1000.0, 0).astype(np.int64)
+        dot = codes @ ray.get(qv_ref)
+        sel = np.lexsort((ids, -dot))[:K]
+        return pa.table({"signal": pa.array(["a"] * len(sel)),
+                         "doc_id": pa.array(ids[sel]),
+                         "score": pa.array(dot[sel])})
+
+    def lexical_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cand_empty
+        keep = pc.not_equal(t.column("doc_id"), 0)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return cand_empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""].drop_duplicates()
+        df = df[df["token"].isin(ray.get(qt_ref))]
+        g = df.groupby("doc_id", sort=False).size().reset_index(name="score")
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable").head(K)
+        return pa.table({"signal": pa.array(["b"] * len(g)),
+                         "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                         "score": pa.array(g["score"].to_numpy(np.int64))})
+
+    dense = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]
+                  ).map_batches(dense_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    lex = _read(sf_dir, "documents", columns=["doc_id", "text"]
+                ).map_batches(lexical_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    parts = [t for t in ray.get(dense.union(lex).to_arrow_refs())
+             if t.num_rows and t.column_names]
+    cand = (pa.concat_tables(parts).to_pandas()
+            if parts else cand_empty.to_pandas())
+
+    def top_list(sig):
+        g = cand[cand["signal"] == sig].sort_values(
+            ["score", "doc_id"], ascending=[False, True],
+            kind="stable").head(K)
+        return g["doc_id"].to_numpy(np.int64)
+
+    A, B = top_list("a"), top_list("b")
+    rows = []
+    rbo = 0
+    for d in range(1, K + 1):
+        ov = len(set(A[:d]) & set(B[:d]))
+        term = (_RBO_W_NANO[d - 1] * ov) // d
+        rbo += term
+        rows.append((d, ov, term))
+    out = pd.DataFrame(rows, columns=["depth", "overlap", "term_nano"]
+                       ).astype("int64")
+    out["rbo_nano"] = np.int64(rbo)
+    return out
+
+
+def _rbo_sql() -> str:
+    w = ", ".join(f"({d + 1}, {v})" for d, v in enumerate(_RBO_W_NANO))
+    return f"""
+WITH qv AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+), dots AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q) + 1),
+           j -> q[j] * CAST(round(CAST(e.embedding AS DOUBLE[])[j] * 1000,
+                                  0) AS BIGINT))) AS dot
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+), la AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS ra
+  FROM dots QUALIFY ra <= 20
+), qt AS (
+  SELECT DISTINCT unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id = 0
+), dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id <> 0
+), ovl AS (
+  SELECT d.doc_id, count(*) AS score
+  FROM dt d JOIN qt USING (token) GROUP BY d.doc_id
+), lb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+  FROM ovl QUALIFY rb <= 20
+), w(depth, w_nano) AS (VALUES {w}),
+o AS (
+  SELECT w.depth, w.w_nano,
+         (SELECT count(*) FROM la JOIN lb USING (doc_id)
+          WHERE la.ra <= w.depth AND lb.rb <= w.depth) AS overlap
+  FROM w
+), t AS (
+  SELECT depth, overlap,
+         CAST(w_nano * overlap // depth AS BIGINT) AS term_nano
+  FROM o
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
+       term_nano, CAST(sum(term_nano) OVER () AS BIGINT) AS rbo_nano
+FROM t
+"""
+
+
+QUERIES.update({"rbo_rankings": QueryDef(rbo_rankings, _rbo_sql())})

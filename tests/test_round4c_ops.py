@@ -645,3 +645,21 @@ def test_daily_autocorr_matches_numpy(ray_session):
     r = np.corrcoef(x[:-1], x[1:])[0, 1]
     assert int(got["n_pairs"]) == len(x) - 1
     assert abs(int(got["r1_micro"]) / 1e6 - r) < 2e-6
+
+
+def test_rbo_bounds_and_monotone_weights(ray_session):
+    from etl_ray.pipelines.queries import _RBO_W_NANO, QUERIES
+
+    got = _df(QUERIES["rbo_rankings"].fn(SF))
+    assert list(got["depth"]) == list(range(1, 21))
+    # overlap at depth d is within [0, d] and grows by at most 2 per step
+    ov = got["overlap"].to_numpy(np.int64)
+    assert ((ov >= 0) & (ov <= got["depth"].to_numpy())).all()
+    assert (np.diff(ov) >= 0).all() and (np.diff(ov) <= 2).all()
+    # rbo_nano equals the term sum and stays within [0, ~0.878e9] (the
+    # depth-20 truncation of the p=0.9 series)
+    assert int(got["rbo_nano"].iloc[0]) == int(got["term_nano"].sum())
+    assert 0 <= int(got["rbo_nano"].iloc[0]) <= sum(_RBO_W_NANO)
+    # identical lists would give exactly sum(w); a shuffled-disjoint
+    # pair gives 0 — the metric is discriminative on this corpus
+    assert 0 < int(got["rbo_nano"].iloc[0]) < sum(_RBO_W_NANO)
