@@ -15083,3 +15083,141 @@ FROM t
 
 
 QUERIES.update({"rbo_rankings": QueryDef(rbo_rankings, _rbo_sql())})
+
+
+# --- frequent itemset mining: Apriori triples over doc vocabularies ----------
+
+def frequent_triples(sf_dir: str):
+    """Apriori frequent-triple mining — the itemset step BEYOND pairs
+    (`assoc_event_pairs`/`bigram_pmi` stop at 2): items = distinct doc
+    tokens, support = docs containing all three, minsup = 80% of the
+    corpus. The candidate ladder is the real Apriori: L1 (frequent
+    items) → L2 (frequent pairs over L1) → C3 pruned to triples whose
+    THREE sub-pairs are all frequent → L3 counted. Exact integers.
+
+    Distributed shape: one distinct-(doc,token) pass; L1/L2/L3 counting
+    are per-batch combiners over spaces bounded by |L1| (broadcast,
+    vocab-sized — never corpus-sized); candidate pruning runs driver-
+    side on the bounded L2 set."""
+    from itertools import combinations
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs_t = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    minsup = (11 * n_docs_t) // 20
+
+    pair_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "token": pa.array([], pa.string())})
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pair_empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    toks = ds.map_batches(tok_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cnt_empty = pa.table({"token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+    df_counts = F_agg.grouped_sum(
+        toks.map_batches(
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas().groupby("token", as_index=False)
+                .size().rename(columns={"size": "n"}),
+                preserve_index=False)
+            if t.num_rows else cnt_empty,
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], cnt_empty)
+    l1 = set(df_counts.loc[df_counts["n"] >= minsup, "token"])
+    l1_ref = ray.put(np.array(sorted(l1), dtype=object))
+
+    def combos_partial(t: pa.Table) -> pa.Table:
+        emp = pa.table({"key": pa.array([], pa.string()),
+                        "k": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or not t.column_names:
+            return emp
+        df = t.to_pandas()
+        df = df[df["token"].isin(ray.get(l1_ref))]
+        keys, ks = [], []
+        for _, g in df.groupby("doc_id", sort=False):
+            items = sorted(g["token"])
+            for a, b in combinations(items, 2):
+                keys.append(f"{a}\x1f{b}")
+                ks.append(2)
+            for a, b, c in combinations(items, 3):
+                keys.append(f"{a}\x1f{b}\x1f{c}")
+                ks.append(3)
+        out = pd.DataFrame({"key": keys, "k": ks})
+        out = out.groupby(["key", "k"], as_index=False).size().rename(
+            columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        out["k"] = out["k"].astype("int64")
+        return pa.Table.from_pandas(out[["key", "k", "n"]],
+                                    preserve_index=False)
+
+    combo_empty = pa.table({"key": pa.array([], pa.string()),
+                            "k": pa.array([], pa.int64()),
+                            "n": pa.array([], pa.int64())})
+    cc = F_agg.grouped_sum(
+        toks.map_batches(combos_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["key", "k"], combo_empty)
+    l2 = {tuple(k.split("\x1f")): int(n)
+          for k, kk, n in zip(cc["key"], cc["k"], cc["n"])
+          if kk == 2 and n >= minsup}
+    rows = []
+    for k, kk, n in zip(cc["key"], cc["k"], cc["n"]):
+        if kk != 3 or n < minsup:
+            continue
+        a, b, c = k.split("\x1f")
+        # Apriori pruning: every sub-pair must be frequent
+        if ((a, b) in l2 and (a, c) in l2 and (b, c) in l2):
+            rows.append((a, b, c, int(n)))
+    out = pd.DataFrame(rows, columns=["t1", "t2", "t3", "support"])
+    out["support"] = out["support"].astype("int64")
+    return out.sort_values(["t1", "t2", "t3"], ignore_index=True)
+
+
+FREQUENT_TRIPLES_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents
+), ms AS (
+  SELECT 11 * count(*) // 20 AS minsup FROM documents
+), l1 AS (
+  SELECT token FROM tok GROUP BY token
+  HAVING count(*) >= (SELECT minsup FROM ms)
+), t1 AS (
+  SELECT doc_id, token FROM tok WHERE token IN (SELECT token FROM l1)
+), l2 AS (
+  SELECT a.token AS ta, b.token AS tb
+  FROM t1 a JOIN t1 b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= (SELECT minsup FROM ms)
+), l3 AS (
+  SELECT a.token AS t1, b.token AS t2, c.token AS t3,
+         count(*) AS support
+  FROM t1 a
+  JOIN t1 b ON a.doc_id = b.doc_id AND a.token < b.token
+  JOIN t1 c ON a.doc_id = c.doc_id AND b.token < c.token
+  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT minsup FROM ms)
+)
+SELECT l3.t1, l3.t2, l3.t3, CAST(l3.support AS BIGINT) AS support
+FROM l3
+JOIN l2 p1 ON p1.ta = l3.t1 AND p1.tb = l3.t2
+JOIN l2 p2 ON p2.ta = l3.t1 AND p2.tb = l3.t3
+JOIN l2 p3 ON p3.ta = l3.t2 AND p3.tb = l3.t3
+ORDER BY l3.t1, l3.t2, l3.t3
+"""
+
+
+QUERIES.update({"frequent_triples": QueryDef(frequent_triples,
+                                             FREQUENT_TRIPLES_SQL)})

@@ -663,3 +663,35 @@ def test_rbo_bounds_and_monotone_weights(ray_session):
     # identical lists would give exactly sum(w); a shuffled-disjoint
     # pair gives 0 — the metric is discriminative on this corpus
     assert 0 < int(got["rbo_nano"].iloc[0]) < sum(_RBO_W_NANO)
+
+
+def test_frequent_triples_apriori_properties(ray_session):
+    import re
+    from itertools import combinations
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["frequent_triples"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sets = [set(re.findall(r"\S+", (t or "").lower()))
+            for t in docs["text"]]
+    minsup = (11 * len(docs)) // 20
+    # exact support recount for every reported triple
+    for _, r in got.iterrows():
+        trip = {r["t1"], r["t2"], r["t3"]}
+        sup = sum(1 for s in sets if trip <= s)
+        assert sup == int(r["support"]) >= minsup
+        assert r["t1"] < r["t2"] < r["t3"]
+    # completeness: brute-force over the frequent items finds no extras
+    from collections import Counter
+
+    dfc = Counter(t for s in sets for t in s)
+    l1 = sorted(t for t, c in dfc.items() if c >= minsup)
+    want = set()
+    for trip in combinations(l1, 3):
+        sup = sum(1 for s in sets if set(trip) <= s)
+        if sup >= minsup:
+            want.add(trip)
+    have = {tuple(r) for r in got[["t1", "t2", "t3"]].to_numpy()}
+    assert have == want
