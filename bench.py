@@ -204,7 +204,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "conversion_lag_quartiles", "q5_local_supplier_volume",
         "cuped_adjusted_metric", "mannwhitney_u", "kaplan_meier",
         "did_estimator", "benford_deviation", "daily_autocorr",
-        "rbo_rankings", "frequent_triples",
+        "rbo_rankings", "frequent_triples", "vocab_coverage_curve",
     ]
     q_times = {}
     q_stats = {}

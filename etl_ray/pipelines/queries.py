@@ -15221,3 +15221,75 @@ ORDER BY l3.t1, l3.t2, l3.t3
 
 QUERIES.update({"frequent_triples": QueryDef(frequent_triples,
                                              FREQUENT_TRIPLES_SQL)})
+
+
+# --- vocabulary coverage curve: tokenizer budget analysis --------------------
+
+def vocab_coverage_curve(sf_dir: str):
+    """Vocabulary coverage curve — the tokenizer-budget question ("how
+    much of the corpus do the top-k word types cover?") answered
+    exactly: tokens ranked by total occurrence count (ties
+    lexicographic), rows k = 1..20 carry the k-th token, its count, the
+    cumulative count, and the cumulative share in micro (truncated).
+    The curve's knee is where a vocab budget stops paying.
+
+    Zero-shuffle: per-batch occurrence-count combiners → vocab-bounded
+    merge → 20-row fold."""
+    K = 20
+    ds = _read(sf_dir, "documents", columns=["text"])
+    cnt_empty = pa.table({"token": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return cnt_empty
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(text), pattern=r"\s+")).to_pandas()
+        toks = toks[toks != ""]
+        c = toks.value_counts()
+        return pa.table({"token": pa.array(c.index.to_numpy(dtype=object)),
+                         "n": pa.array(c.to_numpy(np.int64))})
+
+    g = F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["token"], cnt_empty)
+    total = int(g["n"].sum())
+    g = g.sort_values(["n", "token"], ascending=[False, True],
+                      kind="stable", ignore_index=True).head(K)
+    cum = g["n"].to_numpy(np.int64).cumsum()
+    return pd.DataFrame({
+        "k": np.arange(1, len(g) + 1, dtype=np.int64),
+        "token": g["token"],
+        "n": g["n"].astype("int64"),
+        "cum_n": cum.astype(np.int64),
+        "cum_share_micro": ((1_000_000 * cum.astype(object)) // total
+                            ).astype("int64") if total else
+        np.zeros(len(g), np.int64),
+    })
+
+
+VOCAB_COVERAGE_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\\S+'))
+    AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+), t AS (SELECT sum(n) AS total FROM c),
+r AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS k,
+         sum(n) OVER (ORDER BY n DESC, token) AS cum_n
+  FROM c
+)
+SELECT CAST(k AS BIGINT) AS k, token, CAST(n AS BIGINT) AS n,
+       CAST(cum_n AS BIGINT) AS cum_n,
+       CAST(1000000 * cum_n // t.total AS BIGINT) AS cum_share_micro
+FROM r, t WHERE k <= 20
+"""
+
+
+QUERIES.update({"vocab_coverage_curve": QueryDef(vocab_coverage_curve,
+                                                 VOCAB_COVERAGE_SQL)})

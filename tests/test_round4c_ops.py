@@ -695,3 +695,25 @@ def test_frequent_triples_apriori_properties(ray_session):
             want.add(trip)
     have = {tuple(r) for r in got[["t1", "t2", "t3"]].to_numpy()}
     assert have == want
+
+
+def test_vocab_coverage_monotone_and_exact(ray_session):
+    import re
+    from collections import Counter
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["vocab_coverage_curve"].fn(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    c = Counter(t for txt in docs["text"]
+                for t in re.findall(r"\S+", (txt or "").lower()))
+    total = sum(c.values())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(got["token"]) == [t for t, _ in ranked]
+    assert list(got["n"]) == [n for _, n in ranked]
+    cum = np.cumsum([n for _, n in ranked])
+    assert list(got["cum_n"]) == list(cum)
+    assert list(got["cum_share_micro"]) == [
+        1_000_000 * int(x) // total for x in cum]
+    assert (np.diff(got["cum_share_micro"].to_numpy()) >= 0).all()
