@@ -15293,3 +15293,114 @@ FROM r, t WHERE k <= 20
 
 QUERIES.update({"vocab_coverage_curve": QueryDef(vocab_coverage_curve,
                                                  VOCAB_COVERAGE_SQL)})
+
+
+# --- Markov stationary distribution: long-run behavioral mix -----------------
+
+def markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain —
+    the long-run answer `event_transitions` (one-step counts) can't
+    give: where does user behavior settle? Row-stochastic matrix in
+    micro units (truncated), then 20 POWER ITERATIONS with per-term
+    truncated division — every intermediate integer, so the oracle
+    replays the iteration bit-for-bit in a recursive CTE (the
+    `cdc_repair_fold` discipline applied to linear algebra). Rows with
+    no outgoing transitions fall back to the uniform row.
+
+    Distributed shape: ONE user-bucketed exchange for transition-pair
+    counts (type-pair-bounded, ≤K² rows); the K-state iteration closes
+    driver-side."""
+    ITERS, SCALE = 20, 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    pair_empty = pa.table({"src": pa.array([], pa.string()),
+                           "dst": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())})
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pair_empty
+        df = sorted_pandas(t, ["user_id", "ts", "event_id"])
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        same = _prev_same_key(u)
+        src = et[:-1][same[1:]] if len(df) > 1 else np.array([], object)
+        dst = et[1:][same[1:]] if len(df) > 1 else np.array([], object)
+        g = (pd.DataFrame({"src": src, "dst": dst})
+             .groupby(["src", "dst"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = bucketed_groups(ds, "user_id", pairs_partition,
+                             n_buckets=_buckets_for(sf_dir, "events"))
+    g = F_agg.grouped_sum(counts, ["src", "dst"], pair_empty)
+    states = sorted(set(g["src"]) | set(g["dst"]))
+    K = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    C = np.zeros((K, K), dtype=np.int64)
+    for _, r in g.iterrows():
+        C[idx[r["src"]], idx[r["dst"]]] = int(r["n"])
+    row = C.sum(axis=1)
+    P = np.zeros((K, K), dtype=np.int64)
+    for i in range(K):
+        if row[i] > 0:
+            P[i] = (SCALE * C[i]) // row[i]
+        else:
+            P[i] = SCALE // K
+    x = np.full(K, SCALE // K, dtype=np.int64)
+    for _ in range(ITERS):
+        # x_j' = Σ_i (x_i · p_ij) // SCALE, truncated PER TERM
+        x = ((x[:, None] * P) // SCALE).sum(axis=0).astype(np.int64)
+    return pd.DataFrame({
+        "state": states,
+        "out_transitions": row.astype(np.int64),
+        "stationary_micro": x,
+    })
+
+
+MARKOV_STATIONARY_SQL = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT event_type AS src, nxt AS dst, count(*) AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+), states AS (
+  SELECT DISTINCT s FROM (SELECT src AS s FROM c
+                          UNION SELECT dst FROM c)
+), k AS (SELECT count(*) AS k FROM states),
+rowt AS (
+  SELECT s.s AS src, coalesce(sum(c.n), 0) AS total
+  FROM states s LEFT JOIN c ON c.src = s.s GROUP BY s.s
+), p AS (
+  SELECT a.s AS src, b.s AS dst,
+         CASE WHEN r.total > 0
+              THEN 1000000 * coalesce(c.n, 0) // r.total
+              ELSE 1000000 // (SELECT k FROM k) END AS p_micro
+  FROM states a CROSS JOIN states b
+  LEFT JOIN c ON c.src = a.s AND c.dst = b.s
+  JOIN rowt r ON r.src = a.s
+), it AS (
+  SELECT 0 AS i, s AS state,
+         CAST(1000000 // (SELECT k FROM k) AS BIGINT) AS v
+  FROM states
+  UNION ALL
+  SELECT i + 1, dst,
+         CAST(sum(v * p_micro // 1000000) AS BIGINT)
+  FROM (SELECT it.i, p.dst, it.v, p.p_micro
+        FROM it JOIN p ON p.src = it.state WHERE it.i < 20)
+  GROUP BY i + 1, dst
+)
+SELECT it.state,
+       CAST(r.total AS BIGINT) AS out_transitions,
+       CAST(it.v AS BIGINT) AS stationary_micro
+FROM it JOIN rowt r ON r.src = it.state
+WHERE it.i = 20
+"""
+
+
+QUERIES.update({"markov_stationary": QueryDef(markov_stationary,
+                                              MARKOV_STATIONARY_SQL)})

@@ -717,3 +717,36 @@ def test_vocab_coverage_monotone_and_exact(ray_session):
     assert list(got["cum_share_micro"]) == [
         1_000_000 * int(x) // total for x in cum]
     assert (np.diff(got["cum_share_micro"].to_numpy()) >= 0).all()
+
+
+def test_markov_stationary_is_fixed_point(ray_session):
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["markov_stationary"].fn(SF)).sort_values(
+        "state", ignore_index=True)
+    # float cross-check: the true stationary vector of the float matrix
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    pairs = {}
+    for _, g in ev.groupby("user_id"):
+        et = g["event_type"].to_list()
+        for a, b in zip(et, et[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    states = sorted({s for p in pairs for s in p})
+    K = len(states)
+    P = np.zeros((K, K))
+    for (a, b), n in pairs.items():
+        P[states.index(a), states.index(b)] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    x = np.full(K, 1.0 / K)
+    for _ in range(200):
+        x = x @ P
+    assert list(got["state"]) == states
+    # the integer iteration lands within truncation slack of the true
+    # stationary point (per-term truncation loses ≤ K·20 micro total)
+    for i, s in enumerate(states):
+        assert abs(int(got.loc[i, "stationary_micro"]) / 1e6 - x[i]) \
+            < 5e-4
+    # mass is conserved up to truncation leak
+    tot = int(got["stationary_micro"].sum())
+    assert 1_000_000 - 20 * K * K <= tot <= 1_000_000
