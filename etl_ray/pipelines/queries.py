@@ -12470,7 +12470,21 @@ def token_bucket_admit(sf_dir: str):
         tokens = np.zeros(n, dtype=np.int64)
         starts = np.flatnonzero(first)
         ends = np.r_[starts[1:], n]
+        # vectorized fast path: a user whose EVERY gap refills past the
+        # cap (refill ≥ CAP) pins the recurrence — each event sees a
+        # full bucket, admits, and leaves CAP−COST. At deployment rates
+        # (sparse keys dominate) this skips the fold for most users.
+        sat = np.ones(n, dtype=bool)
+        if n > 1:
+            gap_ok = refill >= CAP
+            gap_ok[first] = True
+            sat = (pd.Series(gap_ok).groupby(
+                pd.Series(u), sort=False).transform("all").to_numpy())
+        admitted[sat] = 1
+        tokens[sat] = CAP - COST
         for s, e in zip(starts, ends):
+            if sat[s]:
+                continue
             tok = CAP
             for i in range(s, e):
                 avail = CAP if i == s else min(CAP, tok + int(refill[i]))
@@ -15139,25 +15153,45 @@ def frequent_triples(sf_dir: str):
     l1_ref = ray.put(np.array(sorted(l1), dtype=object))
 
     def combos_partial(t: pa.Table) -> pa.Table:
+        # fully vectorized itemset counting: build the doc×|L1| presence
+        # matrix B once per batch, then pair co-support = Bᵀ·B and
+        # triple co-support = einsum('di,dj,dk->ijk') — no per-doc
+        # Python loop, work bounded by docs·|L1|³ with |L1| vocab-sized
         emp = pa.table({"key": pa.array([], pa.string()),
                         "k": pa.array([], pa.int64()),
                         "n": pa.array([], pa.int64())})
         if t.num_rows == 0 or not t.column_names:
             return emp
+        l1_arr = ray.get(l1_ref)
         df = t.to_pandas()
-        df = df[df["token"].isin(ray.get(l1_ref))]
-        keys, ks = [], []
-        for _, g in df.groupby("doc_id", sort=False):
-            items = sorted(g["token"])
-            for a, b in combinations(items, 2):
-                keys.append(f"{a}\x1f{b}")
+        df = df[df["token"].isin(l1_arr)]
+        if not len(df):
+            return emp
+        _, dinv = np.unique(df["doc_id"].to_numpy(), return_inverse=True)
+        tpos = np.searchsorted(l1_arr, df["token"].to_numpy(dtype=object))
+        m = len(l1_arr)
+        B = np.zeros((dinv.max() + 1, m), dtype=np.int64)
+        B[dinv, tpos] = 1
+        pair = B.T @ B                                  # (m, m)
+        trip = np.einsum("di,dj,dk->ijk", B, B, B)      # (m, m, m)
+        keys, ks, ns = [], [], []
+        iu = np.triu_indices(m, k=1)
+        for i, j in zip(*iu):
+            n = int(pair[i, j])
+            if n:
+                keys.append(f"{l1_arr[i]}\x1f{l1_arr[j]}")
                 ks.append(2)
-            for a, b, c in combinations(items, 3):
-                keys.append(f"{a}\x1f{b}\x1f{c}")
-                ks.append(3)
-        out = pd.DataFrame({"key": keys, "k": ks})
-        out = out.groupby(["key", "k"], as_index=False).size().rename(
-            columns={"size": "n"})
+                ns.append(n)
+        for i in range(m):
+            for j in range(i + 1, m):
+                for kk in range(j + 1, m):
+                    n = int(trip[i, j, kk])
+                    if n:
+                        keys.append(
+                            f"{l1_arr[i]}\x1f{l1_arr[j]}\x1f{l1_arr[kk]}")
+                        ks.append(3)
+                        ns.append(n)
+        out = pd.DataFrame({"key": keys, "k": ks, "n": ns})
         out["n"] = out["n"].astype("int64")
         out["k"] = out["k"].astype("int64")
         return pa.Table.from_pandas(out[["key", "k", "n"]],

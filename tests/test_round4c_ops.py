@@ -750,3 +750,36 @@ def test_markov_stationary_is_fixed_point(ray_session):
     # mass is conserved up to truncation leak
     tot = int(got["stationary_micro"].sum())
     assert 1_000_000 - 20 * K * K <= tot <= 1_000_000
+
+
+def test_token_bucket_saturated_fast_path(ray_session, tmp_path):
+    """Exercise the vectorized saturated-user fast path (no gate-corpus
+    user has all-≥24h gaps, so the parity test alone never reaches it)."""
+    import pyarrow as pa
+
+    from etl_ray.pipelines.queries import QUERIES
+
+    DAY = 86_400_000_000
+    rows = []
+    # user 1: saturated (2-day gaps) → every event admitted at CAP−COST
+    for i in range(5):
+        rows.append((100 + i, 1, 1_700_000_000_000_000 + 2 * DAY * i))
+    # user 2: bursty (1-minute gaps) → the sequential fold must run
+    for i in range(5):
+        rows.append((200 + i, 2, 1_700_000_000_000_000 + 60_000_000 * i))
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = _df(QUERIES["token_bucket_admit"].fn(str(tmp_path))).sort_values(
+        "event_id", ignore_index=True)
+    u1 = got[got["user_id"] == 1]
+    assert (u1["admitted"] == 1).all()
+    assert (u1["tokens_after"] == 2_000_000).all()
+    u2 = got[got["user_id"] == 2].reset_index(drop=True)
+    # bucket drains: 3 initial tokens + ~2 micro-refills → first 3
+    # admitted, 4th/5th rejected (refill 60s//28800 = 2083 micro each)
+    assert list(u2["admitted"]) == [1, 1, 1, 0, 0]
+    assert int(u2.loc[4, "tokens_after"]) == 4 * (60_000_000 // 28_800)
