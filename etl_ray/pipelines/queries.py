@@ -15438,3 +15438,170 @@ WHERE it.i = 20
 
 QUERIES.update({"markov_stationary": QueryDef(markov_stationary,
                                               MARKOV_STATIONARY_SQL)})
+
+
+# --- NDCG@10: graded ranking quality of the dense retriever ------------------
+
+_NDCG_W_MICRO = [1000000, 630930, 500000, 430677, 386853,
+                 356207, 333333, 315465, 301030, 289065]
+
+
+def ndcg_dense(sf_dir: str):
+    """NDCG@10 of the dense retriever against lexical relevance — the
+    graded companion to `rbo_rankings` (RBO compares two rankings;
+    NDCG scores ONE ranking against graded ground truth). Relevance of
+    a doc = its distinct-token overlap with query doc 0 (exact int);
+    ranking = quantized-dot dense top-10; discounts 1/log₂(r+1) are
+    SHARED micro constants; IDCG re-ranks the corpus-wide top-10
+    relevance grades. ndcg_micro = 1e6·DCG // IDCG, every intermediate
+    integer.
+
+    Distributed shape: one corpus stream emits BOTH bounded top-10
+    partials (by dot, by relevance) per batch; two bounded merges
+    driver-side — no full-rank table, no second scan of the corpus
+    text (relevance is computed inside the same pass)."""
+    import re as _re
+
+    K = 10
+    q_vec_t = pq.read_table(_p(sf_dir, "embeddings"),
+                            filters=[("vec_id", "=", 0)])
+    qv = round_half_away(np.asarray(
+        q_vec_t.column("embedding").to_pylist()[0], dtype=np.float64)
+        * 1000.0, 0).astype(np.int64)
+    q_doc_t = pq.read_table(_p(sf_dir, "documents"),
+                            filters=[("doc_id", "=", 0)], columns=["text"])
+    q_text = (q_doc_t.column("text").to_pylist()[0] or "").lower()
+    q_tokens = np.array(sorted(set(_re.findall(r"\S+", q_text))))
+    qv_ref, qt_ref = ray.put(qv), ray.put(q_tokens)
+
+    emp = pa.table({"kind": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                    "rel": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return emp
+        keep = pc.not_equal(t.column("doc_id"), 0)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return emp
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t.column("text"), "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": np.repeat(ids, lens),
+            "token": pc.list_flatten(toks).to_pandas().to_numpy(),
+        })
+        df = df[df["token"] != ""].drop_duplicates()
+        rel = (df[df["token"].isin(ray.get(qt_ref))]
+               .groupby("doc_id", sort=False).size())
+        codes = round_half_away(
+            np.stack(t.column("embedding").to_pandas().to_numpy()
+                     ).astype(np.float64) * 1000.0, 0).astype(np.int64)
+        dot = codes @ ray.get(qv_ref)
+        b = pd.DataFrame({"doc_id": ids, "dot": dot})
+        b["rel"] = b["doc_id"].map(rel).fillna(0).astype(np.int64)
+        top_dot = b.sort_values(["dot", "doc_id"],
+                                ascending=[False, True],
+                                kind="stable").head(K).assign(kind="d")
+        top_rel = b.sort_values(["rel", "doc_id"],
+                                ascending=[False, True],
+                                kind="stable").head(K).assign(kind="r")
+        out = pd.concat([top_dot, top_rel], ignore_index=True)
+        for c in ("doc_id", "dot", "rel"):
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out[["kind", "doc_id", "dot", "rel"]],
+                                    preserve_index=False)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # one joint pass needs both columns: zip via a bucketed inner join
+    # on id (both tables share the id domain 1:1)
+    from etl_ray.stages.joins import shuffle_join
+
+    def emb_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t.column("vec_id"), pa.int64()),
+                         "embedding": t.column("embedding")})
+
+    joined = shuffle_join(
+        docs, ds.map_batches(emb_prep, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        on="doc_id", n_buckets=_buckets_for(sf_dir, "documents"))
+    parts = [t for t in ray.get(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    cand = (pa.concat_tables(parts).to_pandas()
+            if parts else emp.to_pandas())
+    top = cand[cand["kind"] == "d"].sort_values(
+        ["dot", "doc_id"], ascending=[False, True],
+        kind="stable").head(K).reset_index(drop=True)
+    ideal = cand[cand["kind"] == "r"].sort_values(
+        ["rel", "doc_id"], ascending=[False, True],
+        kind="stable").head(K)
+    dcg = int(sum(int(r) * w for r, w in
+                  zip(top["rel"], _NDCG_W_MICRO)))
+    idcg = int(sum(int(r) * w for r, w in
+                   zip(ideal["rel"], _NDCG_W_MICRO)))
+    out = pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "doc_id": top["doc_id"].to_numpy(np.int64),
+        "rel": top["rel"].to_numpy(np.int64),
+        "w_micro": np.array(_NDCG_W_MICRO[: len(top)], dtype=np.int64),
+    })
+    out["ndcg_micro"] = np.int64((1_000_000 * dcg) // idcg if idcg else 0)
+    return out
+
+
+def _ndcg_sql() -> str:
+    w = ", ".join(f"({r + 1}, {v})" for r, v in enumerate(_NDCG_W_MICRO))
+    return f"""
+WITH qv AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000, 0) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id = 0
+), dots AS (
+  SELECT e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(q) + 1),
+           j -> q[j] * CAST(round(CAST(e.embedding AS DOUBLE[])[j] * 1000,
+                                  0) AS BIGINT))) AS dot
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+), qt AS (
+  SELECT DISTINCT unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id = 0
+), dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(
+    lower(coalesce(text, '')), '\\S+')) AS token
+  FROM documents WHERE doc_id <> 0
+), rel AS (
+  SELECT d.doc_id, count(*) AS rel FROM dt d JOIN qt USING (token)
+  GROUP BY d.doc_id
+), scored AS (
+  SELECT dots.doc_id, dots.dot, coalesce(rel.rel, 0) AS rel
+  FROM dots LEFT JOIN rel USING (doc_id)
+), top AS (
+  SELECT doc_id, rel,
+         row_number() OVER (ORDER BY dot DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+), ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rank
+  FROM scored QUALIFY rank <= 10
+), w(rank, w_micro) AS (VALUES {w}),
+sums AS (
+  SELECT (SELECT sum(t.rel * w.w_micro) FROM top t
+          JOIN w ON w.rank = t.rank) AS dcg,
+         (SELECT sum(i.rel * w.w_micro) FROM ideal i
+          JOIN w ON w.rank = i.rank) AS idcg
+)
+SELECT CAST(t.rank AS BIGINT) AS rank, t.doc_id,
+       CAST(t.rel AS BIGINT) AS rel,
+       CAST(w.w_micro AS BIGINT) AS w_micro,
+       CAST(1000000 * s.dcg // s.idcg AS BIGINT) AS ndcg_micro
+FROM top t JOIN w ON w.rank = t.rank, sums s
+"""
+
+
+QUERIES.update({"ndcg_dense": QueryDef(ndcg_dense, _ndcg_sql())})

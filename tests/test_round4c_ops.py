@@ -783,3 +783,35 @@ def test_token_bucket_saturated_fast_path(ray_session, tmp_path):
     # admitted, 4th/5th rejected (refill 60s//28800 = 2083 micro each)
     assert list(u2["admitted"]) == [1, 1, 1, 0, 0]
     assert int(u2.loc[4, "tokens_after"]) == 4 * (60_000_000 // 28_800)
+
+
+def test_ndcg_matches_textbook(ray_session):
+    import re
+
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import _NDCG_W_MICRO, QUERIES
+
+    got = _df(QUERIES["ndcg_dense"].fn(SF))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    codes = round_half_away(np.stack(emb["embedding"].to_numpy())
+                            .astype(np.float64) * 1000.0, 0).astype(
+        np.int64)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    qv = codes[ids == 0][0]
+    dots = codes @ qv
+    toks = {int(r["doc_id"]): set(re.findall(
+        r"\S+", (r["text"] or "").lower())) for _, r in docs.iterrows()}
+    q = toks[0]
+    rel = {d: len(t & q) for d, t in toks.items() if d != 0}
+    keep = ids != 0
+    order = np.lexsort((ids[keep], -dots[keep]))[:10]
+    top_ids = ids[keep][order]
+    assert list(got["doc_id"]) == list(top_ids)
+    assert list(got["rel"]) == [rel[int(d)] for d in top_ids]
+    dcg = sum(rel[int(d)] * w for d, w in zip(top_ids, _NDCG_W_MICRO))
+    ideal = sorted((rel[d] for d in rel), reverse=True)[:10]
+    idcg = sum(r * w for r, w in zip(ideal, _NDCG_W_MICRO))
+    assert int(got["ndcg_micro"].iloc[0]) == 1_000_000 * dcg // idcg
+    assert 0 <= int(got["ndcg_micro"].iloc[0]) <= 1_000_000
