@@ -205,7 +205,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "cuped_adjusted_metric", "mannwhitney_u", "kaplan_meier",
         "did_estimator", "benford_deviation", "daily_autocorr",
         "rbo_rankings", "frequent_triples", "vocab_coverage_curve",
-        "markov_stationary", "ndcg_dense",
+        "markov_stationary", "ndcg_dense", "mrr_labels",
     ]
     q_times = {}
     q_stats = {}

@@ -15605,3 +15605,187 @@ FROM top t JOIN w ON w.rank = t.rank, sums s
 
 
 QUERIES.update({"ndcg_dense": QueryDef(ndcg_dense, _ndcg_sql())})
+
+
+# --- label-aware retrieval eval: MRR and sampled k-NN accuracy ---------------
+
+def mrr_labels(sf_dir: str):
+    """Mean reciprocal rank with LABEL ground truth — for each query
+    vector (vec_id<5), the rank of the first SAME-LABEL neighbor in the
+    exact quantized-L2 ranking; rr_micro = 1e6 // rank, MRR = the
+    truncated mean. The first retrieval-eval op that uses the
+    embeddings' label column as relevance truth rather than a derived
+    signal. All integers.
+
+    Distributed shape: `knn_quantized_topk`'s broadcast-queries /
+    streamed-corpus scan, except each batch emits only the best
+    (lowest-distance) same-label candidate per query — a ≤n_queries-row
+    partial; a second bounded pass counts the docs strictly ahead of
+    the global winner, so the exact rank recomposes from partials."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+    ranges = F_sim.quantize_minmax(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    rng_ref = ray.put(ranges)
+
+    def code_with_label(t: pa.Table) -> pa.Table:
+        # quantize_codes' kernel verbatim, but the label column rides
+        # along (the stock helper drops non-id columns)
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        r = ray.get(rng_ref)
+        mn, mx = r[:, 0], r[:, 1]
+        span = mx - mn
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()
+                     ).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = round_half_away((m - mn) / span * 255.0, 0)
+        c = np.where(span == 0, 0, c).astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "label": pc.cast(t.column("label"), pa.int64()),
+                         "codes": pa.array(list(c))})
+
+    codes = ds.map_batches(code_with_label, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    q_t = pq.read_table(_p(sf_dir, "embeddings"),
+                        filters=[("vec_id", "<", 5)])
+    q_ids = q_t.column("vec_id").to_numpy(zero_copy_only=False)
+    q_labels = q_t.column("label").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+
+    import pyarrow.dataset as _pds
+
+    q_ds = rd.read_parquet(_p(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"],
+                           filter=_pds.field("vec_id") < 5)
+    qt = pa.concat_tables([t for t in ray.get(
+        F_sim.quantize_codes(q_ds, ranges).to_arrow_refs()) if t.num_rows])
+    q_mat = np.stack(qt.column("codes").to_pandas().to_numpy())
+    order = np.argsort(qt.column("vec_id").to_numpy(zero_copy_only=False))
+    q_mat = q_mat[order]
+    q_ids_sorted = np.sort(q_ids)
+    q_ref = ray.put({"ids": q_ids_sorted, "mat": q_mat,
+                     "labels": q_labels[np.argsort(q_ids)]})
+
+    emp = pa.table({"query_id": pa.array([], pa.int64()),
+                    "best_dist": pa.array([], pa.int64()),
+                    "best_id": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return emp
+        q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = t.column("label").to_numpy(zero_copy_only=False
+                                            ).astype(np.int64)
+        m = np.stack(t.column("codes").to_pandas().to_numpy())
+        d2 = ((q["mat"][:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        rows = {"query_id": [], "best_dist": [], "best_id": []}
+        for qi, (qid, qlab) in enumerate(zip(q["ids"], q["labels"])):
+            not_self = ids != qid
+            same = (labels == qlab) & not_self
+            if not same.any():
+                continue
+            dq = d2[qi]
+            # best same-label candidate in this batch (ties → lower id)
+            cand = np.flatnonzero(same)
+            best = cand[np.lexsort((ids[cand], dq[cand]))[0]]
+            rows["query_id"].append(int(qid))
+            rows["best_dist"].append(int(dq[best]))
+            rows["best_id"].append(int(ids[best]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    parts = [t for t in ray.get(
+        codes.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    cand = (pa.concat_tables(parts).to_pandas()
+            if parts else emp.to_pandas())
+    # global rank of the winner = 1 + Σ over batches of docs strictly
+    # ahead of it — the per-batch n_before counted vs the LOCAL winner,
+    # so a second bounded pass recounts against the GLOBAL winner (the
+    # corpus streams twice; both passes emit only n_queries-row partials)
+    rows = []
+    for qid, g in cand.groupby("query_id"):
+        g = g.sort_values(["best_dist", "best_id"], kind="stable")
+        bd, bi = int(g["best_dist"].iloc[0]), int(g["best_id"].iloc[0])
+        rows.append((int(qid), bd, bi))
+    win_ref = ray.put(rows)
+
+    def count_ahead(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "ahead": pa.array([], pa.int64())})
+        q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.stack(t.column("codes").to_pandas().to_numpy())
+        d2 = ((q["mat"][:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        out = {"query_id": [], "ahead": []}
+        for qi, (qid, bd, bi) in enumerate(ray.get(win_ref)):
+            pos = np.flatnonzero(q["ids"] == qid)[0]
+            dq = d2[pos]
+            not_self = ids != qid
+            ahead = not_self & ((dq < bd) | ((dq == bd) & (ids < bi)))
+            out["query_id"].append(qid)
+            out["ahead"].append(int(ahead.sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    ap = [t for t in ray.get(
+        codes.map_batches(count_ahead, batch_format="pyarrow",
+                          zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    ahead = (pa.concat_tables(ap).to_pandas()
+             .groupby("query_id")["ahead"].sum())
+    out_rows = []
+    for qid, bd, bi in rows:
+        rank = 1 + int(ahead.get(qid, 0))
+        out_rows.append((qid, bi, rank, 1_000_000 // rank))
+    out = pd.DataFrame(out_rows, columns=["query_id", "first_same_label",
+                                          "rank", "rr_micro"]
+                       ).astype("int64").sort_values(
+        "query_id", ignore_index=True)
+    out["mrr_micro"] = np.int64(int(out["rr_micro"].sum()) // len(out)
+                                if len(out) else 0)
+    return out
+
+
+def _mrr_sql() -> str:
+    return f"""
+WITH {_QUANT_CODES_CTE}
+, cl AS (
+  SELECT vec_id, list(code ORDER BY i) AS c FROM codes GROUP BY vec_id
+), lab AS (SELECT vec_id, label FROM embeddings
+), q AS (
+  SELECT cl.vec_id AS query_id, cl.c AS qc, lab.label AS qlab
+  FROM cl JOIN lab USING (vec_id) WHERE cl.vec_id < 5
+), s AS (
+  SELECT query_id, qlab, c.vec_id AS neighbor_id, lab.label,
+         list_sum(list_transform(range(1, len(qc) + 1),
+           j -> (qc[j] - c.c[j]) * (qc[j] - c.c[j]))) AS dist
+  FROM q CROSS JOIN cl c JOIN lab ON lab.vec_id = c.vec_id
+  WHERE c.vec_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, label, qlab,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rnk
+  FROM s
+), hit AS (
+  SELECT query_id, neighbor_id AS first_same_label, rnk AS rank,
+         1000000 // rnk AS rr_micro,
+         row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS h
+  FROM r WHERE label = qlab
+)
+SELECT query_id, first_same_label, CAST(rank AS BIGINT) AS rank,
+       CAST(rr_micro AS BIGINT) AS rr_micro,
+       CAST((SELECT sum(rr_micro) FROM hit WHERE h = 1)
+            // (SELECT count(*) FROM hit WHERE h = 1) AS BIGINT)
+         AS mrr_micro
+FROM hit WHERE h = 1 ORDER BY query_id
+"""
+
+
+QUERIES.update({"mrr_labels": QueryDef(mrr_labels, _mrr_sql())})

@@ -815,3 +815,32 @@ def test_ndcg_matches_textbook(ray_session):
     idcg = sum(r * w for r, w in zip(ideal, _NDCG_W_MICRO))
     assert int(got["ndcg_micro"].iloc[0]) == 1_000_000 * dcg // idcg
     assert 0 <= int(got["ndcg_micro"].iloc[0]) <= 1_000_000
+
+
+def test_mrr_labels_matches_bruteforce(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["mrr_labels"].fn(SF))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx - mn == 0, 1, mx - mn)
+    codes = round_half_away((mat - mn) / span * 255.0, 0).astype(np.int64)
+    codes = np.where((mx - mn) == 0, 0, codes)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labels = emb["label"].to_numpy(np.int64)
+    rrs = []
+    for qid in range(5):
+        qi = np.flatnonzero(ids == qid)[0]
+        d = ((codes - codes[qi]) ** 2).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))
+        ranked_labels = labels[mask][order]
+        rank = int(np.flatnonzero(
+            ranked_labels == labels[qi])[0]) + 1
+        row = got[got["query_id"] == qid].iloc[0]
+        assert int(row["rank"]) == rank
+        assert int(row["rr_micro"]) == 1_000_000 // rank
+        rrs.append(1_000_000 // rank)
+    assert int(got["mrr_micro"].iloc[0]) == sum(rrs) // 5
