@@ -15789,3 +15789,147 @@ FROM hit WHERE h = 1 ORDER BY query_id
 
 
 QUERIES.update({"mrr_labels": QueryDef(mrr_labels, _mrr_sql())})
+
+
+# --- k-NN classifier accuracy: the embedding-quality eval ---------------------
+
+def knn_label_accuracy(sf_dir: str):
+    """5-NN leave-one-out classification accuracy over the label column
+    — THE embedding-quality eval (good embeddings classify their own
+    labels by neighborhood). Queries are a deterministic eval sample
+    (vec_id % 25 == 0) so the all-pairs cost is sample-bounded, never
+    corpus² (the brief's scale rule for eval ops). Exact integer L2
+    over quantized codes; majority vote, ties to the smaller label.
+
+    Distributed shape: sample filtered DISTRIBUTED then collected
+    (sample-bounded) and broadcast; corpus streamed once with bounded
+    top-5 partials per query; vote closes over ≤5·n_queries rows."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+    ranges = F_sim.quantize_minmax(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+    rng_ref = ray.put(ranges)
+
+    def code_with_label(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        r = ray.get(rng_ref)
+        mn, mx = r[:, 0], r[:, 1]
+        span = mx - mn
+        m = np.stack(t.column("embedding").to_pandas().to_numpy()
+                     ).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = round_half_away((m - mn) / span * 255.0, 0)
+        c = np.where(span == 0, 0, c).astype(np.int64)
+        return pa.table({"vec_id": t.column("vec_id"),
+                         "label": pc.cast(t.column("label"), pa.int64()),
+                         "codes": pa.array(list(c))})
+
+    codes = ds.map_batches(code_with_label, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    q_parts = [t for t in ray.get(codes.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("vec_id").to_numpy(zero_copy_only=False) % 25 == 0))
+        if t.num_rows else t,
+        batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    qt = pa.concat_tables(q_parts)
+    q_ref = ray.put({
+        "ids": qt.column("vec_id").to_numpy(zero_copy_only=False),
+        "labels": qt.column("label").to_numpy(zero_copy_only=False),
+        "mat": np.stack(qt.column("codes").to_pandas().to_numpy()),
+    })
+    K = 5
+    emp = pa.table({"query_id": pa.array([], pa.int64()),
+                    "neighbor_label": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64())})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return emp
+        q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        m = np.stack(t.column("codes").to_pandas().to_numpy())
+        d2 = ((q["mat"][:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        kk = min(K + 1, d2.shape[1])
+        sel = np.lexsort((np.broadcast_to(ids, d2.shape), d2),
+                         axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(np.repeat(q["ids"], kk)),
+            "neighbor_label": pa.array(labels[sel].ravel()),
+            "dist": pa.array(np.take_along_axis(d2, sel, axis=1).ravel()),
+            "neighbor_id": pa.array(ids[sel].ravel()),
+        })
+
+    parts = [t for t in ray.get(codes.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()) if t.num_rows]
+    cand = pa.concat_tables(parts).to_pandas() if parts else emp.to_pandas()
+    q = ray.get(q_ref)
+    truth = dict(zip(q["ids"].astype(int), q["labels"].astype(int)))
+    rows = []
+    for qid, g in cand.groupby("query_id"):
+        g = g[g["neighbor_id"] != qid].sort_values(
+            ["dist", "neighbor_id"], kind="stable").head(K)
+        votes = g.groupby("neighbor_label").size()
+        best = int(votes.max())
+        # tie → smaller label (mirrors the oracle's ORDER BY v DESC, label)
+        pred = int(min(lbl for lbl, c in votes.items() if c == best))
+        rows.append((int(qid), truth[int(qid)], pred,
+                     int(pred == truth[int(qid)])))
+    out = pd.DataFrame(rows, columns=["query_id", "true_label",
+                                      "pred_label", "correct"]
+                       ).astype("int64").sort_values(
+        "query_id", ignore_index=True)
+    out["accuracy_micro"] = np.int64(
+        (1_000_000 * int(out["correct"].sum())) // len(out)
+        if len(out) else 0)
+    return out
+
+
+def _knn_label_accuracy_sql() -> str:
+    return f"""
+WITH {_QUANT_CODES_CTE}
+, cl AS (
+  SELECT vec_id, list(code ORDER BY i) AS c FROM codes GROUP BY vec_id
+), lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+), q AS (
+  SELECT cl.vec_id AS query_id, cl.c AS qc, lab.label AS tl
+  FROM cl JOIN lab USING (vec_id) WHERE cl.vec_id % 25 = 0
+), s AS (
+  SELECT query_id, tl, c.vec_id AS neighbor_id, lab.label,
+         list_sum(list_transform(range(1, len(qc) + 1),
+           j -> (qc[j] - c.c[j]) * (qc[j] - c.c[j]))) AS dist
+  FROM q CROSS JOIN cl c JOIN lab ON lab.vec_id = c.vec_id
+  WHERE c.vec_id <> query_id
+), r AS (
+  SELECT query_id, tl, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rnk
+  FROM s
+), votes AS (
+  SELECT query_id, tl, label, count(*) AS v
+  FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT query_id, tl AS true_label, label AS pred_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY v DESC, label) AS pr
+  FROM votes
+), res AS (
+  SELECT query_id, true_label, pred_label,
+         CAST(pred_label = true_label AS BIGINT) AS correct
+  FROM pred WHERE pr = 1
+)
+SELECT query_id, true_label, pred_label, correct,
+       CAST(1000000 * (SELECT sum(correct) FROM res)
+            // (SELECT count(*) FROM res) AS BIGINT) AS accuracy_micro
+FROM res ORDER BY query_id
+"""
+
+
+QUERIES.update({"knn_label_accuracy": QueryDef(knn_label_accuracy,
+                                               _knn_label_accuracy_sql())})

@@ -844,3 +844,37 @@ def test_mrr_labels_matches_bruteforce(ray_session):
         assert int(row["rr_micro"]) == 1_000_000 // rank
         rrs.append(1_000_000 // rank)
     assert int(got["mrr_micro"].iloc[0]) == sum(rrs) // 5
+
+
+def test_knn_label_accuracy_bruteforce(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["knn_label_accuracy"].fn(SF))
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(mx - mn == 0, 1, mx - mn)
+    codes = round_half_away((mat - mn) / span * 255.0, 0).astype(np.int64)
+    codes = np.where((mx - mn) == 0, 0, codes)
+    ids = emb["vec_id"].to_numpy(np.int64)
+    labels = emb["label"].to_numpy(np.int64)
+    correct = []
+    for qid in ids[ids % 25 == 0]:
+        qi = np.flatnonzero(ids == qid)[0]
+        d = ((codes - codes[qi]) ** 2).sum(axis=1)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], d[mask]))[:5]
+        nl = labels[mask][order]
+        vals, counts = np.unique(nl, return_counts=True)
+        pred = int(vals[counts == counts.max()].min())
+        row = got[got["query_id"] == qid].iloc[0]
+        assert int(row["pred_label"]) == pred
+        assert int(row["true_label"]) == labels[qi]
+        correct.append(int(pred == labels[qi]))
+    assert int(got["accuracy_micro"].iloc[0]) == (
+        1_000_000 * sum(correct)) // len(correct)
+    # embeddings are random per label, so LOO accuracy should be near
+    # chance — assert the metric is COMPUTED, not that embeddings are
+    # good (no assertion on the value beyond its range)
+    assert 0 <= int(got["accuracy_micro"].iloc[0]) <= 1_000_000
