@@ -15933,3 +15933,103 @@ FROM res ORDER BY query_id
 
 QUERIES.update({"knn_label_accuracy": QueryDef(knn_label_accuracy,
                                                _knn_label_accuracy_sql())})
+
+
+# --- cluster jackknife: uncertainty for the mean at scale ---------------------
+
+def jackknife_mean_ci(sf_dir: str):
+    """Leave-one-bucket-out (delete-a-group) jackknife for the mean
+    event value — uncertainty quantification done the way a cluster
+    sample demands: users (not rows) are the independent units, so the
+    20 jackknife replicates drop whole fmix32 user-buckets. Replicate
+    means and the jackknife variance numerator are exact integers
+    (dev·dev, never **); the standard error takes the one shared sqrt,
+    micro-rounded (the `mannwhitney_u` discipline).
+
+    Distributed shape: per-batch (bucket, Σmilli, n) combiners → a
+    20-row fold. Nothing rides an exchange but 20 partial rows per
+    block."""
+    from etl_ray.functions import sketch as F_sketch
+
+    B = 20
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    part_empty = pa.table({"b": pa.array([], pa.int64()),
+                           "s": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        b = (F_sketch._fmix32(u.astype(np.uint64))
+             % np.uint64(B)).astype(np.int64)
+        vm = round_half_away(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0,
+            0).astype(np.int64)
+        g = pd.DataFrame({"b": b, "s": vm, "n": np.int64(1)}).groupby(
+            "b", sort=False, as_index=False)[["s", "n"]].sum()
+        g["s"] = g["s"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), ["b"], part_empty)
+    S = int(g["s"].sum())
+    N = int(g["n"].sum())
+    loo = []
+    for _, r in g.sort_values("b").iterrows():
+        si, ni = int(r["s"]), int(r["n"])
+        loo.append((1000 * (S - si)) // (N - ni))  # micro, values ≥ 0
+    nb = len(loo)
+    mbar = sum(loo) // nb
+    var_num = sum((m - mbar) * (m - mbar) for m in loo)
+    jk_var = ((nb - 1) * var_num) // nb
+    se = math.sqrt((nb - 1) / nb * float(var_num)) if nb > 1 else 0.0
+    return pd.DataFrame({
+        "n_events": [np.int64(N)],
+        "n_buckets": [np.int64(nb)],
+        "mean_micro": [np.int64((1000 * S) // N if N else 0)],
+        "jk_var": [np.int64(jk_var)],
+        "se_micro": [np.int64(round_half_away(np.array([se]), 0)[0])],
+    })
+
+
+def _jackknife_sql() -> str:
+    from etl_ray.functions.sketch import fmix32_sql
+
+    fm = fmix32_sql(
+        "SELECT value, user_id % 4294967296 AS h0 FROM events",
+        ["value"],
+    )
+    return f"""
+WITH f AS ({fm}),
+per AS (
+  SELECT CAST(hv % 20 AS BIGINT) AS b,
+         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS HUGEINT)
+           AS s,
+         CAST(count(*) AS HUGEINT) AS n
+  FROM f GROUP BY 1
+), tot AS (
+  SELECT sum(s) AS st, sum(n) AS nt, count(*) AS nb FROM per
+), loo AS (
+  SELECT CAST(1000 * (t.st - p.s) // (t.nt - p.n) AS HUGEINT) AS m
+  FROM per p, tot t
+), mb AS (
+  SELECT sum(m) // count(*) AS mbar FROM loo
+), v AS (
+  SELECT sum((m - mbar) * (m - mbar)) AS var_num FROM loo, mb
+)
+SELECT CAST(t.nt AS BIGINT) AS n_events,
+       CAST(t.nb AS BIGINT) AS n_buckets,
+       CAST(1000 * t.st // t.nt AS BIGINT) AS mean_micro,
+       CAST((t.nb - 1) * v.var_num // t.nb AS BIGINT) AS jk_var,
+       CAST(round(sqrt(CAST(t.nb - 1 AS DOUBLE) / t.nb
+                       * CAST(v.var_num AS DOUBLE)), 0) AS BIGINT)
+         AS se_micro
+FROM tot t, v
+"""
+
+
+QUERIES.update({"jackknife_mean_ci": QueryDef(jackknife_mean_ci,
+                                              _jackknife_sql())})

@@ -878,3 +878,31 @@ def test_knn_label_accuracy_bruteforce(ray_session):
     # chance — assert the metric is COMPUTED, not that embeddings are
     # good (no assertion on the value beyond its range)
     assert 0 <= int(got["accuracy_micro"].iloc[0]) <= 1_000_000
+
+
+def test_jackknife_matches_sequential(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.functions.sketch import _fmix32
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["jackknife_mean_ci"].fn(SF)).iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    vm = round_half_away(ev["value"].to_numpy() * 1000.0, 0).astype(
+        np.int64)
+    b = (_fmix32(ev["user_id"].to_numpy(np.uint64)) % np.uint64(20)
+         ).astype(np.int64)
+    S, N = int(vm.sum()), len(vm)
+    loo = []
+    for i in sorted(set(b)):
+        m = b == i
+        loo.append(1000 * (S - int(vm[m].sum())) // (N - int(m.sum())))
+    nb = len(loo)
+    mbar = sum(loo) // nb
+    var_num = sum((m - mbar) ** 2 for m in loo)
+    assert int(got["n_events"]) == N and int(got["n_buckets"]) == nb
+    assert int(got["mean_micro"]) == 1000 * S // N
+    assert int(got["jk_var"]) == (nb - 1) * var_num // nb
+    # users never straddle buckets (cluster-aware resampling)
+    assert ev.groupby("user_id").apply(
+        lambda g: len(set(b[g.index]))).max() == 1
