@@ -206,7 +206,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "did_estimator", "benford_deviation", "daily_autocorr",
         "rbo_rankings", "frequent_triples", "vocab_coverage_curve",
         "markov_stationary", "ndcg_dense", "mrr_labels",
-        "knn_label_accuracy", "jackknife_mean_ci",
+        "knn_label_accuracy", "jackknife_mean_ci", "trending_decay",
     ]
     q_times = {}
     q_stats = {}

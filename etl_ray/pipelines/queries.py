@@ -16033,3 +16033,61 @@ FROM tot t, v
 
 QUERIES.update({"jackknife_mean_ci": QueryDef(jackknife_mean_ci,
                                               _jackknife_sql())})
+
+
+# --- exponentially decayed counts: the "trending now" aggregate --------------
+
+def trending_decay(sf_dir: str):
+    """Time-decayed event counts — the "trending" aggregate (recent
+    events count more; half-life 3 days against a FIXED anchor, so no
+    global-max pre-pass): each event contributes
+    round(1e6·2^(−age_days/3)) micro-weight, quantized PER EVENT so the
+    per-type sums fold as exact integers in any order. The one float
+    (2^x of an identical double) is computed once per event on both
+    engines and rounded before any aggregation.
+
+    Zero-shuffle: per-batch (type, Σweight, n) combiners → 5-row fold."""
+    ANCHOR_US = np.int64(pd.Timestamp("2024-02-01").value // 1000)
+    HL_US = 3 * 86_400_000_000  # 3-day half-life
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    part_empty = pa.table({"event_type": pa.array([], pa.string()),
+                           "w": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or not t.column_names:
+            return part_empty
+        ts_us = t.column("ts").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        age = (ANCHOR_US - ts_us).astype(np.float64) / HL_US
+        w = round_half_away(np.power(2.0, -age) * 1e6, 0).astype(np.int64)
+        g = pd.DataFrame({"event_type": t.column("event_type").to_pandas(),
+                          "w": w, "n": np.int64(1)}).groupby(
+            "event_type", sort=False, as_index=False)[["w", "n"]].sum()
+        g["w"] = g["w"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = F_agg.grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["event_type"], part_empty)
+    g = g.rename(columns={"w": "decayed_micro", "n": "n_events"})
+    return g.sort_values(["decayed_micro", "event_type"],
+                         ascending=[False, True], ignore_index=True)
+
+
+TRENDING_DECAY_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(round(
+         power(2.0, -(epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts))
+                      / 259200000000.0) * 1000000, 0) AS BIGINT))
+         AS BIGINT) AS decayed_micro,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+ORDER BY decayed_micro DESC, event_type
+"""
+
+
+QUERIES.update({"trending_decay": QueryDef(trending_decay,
+                                           TRENDING_DECAY_SQL)})

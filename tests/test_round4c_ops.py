@@ -906,3 +906,24 @@ def test_jackknife_matches_sequential(ray_session):
     # users never straddle buckets (cluster-aware resampling)
     assert ev.groupby("user_id").apply(
         lambda g: len(set(b[g.index]))).max() == 1
+
+
+def test_trending_decay_weights_recent_events_more(ray_session):
+    from etl_ray.functions.rounding import round_half_away
+    from etl_ray.pipelines.queries import QUERIES
+
+    got = _df(QUERIES["trending_decay"].fn(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    anchor = pd.Timestamp("2024-02-01").value // 1000
+    hl = 3 * 86_400_000_000
+    ts_us = ev["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    w = round_half_away(
+        np.power(2.0, -(anchor - ts_us).astype(np.float64) / hl) * 1e6,
+        0).astype(np.int64)
+    want = pd.DataFrame({"event_type": ev["event_type"], "w": w}).groupby(
+        "event_type")["w"].sum()
+    for _, r in got.iterrows():
+        assert int(r["decayed_micro"]) == int(want[r["event_type"]])
+    # a per-type decayed count is always below the raw count ×1e6
+    assert (got["decayed_micro"] < got["n_events"] * 1_000_000).all()
