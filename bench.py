@@ -228,6 +228,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         q_times[name] = round(time.perf_counter() - t0, 3)
         q_stats[name] = _new_dataset_stats(seen)
 
+    # Per-query operator stats are LARGE (100s of KB). Round 4's lesson:
+    # inlining them into the single stdout JSON line overflowed the
+    # driver's tail capture and lost the round's perf evidence
+    # (BENCH_r04.json parsed: null). Persist them to a sibling file
+    # instead — the reference's analog is results-to-a-side-table, not
+    # the console (etl/init/sql/80_benchmark_results.sql:1-19) — and
+    # keep the final stdout line compact (headline + per-query walls).
+    if q_stats:
+        stats_path = os.environ.get(
+            "GRAFT_BENCH_STATS_PATH",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_STATS.json"))
+        try:
+            with open(stats_path, "w") as f:
+                json.dump(q_stats, f)
+        except OSError:
+            pass  # stats are diagnostics; never fail the headline
+
     out = {
         "metric": "cdc_replay_wall_sec",
         "value": round(replay_sec, 3),
@@ -237,7 +255,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "median_sec": round(median_sec, 3),
         "runs": [round(t, 3) for t in times],
         "queries": q_times,
-        "query_stats": q_stats,
         "sf": sf,
         "num_cpus": num_cpus,
     }
