@@ -4,6 +4,8 @@ Usage:
     python bench.py              # one JSON line on stdout
     python bench.py --scaling    # run at num_cpus=8 and 32 in fresh
                                  # processes; report scaling efficiency
+    python bench.py --tail       # tail-mode event→commit latency
+                                 # (p50/p90/p99 per arriving segment)
 
 Env:
     GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
@@ -262,6 +264,108 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def run_tail(sf_dir: str, num_cpus: int) -> dict:
+    """Tail-mode latency: per-window event→commit latency, the metric a
+    streaming CDC user actually watches (the headline bench measures bulk
+    replay THROUGHPUT; this measures how long a newly-arrived log segment
+    takes to become a committed, readable checkpoint).
+
+    Protocol: the bench log is split into many small segments; segments
+    are moved into a live log dir one at a time (simulating arrival) and
+    one long-lived ReplayEngine — the ``cli.py:cmd_tail`` shape — runs an
+    incremental replay pass after each arrival (the file-based resume
+    cursor makes each pass consume exactly the new segment). Latency of a
+    pass = arrival → manifest commit, which includes validate, shuffle,
+    LWW merge, rollup maintenance and the atomic manifest swap. The first
+    ``GRAFT_TAIL_WARMUP`` passes are untimed (streaming-executor/worker
+    startup is a one-time cost a long-running tailer never re-pays).
+
+    Env: GRAFT_TAIL_SEGMENTS (default 32), GRAFT_TAIL_EVENTS (key count
+    override), GRAFT_TAIL_WARMUP (default 2).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    @ray.remote
+    def _warm():
+        import numpy, pandas, pyarrow  # noqa: F401
+        import time as _t
+
+        _t.sleep(0.3)
+        return 1
+
+    ray.get([_warm.remote() for _ in range(num_cpus)])
+
+    from etl_ray.generator import generate_events, write_event_log
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    sf = _sf_from_dir(sf_dir)
+    n_segments = int(os.environ.get("GRAFT_TAIL_SEGMENTS", "32"))
+    warmup = int(os.environ.get("GRAFT_TAIL_WARMUP", "2"))
+    n_keys = int(os.environ.get("GRAFT_TAIL_EVENTS") or 0) or max(
+        2000, int(1_000_000 * sf))
+    root = f"/tmp/etl_ray_bench/tail_keys{n_keys}_seg{n_segments}"
+    src = os.path.join(root, "segments")
+    marker = os.path.join(src, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        log = generate_events(n_keys=n_keys, seed=42, scenario="mixed",
+                              mean_versions=4.0, content_len=192)
+        write_event_log(log, src, n_files=n_segments)
+        with open(marker, "w") as f:
+            f.write(str(log.table.num_rows))
+    seg_files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+
+    live = os.path.join(root, "live")
+    lake = os.path.join(root, "lake")
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.rmtree(lake, ignore_errors=True)
+    os.makedirs(live)
+    eng = ReplayEngine(lake, num_partitions=64)
+
+    lat: list[float] = []
+    rows_timed = 0
+    for i, name in enumerate(seg_files):
+        # "arrival": the segment becomes visible in the live log dir
+        os.link(os.path.join(src, name), os.path.join(live, name))
+        n_rows = pq.read_metadata(os.path.join(live, name)).num_rows
+        t0 = time.perf_counter()
+        eng.replay(live, window_events=1 << 60)  # one window per arrival
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            lat.append(dt)
+            rows_timed += n_rows
+
+    lat_sorted = sorted(lat)
+
+    def pct(p: float) -> float:
+        return lat_sorted[min(len(lat_sorted) - 1,
+                              int(p / 100 * len(lat_sorted)))]
+
+    ray.shutdown()
+    return {
+        "metric": "tail_commit_latency_p50_sec",
+        "value": round(pct(50), 3),
+        "unit": "sec",
+        "p90_sec": round(pct(90), 3),
+        "p99_sec": round(pct(99), 3),
+        "min_sec": round(lat_sorted[0], 3),
+        "max_sec": round(lat_sorted[-1], 3),
+        "passes_timed": len(lat),
+        "warmup_passes": warmup,
+        "events_per_segment": rows_timed // max(1, len(lat)),
+        "sustained_events_per_sec": round(rows_timed / sum(lat), 1),
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels (N and 4N CPUs) in fresh
     processes — the in-sandbox evidence for the north rule's
@@ -388,6 +492,9 @@ def main() -> None:
         print(json.dumps(run_scaling(sf_dir)))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--tail" in sys.argv:
+        print(json.dumps(run_tail(sf_dir, num_cpus)))
+        return
     print(json.dumps(run_bench(sf_dir, num_cpus)))
 
 
