@@ -86,6 +86,29 @@ def cmd_repartition(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Partition-plan advisor: detect density skew from manifest lineage,
+    exactly simulate candidate layouts, print the recommendation; with
+    --apply, execute it via the online repartition when it differs from
+    the current layout."""
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    eng = ReplayEngine(args.lake)
+    plan = eng.plan_partitions(
+        target_rows_per_partition=args.target_rows,
+        tolerance=args.tolerance,
+    )
+    if args.apply and plan["recommended_p"] != plan["current"]["num_partitions"]:
+        plan["applied"] = eng.repartition(plan["recommended_p"])
+    print(json.dumps(plan))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Print the change data feed (optionally a checkpoint range) as
     JSON lines — the incremental-consumer surface of changefeed_read."""
@@ -294,6 +317,20 @@ def main(argv=None) -> int:
     rp.add_argument("--partitions", type=int, required=True)
     rp.add_argument("--num-cpus", type=int, default=None)
     rp.set_defaults(fn=cmd_repartition)
+
+    pl = sub.add_parser("plan", help="partition-plan advisor: detect "
+                                     "skew, recommend a new layout")
+    pl.add_argument("--lake", required=True)
+    pl.add_argument("--target-rows", type=int, default=None,
+                    help="max mean rows per partition before a grow is "
+                         "recommended")
+    pl.add_argument("--tolerance", type=float, default=2.0,
+                    help="max/mean imbalance considered balanced")
+    pl.add_argument("--apply", action="store_true",
+                    help="execute the recommendation via online "
+                         "repartition when it differs from current")
+    pl.add_argument("--num-cpus", type=int, default=None)
+    pl.set_defaults(fn=cmd_plan)
 
     s = sub.add_parser("status", help="show lake manifest status")
     s.add_argument("--lake", required=True)

@@ -1228,6 +1228,18 @@ class ReplayEngine:
         return {"checkpoint_id": ckpt_id, "num_partitions": new_p,
                 "rows": total_rows, "old_partitions": m.num_partitions}
 
+    def plan_partitions(self, **kwargs) -> dict[str, Any]:
+        """Density-driven partition-plan advisor (state/planner.py): read
+        per-partition rows/bytes from manifest lineage, exactly simulate
+        candidate layouts from the actual key hashes, and recommend a
+        new P (execute it with :meth:`repartition`) plus a hot-repo salt
+        list for the join-salting path. Reference analog: the KD-tree
+        density balancer, etl/partition_builder/02_kd_tree_construction
+        .sql:36-60 over the 5k heatmap (01_5k_heatmap.sql:11-15)."""
+        from etl_ray.state.planner import plan_partitions
+
+        return plan_partitions(self.lake_dir, **kwargs)
+
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and
         commit a new checkpoint (the maintenance OPTIMIZE — reference
