@@ -132,6 +132,20 @@ _CHANGES_EMPTY = pa.schema(
 
 
 
+#: Serializes dataset CONSTRUCTION across driver threads. Ray Data's
+#: read-path resolution lazily does `from fsspec.implementations.http
+#: import HTTPFileSystem` and catches only ModuleNotFoundError; with two
+#: driver threads constructing datasets concurrently (concurrent scoped
+#: writers), the second thread can observe the partially-initialized
+#: module and get a plain ImportError that nothing catches. Python does
+#: not negative-cache failed imports, so warming once does not fix it —
+#: construction is cheap and serialized instead (execution stays
+#: concurrent). Same discipline the prefetch path applies by keeping
+#: construction on the main thread.
+import threading as _threading
+
+_DATASET_BUILD_LOCK = _threading.Lock()
+
 #: composite (repo, path) join-key separator used by ``ReplayEngine.diff``
 #: and every consumer that reconstructs keys from its output
 DIFF_SEP = "\x1f"
@@ -283,6 +297,8 @@ class ReplayEngine:
         num_partitions: int = 64,
         batch_size: int | None = None,
         ensure_actors: int | None = None,
+        partition_scope: tuple[int, int] | list[int] | None = None,
+        stream: str | None = None,
     ):
         self.store = ManifestStore(lake_dir)
         self.lake_dir = lake_dir
@@ -354,6 +370,59 @@ class ReplayEngine:
                 "ETL_RAY_ENSURE_ACTORS: the actor merge path does not "
                 "stage change files — disable one of the two"
             )
+        #: CONCURRENT PARTITION-DISJOINT WRITERS (the Citus parallel
+        #: shard-load analog): a writer constructed with
+        #: ``partition_scope`` owns a subset of partitions and its own
+        #: named resume cursor (``stream``); commits go through the
+        #: rebase path (state/manifest.py:commit_scoped) — per-partition
+        #: optimistic concurrency under a short lake-level commit lock —
+        #: so writers on DISJOINT scopes commit in any interleaving,
+        #: while an overlapping or zombie writer fails loudly with
+        #: StaleWriterError. ``partition_scope``: an inclusive (lo, hi)
+        #: tuple or an explicit id list. Events that route outside the
+        #: scope are a configuration error and fail the window before
+        #: commit. Maintenance ops (repartition/compact/rollback) stay
+        #: global — run them from an unscoped engine. NOTE: within one
+        #: driver process, run concurrent writers only where
+        #: _parallelism_scope is a no-op (cap >= cpus) or accept shared
+        #: DataContext limits; production writers are separate drivers
+        #: (one `ray job submit` each).
+        self._scope: frozenset[int] | None = None
+        self._stream = "main"
+        if partition_scope is not None:
+            if isinstance(partition_scope, tuple):
+                lo, hi = partition_scope
+                scope = frozenset(range(int(lo), int(hi) + 1))
+            else:
+                scope = frozenset(int(p) for p in partition_scope)
+            if not scope or min(scope) < 0 or max(scope) >= self.num_partitions:
+                raise ValueError(
+                    f"partition_scope must be a non-empty subset of "
+                    f"[0, {self.num_partitions})"
+                )
+            self._scope = scope
+            self._stream = stream or f"scope-{min(scope)}-{max(scope)}"
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z0-9._-]+", self._stream):
+                raise ValueError(
+                    "stream must be filesystem-safe ([A-Za-z0-9._-]+): "
+                    f"{self._stream!r}"
+                )
+            if self.ensure_actors:
+                raise RuntimeError(
+                    "partition_scope is not supported with "
+                    "ETL_RAY_ENSURE_ACTORS (the actor pool is shared per "
+                    "lake, not per scope)"
+                )
+            if self.changefeed:
+                raise RuntimeError(
+                    "partition_scope is not supported with "
+                    "ETL_RAY_CHANGEFEED (change files embed the checkpoint "
+                    "id, which a scoped writer learns only at commit)"
+                )
+        elif stream is not None:
+            raise ValueError("stream requires partition_scope")
 
     def _fence_epoch(self) -> int:
         """The engine's writer fence, claimed lazily before the first
@@ -648,8 +717,17 @@ class ReplayEngine:
         self._epoch = self.store.fence()
         schema = unified_schema(files)
         current = self.store.current()
-        files_done = current.log_files_done if current else 0
-        base_windows = current.windows_done if current else 0
+        if self._scope is None:
+            files_done = current.log_files_done if current else 0
+            base_windows = current.windows_done if current else 0
+            done_fp = current.log_fingerprint if current else ""
+        else:
+            # scoped writers resume from their OWN named cursor — the
+            # legacy top-level cursor belongs to the unscoped writer
+            c = (current.cursors.get(self._stream, {}) if current else {})
+            files_done = int(c.get("files_done", 0))
+            base_windows = int(c.get("windows_done", 0))
+            done_fp = c.get("fingerprint", "")
         if files_done > len(files):
             raise RuntimeError(
                 f"log truncated: manifest says {files_done} segment files "
@@ -658,7 +736,7 @@ class ReplayEngine:
             )
         if current is not None and files_done:
             fp = prefix_fingerprint(files[:files_done])
-            if fp != current.log_fingerprint:
+            if fp != done_fp:
                 raise RuntimeError(
                     "consumed log prefix changed since the last commit "
                     f"(fingerprint mismatch over the first {files_done} "
@@ -666,7 +744,7 @@ class ReplayEngine:
                     "refusing to resume"
                 )
         windows = plan_windows(files[files_done:], window_events)
-        cursor_fp = current.log_fingerprint if current else ""
+        cursor_fp = done_fp
         cursor_files = files_done
         ran = 0
         out: dict[str, Any] = {
@@ -763,7 +841,8 @@ class ReplayEngine:
             len(window.files),
             int(window_bytes // (64 << 20)) + 1,
         )
-        with self._parallelism_scope(), self._shuffle_scope():
+        with _DATASET_BUILD_LOCK, self._parallelism_scope(), \
+                self._shuffle_scope():
             ds = read_window(window, schema, override_num_blocks=n_blocks)
             return ds.map_batches(
                 make_validate_fn(self.num_partitions),
@@ -795,26 +874,19 @@ class ReplayEngine:
                 f"engine routes by {self.num_partitions} partitions but the "
                 f"lake is laid out in {prior.num_partitions} (repartitioned "
                 "elsewhere?) — rebuild the engine from the lake dir")
-        ckpt_id = prior.checkpoint_id + 1
+        ckpt_id = prior.checkpoint_id + 1  # provisional under a scoped writer
 
-        # evolved payload columns = anything beyond the core event envelope,
-        # remembered across windows in the manifest (additive evolution);
-        # a known column reappearing with a different numeric type WIDENS
-        # via the lossless lattice (schema.py:widen_type) — old partition
-        # files keep their narrow type on disk and cast up at read
-        payload_types = dict(prior.payload_types)
-        for f in schema:
-            if f.name in _CORE:
-                continue
-            prev = payload_types.get(f.name)
-            if prev is None:
-                payload_types[f.name] = str(f.type)
-            else:
-                prev_t = pa.type_for_alias(prev)
-                if not prev_t.equals(f.type):
-                    payload_types[f.name] = str(widen_type(prev_t, f.type))
+        payload_types = self._widen_payload_types(prior.payload_types, schema)
 
-        staging = self.store.staging_dir(ckpt_id)
+        if self._scope is None:
+            staging = self.store.staging_dir(ckpt_id)
+        else:
+            # checkpoint id is assigned at commit (rebase) — stage under a
+            # writer-unique name so concurrent writers never collide
+            staging = self.store.staging_dir_named(
+                f"scoped-{self._stream}-e{self._fence_epoch():06d}"
+                f"-w{window.index:06d}"
+            )
         prior_files = {
             int(p): self.store.abs_path(info["file"])
             for p, info in prior.partitions.items()
@@ -911,82 +983,164 @@ class ReplayEngine:
             pa.concat_tables(blocks, promote_options="default") if blocks else None
         )
 
+        met_rows: list[dict] = []
+        deltas = None
+        if stats_t is not None and stats_t.num_rows:
+            kinds = stats_t.column("kind")
+            met_rows = stats_t.filter(pc.equal(kinds, "metrics")).to_pylist()
+            deltas = stats_t.filter(pc.equal(kinds, "delta"))
+
+        if self._scope is not None:
+            return self._commit_scoped_window(
+                window, schema, prior, met_rows, deltas, staging,
+                log_cursor, t0, t_exec,
+            )
+
         # --- fold window results into the next manifest --------------------
         m = Manifest(
             checkpoint_id=ckpt_id,
             num_partitions=self.num_partitions,
-            partitions=dict(prior.partitions),
             summaries=dict(prior.summaries),
             payload_types=payload_types,
             windows_done=window.index + 1,
             log_files_done=log_cursor[0] if log_cursor else prior.log_files_done,
             log_fingerprint=log_cursor[1] if log_cursor else prior.log_fingerprint,
+            cursors={k: dict(v) for k, v in prior.cursors.items()},
         )
-        agg = {
+        agg = self._new_agg()
+        m.partitions, cf_files, cf_rows = self._fold_partition_rows(
+            prior.partitions, met_rows, ckpt_id, staging, agg
+        )
+        m.summaries = self._fold_summaries(prior.summaries, deltas, staging)
+
+        # --- dead-letter queue ----------------------------------------------
+        # snapshot-carried like ``partitions``: rollback to N automatically
+        # drops rejects staged after N; gc retains referenced reject files
+        m.rejects = dict(prior.rejects)
+        if self.dlq and agg["invalid"]:
+            rej = self._stage_rejects(window, staging, ckpt_id)
+            if rej["rows"]:
+                m.rejects[str(ckpt_id)] = rej
+            agg["rejects_quarantined"] = rej["rows"]
+
+        # --- change data feed (opt-in) ---------------------------------------
+        m.changes = dict(prior.changes)
+        if cf_files:
+            m.changes[str(ckpt_id)] = {"files": sorted(cf_files), "rows": cf_rows}
+            agg["changes_rows"] = cf_rows
+
+        agg["window_rows"] = window.rows
+        agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
+        agg["wall_sec"] = round(time.perf_counter() - t0, 4)
+        m.metrics = agg
+        self.store.commit(m, epoch=self._fence_epoch())  # ← the exactly-once boundary
+        return agg
+
+    # ----------------------------------------------- window-fold helpers
+
+    @staticmethod
+    def _new_agg() -> dict[str, Any]:
+        return {
             k: 0
             for k in ("events_in", "applied", "inserts", "updates", "deletes",
                       "stale", "invalid", "parts_touched", "parts_changed")
         }
-        deltas = None
+
+    def _widen_payload_types(
+        self, base_types: dict[str, str], schema: pa.Schema
+    ) -> dict[str, str]:
+        """Evolved payload columns = anything beyond the core event
+        envelope, remembered across windows in the manifest (additive
+        evolution); a known column reappearing with a different numeric
+        type WIDENS via the lossless lattice (schema.py:widen_type) —
+        old partition files keep their narrow type on disk and cast up
+        at read."""
+        payload_types = dict(base_types)
+        for f in schema:
+            if f.name in _CORE:
+                continue
+            prev = payload_types.get(f.name)
+            if prev is None:
+                payload_types[f.name] = str(f.type)
+            else:
+                prev_t = pa.type_for_alias(prev)
+                if not prev_t.equals(f.type):
+                    payload_types[f.name] = str(widen_type(prev_t, f.type))
+        return payload_types
+
+    def _fold_partition_rows(
+        self,
+        base_parts: dict[str, dict[str, Any]],
+        met_rows: list[dict],
+        ckpt_id: int,
+        staging: str,
+        agg: dict[str, Any],
+    ) -> tuple[dict[str, dict[str, Any]], list[str], int]:
+        """Fold the merge stage's per-partition metrics rows onto a base
+        partition map; accumulates audit counters into ``agg``. Returns
+        (partitions, changefeed file relpaths, changefeed rows)."""
+        parts = dict(base_parts)
         cf_files: list[str] = []
         cf_rows = 0
-        if stats_t is not None and stats_t.num_rows:
-            kinds = stats_t.column("kind")
-            met = stats_t.filter(pc.equal(kinds, "metrics"))
-            deltas = stats_t.filter(pc.equal(kinds, "delta"))
-            for row in met.to_pylist():
-                part = str(row["part"])
-                prev = prior.partitions.get(part, {})
-                prev_wm = prev.get("watermark", -1)
-                mode = row.get("mode") or "rewrite"
-                if mode == "delta":
-                    # merge-on-read append: base file unchanged, chain grows
-                    file_rel = prev["file"]
-                    chain_rels = list(prev.get("deltas", [])) + [
-                        self.store.rel_path(row["staged_file"])
-                    ]
-                elif mode == "none":
-                    # untouched partition: keep base AND its existing chain
-                    file_rel = prev.get(
-                        "file", self.store.rel_path(row["staged_file"])
-                    )
-                    chain_rels = list(prev.get("deltas", []))
-                else:  # rewrite / compaction: chain folded into a new base
-                    file_rel = self.store.rel_path(row["staged_file"])
-                    chain_rels = []
-                entry = {
-                    "file": file_rel,
-                    "rows": row["state_rows"],
-                    "tombstones": row["tombstones"],
-                    "watermark": max(prev_wm, row["watermark"]),
-                    # checkpoint that last rewrote this partition's file —
-                    # the ensure-actor cache key (stages/ensure.py)
-                    "ckpt": ckpt_id if row["changed"] else prev.get("ckpt", -1),
-                }
-                if chain_rels:
-                    entry["deltas"] = chain_rels
-                m.partitions[part] = entry
-                for k in ("events_in", "applied", "inserts", "updates",
-                          "deletes", "stale", "invalid"):
-                    agg[k] += row[k] or 0
-                agg["parts_touched"] += 1
-                agg["parts_changed"] += 1 if row["changed"] else 0
-                if row.get("changes_rows"):
-                    # deterministic per-partition name — reconstructable,
-                    # never listed from disk (the manifest IS the lake)
-                    cf_files.append(
-                        self.store.rel_path(
-                            os.path.join(
-                                staging, f"changes-{int(row['part']):05d}.parquet"
-                            )
+        for row in met_rows:
+            part = str(row["part"])
+            prev = base_parts.get(part, {})
+            prev_wm = prev.get("watermark", -1)
+            mode = row.get("mode") or "rewrite"
+            if mode == "delta":
+                # merge-on-read append: base file unchanged, chain grows
+                file_rel = prev["file"]
+                chain_rels = list(prev.get("deltas", [])) + [
+                    self.store.rel_path(row["staged_file"])
+                ]
+            elif mode == "none":
+                # untouched partition: keep base AND its existing chain
+                file_rel = prev.get(
+                    "file", self.store.rel_path(row["staged_file"])
+                )
+                chain_rels = list(prev.get("deltas", []))
+            else:  # rewrite / compaction: chain folded into a new base
+                file_rel = self.store.rel_path(row["staged_file"])
+                chain_rels = []
+            entry = {
+                "file": file_rel,
+                "rows": row["state_rows"],
+                "tombstones": row["tombstones"],
+                "watermark": max(prev_wm, row["watermark"]),
+                # checkpoint that last rewrote this partition's file —
+                # the ensure-actor cache key (stages/ensure.py)
+                "ckpt": ckpt_id if row["changed"] else prev.get("ckpt", -1),
+            }
+            if chain_rels:
+                entry["deltas"] = chain_rels
+            parts[part] = entry
+            for k in ("events_in", "applied", "inserts", "updates",
+                      "deletes", "stale", "invalid"):
+                agg[k] += row[k] or 0
+            agg["parts_touched"] += 1
+            agg["parts_changed"] += 1 if row["changed"] else 0
+            if row.get("changes_rows"):
+                # deterministic per-partition name — reconstructable,
+                # never listed from disk (the manifest IS the lake)
+                cf_files.append(
+                    self.store.rel_path(
+                        os.path.join(
+                            staging, f"changes-{int(row['part']):05d}.parquet"
                         )
                     )
-                    cf_rows += int(row["changes_rows"])
+                )
+                cf_rows += int(row["changes_rows"])
+        return parts, cf_files, cf_rows
 
-        # --- incremental rollups (delta-by-delta) ---------------------------
+    def _fold_summaries(
+        self, base_summaries: dict[str, str], deltas, staging: str
+    ) -> dict[str, str]:
+        """Incremental rollups (delta-by-delta): fold the window's
+        (repo, lang) delta rows onto the base summary and stage the new
+        summary files. Returns the summaries relpath map."""
         prior_base_path = (
-            self.store.abs_path(prior.summaries["summary_repo_lang"])
-            if "summary_repo_lang" in prior.summaries
+            self.store.abs_path(base_summaries["summary_repo_lang"])
+            if "summary_repo_lang" in base_summaries
             else None
         )
         dl = (
@@ -1015,30 +1169,102 @@ class ReplayEngine:
         else:
             new_base = rollups.update_base(rollups.load_base(prior_base_path), dl)
         summary_paths = rollups.stage_summaries(new_base, staging)
-        m.summaries = {k: self.store.rel_path(v) for k, v in summary_paths.items()}
+        return {k: self.store.rel_path(v) for k, v in summary_paths.items()}
 
-        # --- dead-letter queue ----------------------------------------------
-        # snapshot-carried like ``partitions``: rollback to N automatically
-        # drops rejects staged after N; gc retains referenced reject files
-        m.rejects = dict(prior.rejects)
-        if self.dlq and agg["invalid"]:
-            rej = self._stage_rejects(window, staging, ckpt_id)
-            if rej["rows"]:
-                m.rejects[str(ckpt_id)] = rej
-            agg["rejects_quarantined"] = rej["rows"]
+    def _commit_scoped_window(
+        self,
+        window: Window,
+        schema: pa.Schema,
+        prior: Manifest,
+        met_rows: list[dict],
+        deltas,
+        staging: str,
+        log_cursor: tuple[int, str] | None,
+        t0: float,
+        t_exec: float,
+    ) -> dict[str, Any]:
+        """Commit one window from a PARTITION-SCOPED writer.
 
-        # --- change data feed (opt-in) ---------------------------------------
-        m.changes = dict(prior.changes)
-        if cf_files:
-            m.changes[str(ckpt_id)] = {"files": sorted(cf_files), "rows": cf_rows}
-            agg["changes_rows"] = cf_rows
+        The merge above ran against ``prior`` (the manifest at window
+        start); safety requires only that the SCOPE's entries are
+        unchanged at commit — other writers advancing disjoint
+        partitions, summaries, rejects or cursors in the meantime is the
+        point. ``commit_scoped`` verifies that per-partition snapshot
+        under the lake commit lock and rejects with StaleWriterError
+        otherwise; the manifest committed here is REBASED onto the
+        current snapshot inside the lock (partitions of other scopes,
+        rejects, cursors, payload types and the rollup summary all fold
+        onto ``cur``'s values, never ``prior``'s)."""
+        from etl_ray.state.manifest import StaleWriterError
 
-        agg["window_rows"] = window.rows
-        agg["exec_sec"] = round(t_exec, 4)  # pipeline (read→merge) wall
-        agg["wall_sec"] = round(time.perf_counter() - t0, 4)
-        m.metrics = agg
-        self.store.commit(m, epoch=self._fence_epoch())  # ← the exactly-once boundary
-        return agg
+        touched = {int(r["part"]) for r in met_rows}
+        out_of_scope = touched - self._scope
+        if out_of_scope:
+            raise ValueError(
+                f"scoped writer '{self._stream}' received events routing "
+                f"to partitions outside its scope: "
+                f"{sorted(out_of_scope)[:8]} — each scoped writer must "
+                "tail a feed pre-routed to its partition scope"
+            )
+        prior_entries = {
+            str(p): prior.partitions.get(str(p)) for p in self._scope
+        }
+
+        def build(cur: Manifest | None, ckpt_id: int) -> Manifest:
+            base = cur or Manifest(num_partitions=self.num_partitions)
+            if (
+                base.checkpoint_id >= 0
+                and base.num_partitions
+                and base.num_partitions != self.num_partitions
+            ):
+                raise StaleWriterError(
+                    f"lake was repartitioned to {base.num_partitions} "
+                    f"partitions while scoped writer '{self._stream}' "
+                    f"routed by {self.num_partitions}"
+                )
+            agg = self._new_agg()
+            parts, _cf, _cfr = self._fold_partition_rows(
+                base.partitions, met_rows, ckpt_id, staging, agg
+            )
+            m = Manifest(
+                checkpoint_id=ckpt_id,
+                num_partitions=self.num_partitions,
+                partitions=parts,
+                payload_types=self._widen_payload_types(
+                    base.payload_types, schema
+                ),
+                windows_done=base.windows_done + 1,
+                log_files_done=base.log_files_done,
+                log_fingerprint=base.log_fingerprint,
+            )
+            m.summaries = self._fold_summaries(base.summaries, deltas, staging)
+            m.rejects = dict(base.rejects)
+            if self.dlq and agg["invalid"]:
+                # staged INSIDE the lock: reject files embed the
+                # checkpoint id, which exists only after rebase
+                rej = self._stage_rejects(window, staging, ckpt_id)
+                if rej["rows"]:
+                    m.rejects[str(ckpt_id)] = rej
+                agg["rejects_quarantined"] = rej["rows"]
+            m.changes = dict(base.changes)
+            m.cursors = {k: dict(v) for k, v in base.cursors.items()}
+            cursor = dict(m.cursors.get(self._stream, {}))
+            if log_cursor:
+                cursor["files_done"] = log_cursor[0]
+                cursor["fingerprint"] = log_cursor[1]
+            cursor["windows_done"] = window.index + 1
+            m.cursors[self._stream] = cursor
+            agg["window_rows"] = window.rows
+            agg["stream"] = self._stream
+            agg["exec_sec"] = round(t_exec, 4)
+            agg["wall_sec"] = round(time.perf_counter() - t0, 4)
+            m.metrics = agg
+            return m
+
+        m = self.store.commit_scoped(
+            build, self._fence_epoch(), self._scope, prior_entries
+        )
+        return dict(m.metrics)
 
     def _stage_rejects(self, window: Window, staging: str, ckpt_id: int) -> dict:
         """Quarantine the window's invalid events (one raw task per
@@ -1217,6 +1443,7 @@ class ReplayEngine:
                      "repartitioned_to": new_p},
             rejects=dict(m.rejects),
             changes=dict(m.changes),
+            cursors={k: dict(v) for k, v in m.cursors.items()},
         )
         self.store.commit(new_m, epoch=self._fence_epoch())
         # sync the LIVE engine: subsequent apply()/replay() on this
@@ -1292,6 +1519,7 @@ class ReplayEngine:
             metrics={**m.metrics, "compacted_partitions": len(chained)},
             rejects=dict(m.rejects),
             changes=dict(m.changes),
+            cursors={k: dict(v) for k, v in m.cursors.items()},
         )
         for p, (ref, out) in refs.items():
             ray.get(ref)

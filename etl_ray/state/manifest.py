@@ -25,9 +25,11 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 
 CURRENT_POINTER = "MANIFEST.json"
@@ -71,6 +73,12 @@ class Manifest:
     #: chained fingerprint of the consumed (name, rows) prefix —
     #: sources/events.py:chain_fingerprint; verified loudly on resume
     log_fingerprint: str = ""
+    #: per-stream resume cursors for SCOPED writers (concurrent
+    #: partition-disjoint ingest): stream name -> {"files_done",
+    #: "fingerprint", "windows_done"}. The legacy top-level
+    #: log_files_done / log_fingerprint / windows_done fields stay owned
+    #: by the single unscoped writer ("main" stream).
+    cursors: dict[str, dict[str, Any]] = field(default_factory=dict)
     #: optimistic-concurrency fence: the epoch of the writer that
     #: committed this manifest (0 = unfenced/legacy). Epochs are claimed
     #: atomically (O_EXCL claim files) and never recycled — rollback
@@ -110,6 +118,15 @@ class ManifestStore:
 
     def staging_dir(self, ckpt_id: int) -> str:
         d = os.path.join(self.lake_dir, STAGING_DIR, f"ckpt={ckpt_id:06d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def staging_dir_named(self, name: str) -> str:
+        """Staging dir for a SCOPED writer's window: the checkpoint id is
+        assigned only at commit (rebase), so scoped staging is named by
+        (stream, epoch, window) instead — unique per writer, so two
+        concurrent writers never collide on staged file names."""
+        d = os.path.join(self.lake_dir, STAGING_DIR, name)
         os.makedirs(d, exist_ok=True)
         return d
 
@@ -160,6 +177,108 @@ class ManifestStore:
         )
         _atomic_write(numbered, m.to_json())
         _atomic_write(os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json())
+
+    @contextmanager
+    def commit_lock(self, timeout_s: float = 60.0):
+        """Short mutual-exclusion section around a read-rebase-swap
+        commit (the concurrent-writer path). O_CREAT|O_EXCL lock file —
+        POSIX-atomic on the shared lake filesystem. A lock left by a
+        DEAD process on this host is stolen (pid liveness probe); on a
+        real multi-node deployment the lake sits behind a catalog
+        service and this file is the single-host stand-in, the same
+        caveat :meth:`commit` documents for the pointer swap."""
+        path = os.path.join(self.lake_dir, MANIFEST_DIR, "COMMIT.lock")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        holder = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    holder = 0
+                if holder and holder != os.getpid():
+                    try:
+                        os.kill(holder, 0)
+                    except ProcessLookupError:
+                        # dead holder: steal (unlink may race another
+                        # stealer; the retry loop absorbs it)
+                        try:
+                            os.unlink(path)
+                        except FileNotFoundError:
+                            pass
+                        continue
+                    except PermissionError:
+                        pass  # alive, not ours
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {path} held for >{timeout_s}s "
+                        f"(holder pid {holder or 'unknown'})"
+                    )
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+    def commit_scoped(
+        self,
+        build: Callable[[Manifest | None, int], Manifest],
+        epoch: int,
+        scope: frozenset[int],
+        prior_entries: dict[str, dict[str, Any]],
+        timeout_s: float = 60.0,
+    ) -> Manifest:
+        """Commit from a PARTITION-SCOPED writer — the concurrent-ingest
+        path (reference analog: Citus loading disjoint shard sets in
+        parallel, ``etl/init/sql/50_citus_distribution.sql``).
+
+        Under :meth:`commit_lock`, the writer's manifest is REBASED onto
+        the current snapshot by ``build(current, new_ckpt_id)`` (the
+        caller folds its touched partitions / rejects / summary delta
+        onto ``current``'s dicts, never its own stale base). Safety is
+        per-partition optimistic concurrency: ``prior_entries`` is the
+        snapshot of the scope's partition entries the writer's MERGE
+        read; if any of them changed since — a same-scope zombie
+        takeover, an overlapping scope, or an unscoped writer rewriting
+        the world — the commit raises :class:`StaleWriterError` and
+        nothing is written. Disjoint-scope writers always pass the check
+        and may commit in any interleaving.
+
+        ``writer_epoch`` advances monotonically (max), so the legacy
+        unscoped fence keeps rejecting zombie unscoped writers after any
+        scoped commit.
+        """
+        with self.commit_lock(timeout_s):
+            cur = self.current()
+            for p in sorted(scope):
+                now = (cur.partitions.get(str(p)) if cur else None)
+                if now != prior_entries.get(str(p)):
+                    raise StaleWriterError(
+                        f"scoped writer (epoch {epoch}) lost partition {p}: "
+                        f"its manifest entry changed since this writer's "
+                        f"merge read it — another writer advanced an "
+                        f"overlapping scope; re-read the manifest and "
+                        f"re-run the window"
+                    )
+            m = build(cur, (cur.checkpoint_id if cur else -1) + 1)
+            m.writer_epoch = max(epoch, cur.writer_epoch if cur else 0)
+            numbered = os.path.join(
+                self.lake_dir, MANIFEST_DIR,
+                f"manifest-{m.checkpoint_id:06d}.json",
+            )
+            _atomic_write(numbered, m.to_json())
+            _atomic_write(
+                os.path.join(self.lake_dir, CURRENT_POINTER), m.to_json()
+            )
+            return m
 
     def at(self, ckpt_id: int) -> Manifest:
         """The committed manifest for one checkpoint — the time-travel
