@@ -1385,6 +1385,29 @@ def _derive_doc_events_dlq(t: pa.Table) -> pa.Table:
     return pa.concat_tables([good, bad], promote_options="default")
 
 
+def _doc_event_table(sf_dir: str, derive_fn=None) -> pa.Table:
+    """The documents-derived change-event fixture as one Arrow table.
+    The derived-log fixture is small; the event tables are gathered as
+    Arrow blocks for the segment split (the replay itself stays fully
+    distributed). Zero-row block refs are dropped before concat: Ray
+    Data can emit columnless empty blocks whose schema pa.concat_tables
+    rejects."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                docs.map_batches(
+                    derive_fn or _derive_doc_events,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    )
+
+
 def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None,
                     derive_fn=None):
     """Derive events from documents, replay through the FULL engine
@@ -1400,27 +1423,10 @@ def _run_doc_replay(sf_dir: str, variant: str = "", transform_part=None,
     root = f"/tmp/etl_ray_gate/{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/log", exist_ok=True)
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     # 4 log segment files split DETERMINISTICALLY by commit_seq % 4 so the
     # window plan (files {0,1} → checkpoint 0, files {2,3} → checkpoint 1)
-    # is reproducible by the SQL audit oracle. The derived-log fixture is
-    # small; the event tables are gathered as Arrow blocks for the split
-    # (the replay itself stays fully distributed).
-    # drop zero-row block refs before concat: Ray Data can emit
-    # columnless empty blocks whose schema pa.concat_tables rejects
-    ev = pa.concat_tables(
-        [
-            t
-            for t in ray.get(
-                docs.map_batches(
-                    derive_fn or _derive_doc_events,
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-    )
+    # is reproducible by the SQL audit oracle.
+    ev = _doc_event_table(sf_dir, derive_fn)
     # split on seq, not commit_seq: identical for the base derivation
     # (seq == commit_seq there) and total for the DLQ variant, whose
     # injected null-commit_seq rows must still land in a segment
@@ -1481,6 +1487,73 @@ def cdc_replay_docs_mor(sf_dir: str):
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def cdc_replay_docs_concurrent(sf_dir: str):
+    """The flagship replay executed by TWO CONCURRENT PARTITION-SCOPED
+    writers (pipelines/replay.py ``partition_scope``; rebase commits via
+    state/manifest.py:commit_scoped): the event log is routed into two
+    disjoint-scope feeds with the same partition hash the engine uses,
+    each feed is replayed by its own scoped writer on ONE lake from two
+    driver threads (interleaved commits, per-partition optimistic
+    concurrency), and the merged final state is gated against the SAME
+    SQL oracle as cdc_replay_docs — parallel disjoint-shard ingest must
+    be byte-identical to single-writer ingest. Reference analog: Citus
+    loading disjoint shard sets in parallel
+    (etl/init/sql/50_citus_distribution.sql)."""
+    import threading
+
+    from etl_ray.hashing import partition_ids
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10] + "-cw"
+    root = f"/tmp/etl_ray_gate/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = _doc_event_table(sf_dir)
+    P = 16
+    part = partition_ids(
+        ev.column("repo"), ev.column("path"), P
+    ).to_numpy(zero_copy_only=False)
+    lo_half = part < P // 2
+    feeds = {}
+    for name, mask in (("a", lo_half), ("b", ~lo_half)):
+        d = f"{root}/log_{name}"
+        os.makedirs(d, exist_ok=True)
+        feed = ev.filter(pa.array(mask))
+        s2 = feed.column("seq").to_numpy(zero_copy_only=False) % 2
+        for i in range(2):
+            pq.write_table(
+                feed.filter(pa.array(s2 == i)), f"{d}/events-{i:05d}.parquet"
+            )
+        feeds[name] = (d, feed.num_rows)
+    eng_a = ReplayEngine(f"{root}/lake", num_partitions=P,
+                         partition_scope=(0, P // 2 - 1))
+    eng_b = ReplayEngine(f"{root}/lake", num_partitions=P,
+                         partition_scope=(P // 2, P - 1))
+    errs: list[BaseException] = []
+
+    def run(eng, d, rows):
+        try:
+            # ~2 windows per writer → interleaved rebase commits
+            eng.replay(d, window_events=max(1, rows // 2))
+        except BaseException as e:  # surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=run, args=(eng_a, *feeds["a"])),
+        threading.Thread(target=run, args=(eng_b, *feeds["b"])),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+    return (
+        eng_a.final_state(
+            columns=["repo", "path", "commit_seq", "lang", "content_sha256"]
+        ).to_pandas()
+    )
 
 
 def cdc_rejects(sf_dir: str):
@@ -1744,6 +1817,9 @@ QUERIES: dict[str, QueryDef] = {
     # CDC engine (flagship)
     "cdc_replay_docs": QueryDef(cdc_replay_docs, CDC_REPLAY_DOCS_SQL),
     "cdc_replay_docs_mor": QueryDef(cdc_replay_docs_mor, CDC_REPLAY_DOCS_SQL),
+    "cdc_replay_docs_concurrent": QueryDef(
+        cdc_replay_docs_concurrent, CDC_REPLAY_DOCS_SQL
+    ),
     "cdc_rejects": QueryDef(cdc_rejects, CDC_REJECTS_SQL),
     "cdc_changefeed": QueryDef(cdc_changefeed, CDC_CHANGEFEED_SQL),
     "cdc_changefeed_replica": QueryDef(cdc_changefeed_replica, CDC_REPLAY_DOCS_SQL),

@@ -146,6 +146,12 @@ import threading as _threading
 
 _DATASET_BUILD_LOCK = _threading.Lock()
 
+#: depth-counted guard for the process-global DataContext parallelism cap
+#: (see ReplayEngine._parallelism_scope)
+_PAR_SCOPE_LOCK = _threading.Lock()
+_PAR_SCOPE_DEPTH = 0
+_PAR_SCOPE_SAVED = None
+
 #: composite (repo, path) join-key separator used by ``ReplayEngine.diff``
 #: and every consumer that reconstructs keys from its output
 DIFF_SEP = "\x1f"
@@ -442,6 +448,12 @@ class ReplayEngine:
         this VM's Ray Data block path, extra advertised CPUs make
         pipelines SLOWER (BASELINE.md); on a real cluster set
         ETL_RAY_DATA_SATURATION high to lift the cap.
+
+        DataContext is process-global, so with CONCURRENT scoped writers
+        in one driver the scope is depth-counted: the first entrant saves
+        and sets, the last restores — an unbalanced thread interleaving
+        can no longer leak the cap past the writers' lifetime. (Writers
+        in one session share the same cap value by construction.)
         """
         if self._data_parallelism >= self._cpus:
             yield
@@ -450,14 +462,21 @@ class ReplayEngine:
         from ray.data.context import DataContext
 
         ctx = DataContext.get_current()
-        saved = ctx.execution_options.resource_limits
-        ctx.execution_options.resource_limits = ExecutionResources(
-            cpu=self._data_parallelism
-        )
+        global _PAR_SCOPE_DEPTH, _PAR_SCOPE_SAVED
+        with _PAR_SCOPE_LOCK:
+            _PAR_SCOPE_DEPTH += 1
+            if _PAR_SCOPE_DEPTH == 1:
+                _PAR_SCOPE_SAVED = ctx.execution_options.resource_limits
+                ctx.execution_options.resource_limits = ExecutionResources(
+                    cpu=self._data_parallelism
+                )
         try:
             yield
         finally:
-            ctx.execution_options.resource_limits = saved
+            with _PAR_SCOPE_LOCK:
+                _PAR_SCOPE_DEPTH -= 1
+                if _PAR_SCOPE_DEPTH == 0:
+                    ctx.execution_options.resource_limits = _PAR_SCOPE_SAVED
 
     @contextmanager
     def _shuffle_scope(self):
