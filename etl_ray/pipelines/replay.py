@@ -96,6 +96,31 @@ def _sum_counts(tables: list[pa.Table]) -> pa.Table:
     )
 from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
+
+
+@ray.remote
+def _read_validate_window_task(files: list[str], schema: pa.Schema, P: int):
+    """Small-window fast path: read + validate one (small) window in a
+    single Ray task, bypassing Ray Data entirely.
+
+    Tail-mode profile (bench.py --tail): a freshly-arrived CDC segment is
+    ~1-3 MB, but pushing it through a read_parquet→map_batches Dataset
+    pays ~0.4-0.6 s of per-dataset streaming-executor startup — pure
+    fixed overhead at that size, and the dominant term of the per-commit
+    latency floor a streaming tailer experiences. This task produces a
+    table BYTE-IDENTICAL to `_build_validated`'s output (same unified-
+    schema null-backfill via the pyarrow dataset scanner, same validate
+    kernel; `_keep_last_per_key` is associative so whole-window vs
+    per-batch application folds to the same winner set), handed straight
+    to the same split/fold/merge exchange kernels.
+    """
+    import pyarrow.dataset as pads
+
+    from etl_ray.stages.merge import _pin_arrow_once
+
+    _pin_arrow_once()
+    t = pads.dataset(files, format="parquet", schema=schema).to_table()
+    return make_validate_fn(P)(t)
 from etl_ray.pipelines import rollups
 from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA, widen_type
 
@@ -591,15 +616,28 @@ class ReplayEngine:
                 # empty into the range merge; substitute the canonical
                 # typed empty (evolved columns unify via concat promote)
                 base = t.slice(0, 0) if "part" in t.column_names else _rows_empty()
+                if "_dups" in base.column_names:
+                    base = base.drop_columns(["_dups"])
                 empty = (base, _COUNTS_EMPTY)
                 return [empty] * S if S > 1 else empty
             part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
             valid = pc.fill_null(t.column("_valid"), False).to_numpy(
                 zero_copy_only=False
             )
-            # pre-fold audit counts, per part (events_in incl. invalid)
-            ev = _np.bincount(part, minlength=P)
-            inv = _np.bincount(part[~valid], minlength=P)
+            # pre-fold audit counts, per part (events_in incl. invalid),
+            # weighted by the validate combiner's `_dups` multiplicities
+            # so events_in == RAW events regardless of block boundaries
+            if "_dups" in t.column_names:
+                w = t.column("_dups").to_numpy(zero_copy_only=False).astype(
+                    _np.int64
+                )
+                t = t.drop_columns(["_dups"])
+            else:
+                w = _np.ones(len(part), dtype=_np.int64)
+            ev = _np.bincount(part, weights=w, minlength=P).astype(_np.int64)
+            inv = _np.bincount(
+                part[~valid], weights=w[~valid], minlength=P
+            ).astype(_np.int64)
             nz = _np.flatnonzero(ev)
             counts = pa.table(
                 {
@@ -698,14 +736,23 @@ class ReplayEngine:
                 else STATS_SCHEMA.empty_table()
             )
 
+        if isinstance(ds, list):
+            # pre-read block refs (the small-window fast path) — no
+            # Dataset, no streaming executor, same exchange kernels
+            def _iter_block_refs():
+                yield from ds
+        else:
+            def _iter_block_refs():
+                for bundle in ds.iter_internal_ref_bundles():
+                    yield from bundle.block_refs
+
         pending: list[list] = [[] for _ in range(S)]
-        for bundle in ds.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
-                r = split_block.remote(block_ref)
-                for i in range(S):
-                    pending[i].append(r if S == 1 else r[i])
-                    if len(pending[i]) >= fanin:
-                        pending[i] = [fold.remote(*pending[i])]
+        for block_ref in _iter_block_refs():
+            r = split_block.remote(block_ref)
+            for i in range(S):
+                pending[i].append(r if S == 1 else r[i])
+                if len(pending[i]) >= fanin:
+                    pending[i] = [fold.remote(*pending[i])]
         if not any(pending):
             return []
         out_refs = [merge_range.remote(*pending[i]) for i in range(S)]
@@ -956,11 +1003,28 @@ class ReplayEngine:
         # driver-side setup above (manifest load, merge-fn construction,
         # actor spawn in ensure mode) belongs to wall_sec, not exec_sec —
         # profile_window.py's phase attribution depends on the split
+        # SMALL-WINDOW FAST PATH (tail-mode latency): below
+        # ETL_RAY_SMALL_WINDOW_BYTES (default 32 MB of source parquet) the
+        # read+validate runs as ONE Ray task feeding the same exchange
+        # kernels — a Dataset at that size spends ~0.4-0.6 s on streaming-
+        # executor startup alone, the dominant term of the per-commit
+        # latency floor (bench.py --tail). Results are byte-identical
+        # (same scanner schema backfill, same validate/fold/merge
+        # kernels; tests/test_small_window.py pins parity). Bulk-replay
+        # windows (~128 MB+) never take this branch.
+        small_bytes = int(
+            os.environ.get("ETL_RAY_SMALL_WINDOW_BYTES", str(32 << 20))
+        )
+        fast_small = (
+            validated is None
+            and window_bytes <= small_bytes
+            and os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct"
+        )
         t_pipe = time.perf_counter()
         with self._parallelism_scope(), self._shuffle_scope():
             ds = (
                 validated
-                if validated is not None
+                if validated is not None or fast_small
                 else self._build_validated(window, schema)
             )
             # shuffle partition count: CPU-based floor, data-based bump —
@@ -984,7 +1048,13 @@ class ReplayEngine:
             if os.environ.get("ETL_RAY_SHUFFLE", "direct") == "direct":
                 # default: the known-boundary 2-round exchange (below) —
                 # no sampling pass, no sort barrier
-                blocks = self._direct_exchange(ds, merge, shuffle_parts)
+                if fast_small:
+                    ref = _read_validate_window_task.remote(
+                        list(window.files), schema, self.num_partitions
+                    )
+                    blocks = self._direct_exchange([ref], merge, shuffle_parts)
+                else:
+                    blocks = self._direct_exchange(ds, merge, shuffle_parts)
                 stats_ds = None
             else:
                 stats_ds = ds.groupby(

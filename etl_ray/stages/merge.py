@@ -592,8 +592,18 @@ def make_merge_fn(
             return STATS_SCHEMA.empty_table()
         part = int(group.column("part")[0].as_py())
         valid_mask = group.column("_valid").combine_chunks()
-        invalid = int(pc.sum(pc.invert(valid_mask)).as_py() or 0)
-        events_in = group.num_rows
+        if "_dups" in group.column_names:
+            # validate's combiner multiplicities: events_in must report
+            # the RAW (pre-combine) event count, batching-independently
+            w = group.column("_dups")
+            events_in = int(pc.sum(w).as_py() or 0)
+            invalid = int(
+                pc.sum(pc.if_else(valid_mask, 0, w)).as_py() or 0
+            )
+            group = group.drop_columns(["_dups"])
+        else:
+            invalid = int(pc.sum(pc.invert(valid_mask)).as_py() or 0)
+            events_in = group.num_rows
         delta = _keep_last_per_key(group.filter(valid_mask))
         return merge_delta(part, delta, events_in, invalid)
 

@@ -26,14 +26,24 @@ from etl_ray.hashing import partition_ids
 from etl_ray.schema import VALID_OPS
 
 
-def _keep_last_per_key(t: pa.Table) -> pa.Table:
+def _keep_last_per_key(t: pa.Table, with_counts: bool = False) -> pa.Table:
     """Keep only the max-(commit_seq, seq) row per (repo, path).
 
     Vectorized: one multi-key sort + an adjacent-shift compare — no Python
     row loop (reference's per-key winner selection is the pandas
     sort+dedup idiom; ours stays in Arrow).
+
+    ``with_counts=True`` appends an ``_dups`` int64 column holding each
+    winner's raw multiplicity (absorbed rows incl. itself), so audit
+    counts (events_in) stay equal to the PRE-combine event count no
+    matter how the window was batched — per 64 MB block, per whole
+    window (the small-window fast path), or any fold tree in between.
     """
     if t.num_rows <= 1:
+        if with_counts:
+            return t.append_column(
+                "_dups", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
         return t
     idx = pc.sort_indices(
         t,
@@ -59,6 +69,12 @@ def _keep_last_per_key(t: pa.Table) -> pa.Table:
     )
     last = np.ones(n, dtype=bool)
     last[: n - 1] = np.invert(same_next.to_numpy(zero_copy_only=False))
+    if with_counts:
+        idxs = np.flatnonzero(last)
+        runs = np.diff(np.concatenate(([-1], idxs)))
+        return t.filter(pa.array(last)).append_column(
+            "_dups", pa.array(runs.astype(np.int64))
+        )
     return t.filter(pa.array(last))
 
 
@@ -92,9 +108,15 @@ def make_validate_fn(num_partitions: int, pre_reduce: bool = True):
         mask = valid.combine_chunks() if isinstance(valid, pa.ChunkedArray) else valid
         good = batch.filter(mask)
         bad = batch.filter(pc.invert(mask))
-        good = _keep_last_per_key(good)
+        # `_dups` carries raw multiplicities so downstream audit counts
+        # (split_block / merge) report PRE-combine events_in regardless
+        # of block/batch boundaries (invalid rows are never combined: 1)
+        good = _keep_last_per_key(good, with_counts=True)
         if bad.num_rows == 0:
             return good
+        bad = bad.append_column(
+            "_dups", pa.array(np.ones(bad.num_rows, dtype=np.int64))
+        )
         return pa.concat_tables([good, bad], promote_options="default")
 
     return validate

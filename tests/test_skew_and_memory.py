@@ -64,11 +64,14 @@ def test_single_key_update_storm(ray_session, tmp_path):
         ("mono/hot", "src/storm.py")
     ]["content_sha256"]
 
-    # the combiner collapsed the storm before the shuffle: events_in
-    # (post-combiner rows routed) is a small fraction of the raw window
+    # audit contract: events_in reports the RAW event count even though
+    # the combiner collapsed the storm to one winner per key before the
+    # shuffle (the `_dups` multiplicity carry, stages/validate.py) — the
+    # collapse itself is pinned by test_fold_property / the small-window
+    # parity tests, not by the audit numbers
     hist = eng.metrics_history()
     assert hist[-1]["window_rows"] == t.num_rows
-    assert hist[-1]["events_in"] < t.num_rows * 0.25
+    assert hist[-1]["events_in"] == t.num_rows
 
 
 def test_hot_repo_spreads_across_partitions(ray_session, tmp_path):
