@@ -109,6 +109,26 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Lake autopilot: compact delta chains, run the partition-plan
+    advisor, execute its recommendation (with --apply), reclaim
+    unreferenced files — the full maintenance loop in one command."""
+    owned = _init_ray(args.num_cpus)
+    from etl_ray.pipelines.replay import ReplayEngine
+
+    print(json.dumps(ReplayEngine(args.lake).maintain(
+        apply=args.apply,
+        tolerance=args.tolerance,
+        target_rows_per_partition=args.target_rows,
+        gc_keep=args.gc_keep,
+    )))
+    if owned:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Print the change data feed (optionally a checkpoint range) as
     JSON lines — the incremental-consumer surface of changefeed_read."""
@@ -331,6 +351,20 @@ def main(argv=None) -> int:
                          "repartition when it differs from current")
     pl.add_argument("--num-cpus", type=int, default=None)
     pl.set_defaults(fn=cmd_plan)
+
+    mt = sub.add_parser("maintain", help="lake autopilot: compact chains, "
+                                         "plan partitions, repartition "
+                                         "(--apply), gc")
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--apply", action="store_true",
+                    help="execute the repartition recommendation (default: "
+                         "dry-run report)")
+    mt.add_argument("--tolerance", type=float, default=2.0)
+    mt.add_argument("--target-rows", type=int, default=None)
+    mt.add_argument("--gc-keep", type=int, default=2,
+                    help="rollback checkpoints retained by gc")
+    mt.add_argument("--num-cpus", type=int, default=None)
+    mt.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("status", help="show lake manifest status")
     s.add_argument("--lake", required=True)

@@ -1556,6 +1556,65 @@ class ReplayEngine:
 
         return plan_partitions(self.lake_dir, **kwargs)
 
+    def maintain(
+        self,
+        apply: bool = False,
+        tolerance: float = 2.0,
+        target_rows_per_partition: int | None = None,
+        gc_keep: int | None = 2,
+    ) -> dict[str, Any]:
+        """Lake autopilot: the maintenance loop an operator would
+        otherwise run by hand (the r4 gap: the advisor existed but skew
+        had to be noticed manually). One call, fixed order:
+
+        1. **compact** — fold merge-on-read delta chains into their base
+           files first (so the planner's pruned key pass reads each key
+           once, and a subsequent repartition moves single files);
+           skipped when no partition carries a chain.
+        2. **plan** — the density advisor (:meth:`plan_partitions`).
+        3. **repartition** — executed only when the plan says ``skewed``,
+           recommends a different P, AND ``apply=True``; with
+           ``apply=False`` (default) this is a dry run that reports what
+           it would do — the operator reviews ``plan`` first, like the
+           reference's offline KD-tree rebuild being an explicit step
+           (etl/partition_builder/10_execute.sql:1-10).
+        4. **gc** — reclaim unreferenced staged files, retaining
+           ``gc_keep`` rollback checkpoints (None skips gc).
+
+        Global-only (like compact/repartition/rollback): a scoped
+        concurrent writer must not rewrite partitions it does not own.
+        """
+        if self._scope is not None:
+            raise RuntimeError(
+                "maintain() is a global maintenance op — run it from an "
+                "unscoped engine (scoped writers own only their "
+                "partition subset)"
+            )
+        m = self._require_manifest()
+        report: dict[str, Any] = {"applied": apply}
+        if any(info.get("deltas") for info in m.partitions.values()):
+            report["compacted"] = self.compact()
+        else:
+            report["compacted"] = None
+        plan = self.plan_partitions(
+            tolerance=tolerance,
+            target_rows_per_partition=target_rows_per_partition,
+        )
+        report["plan"] = plan
+        rec = plan["recommended_p"]
+        should = bool(plan["skewed"] and rec != plan["current"]["num_partitions"])
+        report["repartition_needed"] = should
+        if should and apply:
+            report["repartitioned"] = self.repartition(rec)
+            # engine now routes by the new layout
+        else:
+            report["repartitioned"] = None
+        if gc_keep is not None:
+            report["gc_deleted"] = len(self.store.gc(keep_checkpoints=gc_keep))
+        else:
+            report["gc_deleted"] = 0
+        return report
+
     def compact(self) -> dict[str, Any]:
         """Fold EVERY partition's delta chain back into its base file and
         commit a new checkpoint (the maintenance OPTIMIZE — reference

@@ -140,10 +140,11 @@ def plan_partitions(
       ``target_rows_per_partition``
     - ``candidates``: per candidate P' the EXACTLY simulated
       {max_rows, mean_rows, imbalance}
-    - ``recommended_p``: the smallest candidate meeting the tolerance
-      and target (falls back to the most balanced candidate; equals
-      the current P when the lake is already within tolerance) — feed
-      it to ``ReplayEngine.repartition``
+    - ``recommended_p``: the current P when the lake is healthy
+      (never churn a balanced layout); else the LARGEST candidate
+      meeting the tolerance and target — maximum parallelism subject
+      to balance (falls back to the most balanced candidate when none
+      fit) — feed it to ``ReplayEngine.repartition``
     - ``hot_keys``: top repos by key count (global fold of per-
       partition tops) — the salt list for ``shuffle_join``'s
       ``salt_threshold`` path when skew is key-born
@@ -187,9 +188,17 @@ def plan_partitions(
     )
 
     if candidates is None:
-        cands = {P, 2 * P, 4 * P}
-        if P >= 2:
-            cands.add(P // 2)
+        # full power-of-two ladder 1..4P: the exact simulation is one
+        # pruned key pass binned against every candidate (O(|cands|)
+        # ints per key), so a dozen candidates cost the same pass as
+        # four — and a badly over-sharded lake (mean keys/partition
+        # too small to smooth hash variance) needs the SMALL rungs to
+        # find its balanced layout, not just P/2
+        cands = {P}
+        p2 = 1
+        while p2 <= 4 * P:
+            cands.add(p2)
+            p2 *= 2
         if target_rows_per_partition and total:
             # smallest power of two giving mean ≤ target
             need = max(1, -(-total // target_rows_per_partition))
@@ -237,8 +246,14 @@ def plan_partitions(
         return True
 
     fitting = [c for c in cand_rows if ok(c)]
-    if fitting:
-        recommended = min(fitting, key=lambda c: c["p"])["p"]
+    if not skewed:
+        recommended = P  # healthy lake: never churn the layout
+    elif fitting:
+        # the LARGEST balanced candidate: maximum parallelism subject
+        # to the balance/target constraints (P'=1 trivially balances
+        # everything — smallest-fitting would collapse every skewed
+        # lake to one partition)
+        recommended = max(fitting, key=lambda c: c["p"])["p"]
     else:
         recommended = min(cand_rows, key=lambda c: (c["imbalance"], c["p"]))["p"]
 

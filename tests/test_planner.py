@@ -55,7 +55,11 @@ def test_detects_skew_and_recommends_smaller_layout(skewed_lake):
     # the exact simulation must find P'=4 balanced (mean ~37 keys/part)
     by_p = {c["p"]: c for c in plan["candidates"]}
     assert by_p[4]["imbalance"] <= 2.0
-    assert plan["recommended_p"] == 4
+    # recommendation = the LARGEST balanced candidate (max parallelism
+    # subject to balance), and strictly smaller than the skewed current
+    fitting = [c["p"] for c in plan["candidates"] if c["imbalance"] <= 2.0]
+    assert plan["recommended_p"] == max(fitting)
+    assert plan["recommended_p"] < 64
 
 
 def test_executed_recommendation_rebalances_and_preserves_state(skewed_lake):
