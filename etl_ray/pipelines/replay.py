@@ -338,6 +338,10 @@ class ReplayEngine:
         #: re-claimed per replay() call; a zombie engine resuming after
         #: another driver advanced the lake fails loudly at its commit
         self._epoch: int | None = None
+        #: (files_done, fingerprint) of the log prefix this instance has
+        #: verified or committed — lets a long-lived tailer skip the
+        #: O(consumed-files) footer re-read on every replay() pass
+        self._verified_prefix: tuple[int, str] = (0, "")
         current = self.store.current()
         if current is not None and current.num_partitions:
             num_partitions = current.num_partitions
@@ -781,7 +785,6 @@ class ReplayEngine:
             events_path if isinstance(events_path, list) else list_segments(events_path)
         )
         self._epoch = self.store.fence()
-        schema = unified_schema(files)
         current = self.store.current()
         if self._scope is None:
             files_done = current.log_files_done if current else 0
@@ -801,15 +804,28 @@ class ReplayEngine:
                 "log must be append-only"
             )
         if current is not None and files_done:
-            fp = prefix_fingerprint(files[:files_done])
-            if fp != done_fp:
-                raise RuntimeError(
-                    "consumed log prefix changed since the last commit "
-                    f"(fingerprint mismatch over the first {files_done} "
-                    "segment files) — the change log must be append-only; "
-                    "refusing to resume"
-                )
-        windows = plan_windows(files[files_done:], window_events)
+            # A LONG-LIVED TAILER calls replay() per arrival: re-reading
+            # every consumed footer each pass is O(N) per pass, O(N²)
+            # over the stream's life. This engine instance memoizes the
+            # prefix it last verified/committed — a fresh engine (crash,
+            # new driver) still verifies the full prefix once.
+            if self._verified_prefix != (files_done, done_fp):
+                fp = prefix_fingerprint(files[:files_done])
+                if fp != done_fp:
+                    raise RuntimeError(
+                        "consumed log prefix changed since the last commit "
+                        f"(fingerprint mismatch over the first {files_done} "
+                        "segment files) — the change log must be append-only; "
+                        "refusing to resume"
+                    )
+                self._verified_prefix = (files_done, done_fp)
+        # schema over the UNCONSUMED suffix only (windows read nothing
+        # else; evolved columns from consumed files live on in the
+        # manifest's payload_types, which run_window widens against) —
+        # the all-files unify was the other O(N)-footers-per-pass cost
+        suffix = files[files_done:]
+        schema = unified_schema(suffix) if suffix else None
+        windows = plan_windows(suffix, window_events)
         cursor_fp = done_fp
         cursor_files = files_done
         ran = 0
@@ -882,6 +898,8 @@ class ReplayEngine:
                         validated=_take_prefetch(i),
                     )
                     ran += 1
+                    # this prefix is now committed AND was chained by us
+                    self._verified_prefix = (cursor_files, cursor_fp)
         finally:
             for t, _h in prefetch.values():
                 t.join()
