@@ -98,21 +98,83 @@ from etl_ray.stages.validate import make_validate_fn
 from etl_ray.state.manifest import Manifest, ManifestStore
 
 
+def _split_validated(t: pa.Table, P: int, S: int) -> list:
+    """Split one validated block into S reduce-range slices, extracting
+    per-part audit counts (events_in incl. invalid) first.
+
+    Counts are weighted by the validate combiner's ``_dups``
+    multiplicities so events_in == RAW events regardless of block
+    boundaries; ``_dups``/``_valid`` are dropped before routing. Shared
+    by the per-block split task of the streaming exchange and the fused
+    small-window task below — one kernel, one semantics.
+    """
+    import numpy as _np
+
+    if t.num_rows == 0:
+        # a COLUMNLESS Ray block would propagate a schemaless empty into
+        # the range merge; substitute the canonical typed empty (evolved
+        # columns unify via concat promote)
+        base = t.slice(0, 0) if "part" in t.column_names else _rows_empty()
+        if "_dups" in base.column_names:
+            base = base.drop_columns(["_dups"])
+        return [(base, _COUNTS_EMPTY)] * S
+    part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
+    valid = pc.fill_null(t.column("_valid"), False).to_numpy(
+        zero_copy_only=False
+    )
+    if "_dups" in t.column_names:
+        w = t.column("_dups").to_numpy(zero_copy_only=False).astype(_np.int64)
+        t = t.drop_columns(["_dups"])
+    else:
+        w = _np.ones(len(part), dtype=_np.int64)
+    ev = _np.bincount(part, weights=w, minlength=P).astype(_np.int64)
+    inv = _np.bincount(part[~valid], weights=w[~valid], minlength=P).astype(
+        _np.int64
+    )
+    nz = _np.flatnonzero(ev)
+    counts = pa.table(
+        {
+            "part": pa.array(nz.astype(_np.int32)),
+            "events_in": pa.array(ev[nz]),
+            "invalid": pa.array(inv[nz]),
+        }
+    )
+    t = t.filter(pa.array(valid)).drop_columns(["_valid"])
+    part_v = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
+    rng = (part_v * S) // P
+    order = _np.argsort(rng, kind="stable")
+    st = t.take(pa.array(order))
+    bounds = _np.searchsorted(rng[order], _np.arange(S + 1))
+    crng = (nz * S) // P  # nz ascending → counts contiguous per range
+    cbounds = _np.searchsorted(crng, _np.arange(S + 1))
+    return [
+        (
+            st.slice(bounds[i], bounds[i + 1] - bounds[i]),
+            counts.slice(cbounds[i], cbounds[i + 1] - cbounds[i]),
+        )
+        for i in range(S)
+    ]
+
+
 @ray.remote
-def _read_validate_window_task(files: list[str], schema: pa.Schema, P: int):
-    """Small-window fast path: read + validate one (small) window in a
-    single Ray task, bypassing Ray Data entirely.
+def _read_validate_split_task(
+    files: list[str], schema: pa.Schema, P: int, S: int
+):
+    """Small-window fast path: read + validate + range-split one (small)
+    window in a single Ray task, bypassing Ray Data entirely.
 
     Tail-mode profile (bench.py --tail): a freshly-arrived CDC segment is
     ~1-3 MB, but pushing it through a read_parquet→map_batches Dataset
     pays ~0.4-0.6 s of per-dataset streaming-executor startup — pure
     fixed overhead at that size, and the dominant term of the per-commit
-    latency floor a streaming tailer experiences. This task produces a
-    table BYTE-IDENTICAL to `_build_validated`'s output (same unified-
+    latency floor a streaming tailer experiences. This task produces
+    slices BYTE-IDENTICAL to the streaming exchange's (same unified-
     schema null-backfill via the pyarrow dataset scanner, same validate
-    kernel; `_keep_last_per_key` is associative so whole-window vs
-    per-batch application folds to the same winner set), handed straight
-    to the same split/fold/merge exchange kernels.
+    kernel — `_keep_last_per_key` is associative so whole-window vs
+    per-batch application folds to the same winner set — and the same
+    `_split_validated`), returned as S objects (``num_returns=S`` at the
+    call site) feeding `merge_range` directly: read → merge is two task
+    hops, with no whole-table object-store round trip in between.
     """
     import pyarrow.dataset as pads
 
@@ -120,7 +182,8 @@ def _read_validate_window_task(files: list[str], schema: pa.Schema, P: int):
 
     _pin_arrow_once()
     t = pads.dataset(files, format="parquet", schema=schema).to_table()
-    return make_validate_fn(P)(t)
+    out = _split_validated(make_validate_fn(P)(t), P, S)
+    return out if S > 1 else out[0]
 from etl_ray.pipelines import rollups
 from etl_ray.schema import EVENT_COLUMNS, EVENT_SCHEMA, widen_type
 
@@ -613,60 +676,7 @@ class ReplayEngine:
 
         @ray.remote(num_returns=S)
         def split_block(t: pa.Table):
-            import numpy as _np
-
-            if t.num_rows == 0:
-                # a COLUMNLESS Ray block would propagate a schemaless
-                # empty into the range merge; substitute the canonical
-                # typed empty (evolved columns unify via concat promote)
-                base = t.slice(0, 0) if "part" in t.column_names else _rows_empty()
-                if "_dups" in base.column_names:
-                    base = base.drop_columns(["_dups"])
-                empty = (base, _COUNTS_EMPTY)
-                return [empty] * S if S > 1 else empty
-            part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
-            valid = pc.fill_null(t.column("_valid"), False).to_numpy(
-                zero_copy_only=False
-            )
-            # pre-fold audit counts, per part (events_in incl. invalid),
-            # weighted by the validate combiner's `_dups` multiplicities
-            # so events_in == RAW events regardless of block boundaries
-            if "_dups" in t.column_names:
-                w = t.column("_dups").to_numpy(zero_copy_only=False).astype(
-                    _np.int64
-                )
-                t = t.drop_columns(["_dups"])
-            else:
-                w = _np.ones(len(part), dtype=_np.int64)
-            ev = _np.bincount(part, weights=w, minlength=P).astype(_np.int64)
-            inv = _np.bincount(
-                part[~valid], weights=w[~valid], minlength=P
-            ).astype(_np.int64)
-            nz = _np.flatnonzero(ev)
-            counts = pa.table(
-                {
-                    "part": pa.array(nz.astype(_np.int32)),
-                    "events_in": pa.array(ev[nz]),
-                    "invalid": pa.array(inv[nz]),
-                }
-            )
-            t = t.filter(pa.array(valid)).drop_columns(["_valid"])
-            part_v = t.column("part").to_numpy(zero_copy_only=False).astype(
-                _np.int64
-            )
-            rng = (part_v * S) // P
-            order = _np.argsort(rng, kind="stable")
-            st = t.take(pa.array(order))
-            bounds = _np.searchsorted(rng[order], _np.arange(S + 1))
-            crng = (nz * S) // P  # nz ascending → counts contiguous per range
-            cbounds = _np.searchsorted(crng, _np.arange(S + 1))
-            out = [
-                (
-                    st.slice(bounds[i], bounds[i + 1] - bounds[i]),
-                    counts.slice(cbounds[i], cbounds[i + 1] - cbounds[i]),
-                )
-                for i in range(S)
-            ]
+            out = _split_validated(t, P, S)
             return out if S > 1 else out[0]
 
         @ray.remote
@@ -741,22 +751,20 @@ class ReplayEngine:
             )
 
         if isinstance(ds, list):
-            # pre-read block refs (the small-window fast path) — no
-            # Dataset, no streaming executor, same exchange kernels
-            def _iter_block_refs():
-                yield from ds
+            # per-range refs from the fused small-window task — already
+            # read+validated+split; no Dataset, no streaming executor,
+            # no separate split hop: merge_range consumes them directly
+            pending: list[list] = [[r] for r in ds]
+            assert len(pending) == S
         else:
-            def _iter_block_refs():
-                for bundle in ds.iter_internal_ref_bundles():
-                    yield from bundle.block_refs
-
-        pending: list[list] = [[] for _ in range(S)]
-        for block_ref in _iter_block_refs():
-            r = split_block.remote(block_ref)
-            for i in range(S):
-                pending[i].append(r if S == 1 else r[i])
-                if len(pending[i]) >= fanin:
-                    pending[i] = [fold.remote(*pending[i])]
+            pending = [[] for _ in range(S)]
+            for bundle in ds.iter_internal_ref_bundles():
+                for block_ref in bundle.block_refs:
+                    r = split_block.remote(block_ref)
+                    for i in range(S):
+                        pending[i].append(r if S == 1 else r[i])
+                        if len(pending[i]) >= fanin:
+                            pending[i] = [fold.remote(*pending[i])]
         if not any(pending):
             return []
         out_refs = [merge_range.remote(*pending[i]) for i in range(S)]
@@ -1067,10 +1075,17 @@ class ReplayEngine:
                 # default: the known-boundary 2-round exchange (below) —
                 # no sampling pass, no sort barrier
                 if fast_small:
-                    ref = _read_validate_window_task.remote(
-                        list(window.files), schema, self.num_partitions
+                    refs = _read_validate_split_task.options(
+                        num_returns=shuffle_parts
+                    ).remote(
+                        list(window.files), schema,
+                        self.num_partitions, shuffle_parts,
                     )
-                    blocks = self._direct_exchange([ref], merge, shuffle_parts)
+                    if shuffle_parts == 1:
+                        refs = [refs]
+                    blocks = self._direct_exchange(
+                        list(refs), merge, shuffle_parts
+                    )
                 else:
                     blocks = self._direct_exchange(ds, merge, shuffle_parts)
                 stats_ds = None
