@@ -252,7 +252,10 @@ def cmd_gc(args) -> int:
 
     store = ManifestStore(args.lake)
     removed = store.gc(keep_checkpoints=args.keep)
+    expired = (store.expire(keep_checkpoints=args.keep)["expired"]
+               if args.expire_manifests else 0)
     print(json.dumps({"lake": args.lake, "removed": len(removed),
+                      "manifests_expired": expired,
                       "keep_checkpoints": args.keep}))
     return 0
 
@@ -389,6 +392,10 @@ def main(argv=None) -> int:
     gcp = sub.add_parser("gc", help="reclaim files of old checkpoints")
     gcp.add_argument("--lake", required=True)
     gcp.add_argument("--keep", type=int, default=2)
+    gcp.add_argument("--expire-manifests", action="store_true",
+                     help="also fold manifests beyond the retention into "
+                          "the audit log and delete them (bounds lineage; "
+                          "ends time travel past --keep)")
     gcp.set_defaults(fn=cmd_gc)
 
     rb = sub.add_parser("rollback", help="point the lake back at an "

@@ -1611,8 +1611,14 @@ class ReplayEngine:
            it would do — the operator reviews ``plan`` first, like the
            reference's offline KD-tree rebuild being an explicit step
            (etl/partition_builder/10_execute.sql:1-10).
-        4. **gc** — reclaim unreferenced staged files, retaining
-           ``gc_keep`` rollback checkpoints (None skips gc).
+        4. **gc + manifest expiry** — reclaim unreferenced staged files
+           and fold manifests older than the same ``gc_keep`` retention
+           into the append-only audit log
+           (``state/manifest.py:expire``); ``metrics_history`` stays
+           complete, time travel beyond the retention window ends —
+           exactly :meth:`ManifestStore.gc`'s existing file-retention
+           contract applied to the manifest lineage itself (None skips
+           both).
 
         Global-only (like compact/repartition/rollback): a scoped
         concurrent writer must not rewrite partitions it does not own.
@@ -1644,8 +1650,12 @@ class ReplayEngine:
             report["repartitioned"] = None
         if gc_keep is not None:
             report["gc_deleted"] = len(self.store.gc(keep_checkpoints=gc_keep))
+            report["manifests_expired"] = self.store.expire(
+                keep_checkpoints=gc_keep
+            )["expired"]
         else:
             report["gc_deleted"] = 0
+            report["manifests_expired"] = 0
         return report
 
     def compact(self) -> dict[str, Any]:
@@ -2228,11 +2238,10 @@ class ReplayEngine:
         return pq.read_table(self.store.abs_path(m.summaries[name]))
 
     def metrics_history(self) -> list[dict[str, Any]]:
-        """Per-checkpoint audit rows (analog of audit_log)."""
-        return [
-            {"checkpoint_id": m.checkpoint_id, **m.metrics}
-            for m in self.store.history()
-        ]
+        """Per-checkpoint audit rows (analog of audit_log) — complete
+        across manifest expiry (expired checkpoints come from the folded
+        audit log, live ones from manifest lineage)."""
+        return self.store.audit_history()
 
     def partition_lineage(self) -> dict[str, dict[str, Any]]:
         """part -> {file, rows, tombstones, watermark} from the manifest."""

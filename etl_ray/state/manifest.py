@@ -35,6 +35,9 @@ from typing import Any, Callable
 CURRENT_POINTER = "MANIFEST.json"
 MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
+#: append-only per-checkpoint audit rows folded out of expired manifests
+#: (reference: the audit_log table, etl/init/sql/40_audit_log.sql)
+AUDIT_LOG = "audit-log.jsonl"
 
 
 class StaleWriterError(RuntimeError):
@@ -323,6 +326,77 @@ class ManifestStore:
                 with open(os.path.join(d, name)) as f:
                     out.append(Manifest.from_json(f.read()))
         return out
+
+    def expire(self, keep_checkpoints: int = 2) -> dict[str, Any]:
+        """Delete numbered manifests older than the retention window,
+        folding each expired checkpoint's audit metrics row into
+        ``_manifests/audit-log.jsonl`` FIRST.
+
+        Every manifest is a full snapshot (O(P) partition entries), so a
+        long-lived tailer committing one checkpoint per arrival
+        accumulates manifest lineage linearly with stream age — the one
+        remaining O(history) artifact. Expiry bounds it the way
+        Iceberg's expire_snapshots does, while the audit fold keeps
+        :meth:`audit_history` complete at O(1) bytes per expired
+        checkpoint — the reference persists exactly this shape as an
+        audit_log TABLE row per load (etl/init/sql/40_audit_log.sql:1-11,
+        etl/audit/logger.py:81-103).
+
+        Time travel / rollback to an expired checkpoint becomes
+        unavailable (``at()`` already raises ValueError for a missing
+        numbered manifest — ``checkpoint_for_seq``'s descending scan
+        skips them). Crash-safe: audit lines are appended+fsynced before
+        any unlink, and ``audit_history`` dedups by checkpoint id, so a
+        crash between the two steps only leaves a duplicate-source row.
+        Retention matches :meth:`gc`: the last ``keep_checkpoints``
+        numbered manifests plus the current pointer survive.
+        """
+        cur = self.current()
+        hist = self.history()
+        keep_ids = {
+            m.checkpoint_id for m in (hist[-keep_checkpoints:] if keep_checkpoints else [])
+        }
+        if cur is not None:
+            keep_ids.add(cur.checkpoint_id)
+        expired = [
+            m for m in hist
+            if m.checkpoint_id not in keep_ids
+            and cur is not None
+            and m.checkpoint_id < cur.checkpoint_id
+        ]
+        if not expired:
+            return {"expired": 0, "audit_rows": 0}
+        audit_path = os.path.join(self.lake_dir, MANIFEST_DIR, AUDIT_LOG)
+        with open(audit_path, "a") as f:
+            for m in expired:
+                f.write(json.dumps(
+                    {"checkpoint_id": m.checkpoint_id, **m.metrics}
+                ) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        for m in expired:
+            os.unlink(os.path.join(
+                self.lake_dir, MANIFEST_DIR,
+                f"manifest-{m.checkpoint_id:06d}.json",
+            ))
+        return {"expired": len(expired), "audit_rows": len(expired)}
+
+    def audit_history(self) -> list[dict[str, Any]]:
+        """Per-checkpoint audit rows: expired checkpoints from the
+        audit log + live ones from manifest lineage, deduped by
+        checkpoint id (live manifest wins), ascending."""
+        rows: dict[int, dict[str, Any]] = {}
+        audit_path = os.path.join(self.lake_dir, MANIFEST_DIR, AUDIT_LOG)
+        if os.path.exists(audit_path):
+            with open(audit_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        r = json.loads(line)
+                        rows[int(r["checkpoint_id"])] = r
+        for m in self.history():
+            rows[m.checkpoint_id] = {"checkpoint_id": m.checkpoint_id, **m.metrics}
+        return [rows[k] for k in sorted(rows)]
 
     def rollback(self, to_checkpoint: int) -> Manifest:
         """Point the lake back at an earlier committed checkpoint.
