@@ -135,11 +135,14 @@ def cmd_changes(args) -> int:
     owned = _init_ray(args.num_cpus)
     from etl_ray.pipelines.replay import ReplayEngine
 
-    ds = ReplayEngine(args.lake).changefeed_read(
-        since=args.since, until=args.until
-    )
-    for row in ds.iter_rows():
-        print(json.dumps(row, default=str))
+    eng = ReplayEngine(args.lake)
+    if args.prune_up_to is not None:
+        print(json.dumps(eng.changefeed_prune(args.prune_up_to)))
+    else:
+        for row in eng.changefeed_read(
+            since=args.since, until=args.until
+        ).iter_rows():
+            print(json.dumps(row, default=str))
     if owned:
         import ray
 
@@ -152,8 +155,12 @@ def cmd_rejects(args) -> int:
     owned = _init_ray(args.num_cpus)
     from etl_ray.pipelines.replay import ReplayEngine
 
-    for row in ReplayEngine(args.lake).rejects().iter_rows():
-        print(json.dumps(row, default=str))
+    eng = ReplayEngine(args.lake)
+    if args.prune_up_to is not None:
+        print(json.dumps(eng.rejects_prune(args.prune_up_to)))
+    else:
+        for row in eng.rejects().iter_rows():
+            print(json.dumps(row, default=str))
     if owned:
         import ray
 
@@ -412,6 +419,11 @@ def main(argv=None) -> int:
                     help="first checkpoint id (inclusive)")
     ch.add_argument("--until", type=int, default=None,
                     help="last checkpoint id (inclusive)")
+    ch.add_argument("--prune-up-to", type=int, default=None,
+                    dest="prune_up_to",
+                    help="drop feed entries for checkpoints <= N "
+                         "(consumer-acknowledged retention; files "
+                         "reclaimed by the next gc)")
     ch.add_argument("--num-cpus", type=int, default=None)
     ch.set_defaults(fn=cmd_changes)
 
@@ -428,6 +440,9 @@ def main(argv=None) -> int:
     rj = sub.add_parser("rejects", help="print the dead-letter queue "
                                         "(JSON lines)")
     rj.add_argument("--lake", required=True)
+    rj.add_argument("--prune-up-to", type=int, default=None,
+                    dest="prune_up_to",
+                    help="drain dead-letter entries for checkpoints <= N")
     rj.add_argument("--num-cpus", type=int, default=None)
     rj.set_defaults(fn=cmd_rejects)
 

@@ -1435,6 +1435,53 @@ class ReplayEngine:
         # string column duplicating checkpoint_id
         return rd.read_parquet(files, partitioning=None)
 
+    def changefeed_prune(self, up_to: int) -> dict[str, Any]:
+        """Drop change-feed entries for checkpoints <= ``up_to`` — the
+        consumer-acknowledged retention cut (Delta-CDF retention
+        analog: once every downstream cursor has advanced past
+        ``up_to``, the feed files behind it are dead weight).
+        Committed as a normal fenced checkpoint (atomic, rollback-able,
+        audit-visible); the dropped files become unreferenced and the
+        next :meth:`~etl_ray.state.manifest.ManifestStore.gc` reclaims
+        them."""
+        return self._prune_feed("changes", up_to, "changefeed_prune")
+
+    def rejects_prune(self, up_to: int) -> dict[str, Any]:
+        """Drain acknowledged dead-letter entries (checkpoints <=
+        ``up_to``) after an operator has inspected / re-delivered them
+        — same commit mechanics as :meth:`changefeed_prune`."""
+        return self._prune_feed("rejects", up_to, "rejects_prune")
+
+    def _prune_feed(self, attr: str, up_to: int, op: str) -> dict[str, Any]:
+        import dataclasses
+
+        if self._scope is not None:
+            raise RuntimeError(
+                f"{op}() is a global maintenance op — run it from an "
+                "unscoped engine"
+            )
+        m = self._require_manifest()
+        d = getattr(m, attr)
+        keep = {k: v for k, v in d.items() if int(k) > up_to}
+        dropped_rows = sum(
+            int(v.get("rows", 0)) for k, v in d.items() if int(k) <= up_to
+        )
+        if len(keep) == len(d):
+            return {"dropped_entries": 0, "dropped_rows": 0,
+                    "checkpoint_id": m.checkpoint_id}
+        new = dataclasses.replace(
+            m,
+            checkpoint_id=m.checkpoint_id + 1,
+            **{attr: keep},
+            metrics={"op": op, "up_to": up_to,
+                     "dropped_entries": len(d) - len(keep),
+                     "dropped_rows": dropped_rows},
+        )
+        self.store.commit(new, epoch=self._fence_epoch())
+        return {"dropped_entries": len(d) - len(keep),
+                "dropped_rows": dropped_rows,
+                "checkpoint_id": new.checkpoint_id}
+
     def changefeed_read(
         self, since: int | None = None, until: int | None = None
     ) -> rd.Dataset:

@@ -119,3 +119,47 @@ def test_changefeed_rejects_ensure_actor_combo(ray_session, tmp_path, cdf_env):
             ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
     finally:
         os.environ.pop("ETL_RAY_ENSURE_ACTORS", None)
+
+
+def test_changefeed_prune_is_consumer_retention(ray_session, tmp_path, cdf_env):
+    """Pruning acknowledged checkpoints drops their feed entries + files
+    (via gc) while later checkpoints keep serving; committed as a normal
+    fenced, audit-visible checkpoint."""
+    files = _two_window_log(str(tmp_path))
+    eng = ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(files, window_events=4)
+    before = eng.changefeed_read().to_pandas()
+    assert set(before["checkpoint_id"]) == {0, 1}
+    res = eng.changefeed_prune(up_to=0)
+    assert res["dropped_entries"] == 1 and res["dropped_rows"] > 0
+    after = eng.changefeed_read().to_pandas()
+    assert set(after["checkpoint_id"]) == {1}
+    # the retained range is byte-identical to the pre-prune read
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        before[before["checkpoint_id"] == 1].reset_index(drop=True)
+        .sort_values(["repo", "path"], ignore_index=True),
+        after.sort_values(["repo", "path"], ignore_index=True),
+    )
+    # gc now reclaims the pruned feed files; state + later feed intact
+    eng.store.gc(keep_checkpoints=0)
+    assert eng.fsck(deep=True)["errors"] == []
+    assert set(eng.changefeed_read().to_pandas()["checkpoint_id"]) == {1}
+    # idempotent; audit trail recorded the prune
+    assert eng.changefeed_prune(up_to=0)["dropped_entries"] == 0
+    ops = [m.get("op") for m in (r for r in eng.metrics_history())]
+    assert "changefeed_prune" in ops
+
+
+def test_rejects_prune_drains_dlq(ray_session, tmp_path):
+    bad = mklog([(1, "I", 10, "r", "a", "a0"), (2, "X", 11, "r", "b", "b0")])
+    files = write_files([bad], str(tmp_path / "log"))
+    eng = ReplayEngine(str(tmp_path / "lake"), num_partitions=4)
+    eng.replay(files, window_events=100)
+    assert eng.rejects().count() == 1
+    res = eng.rejects_prune(up_to=eng.store.current().checkpoint_id)
+    assert res["dropped_entries"] == 1
+    assert eng.rejects().count() == 0
+    eng.store.gc(keep_checkpoints=0)
+    assert eng.fsck(deep=True)["errors"] == []
