@@ -890,12 +890,10 @@ class ReplayEngine:
             with self._parallelism_scope(), self._shuffle_scope():
                 for i, w in enumerate(run_list):
                     w.index += base_windows
-                    for f in w.files:
-                        import pyarrow.parquet as _pq
-
-                        cursor_fp = chain_fingerprint(
-                            cursor_fp, f, _pq.read_metadata(f).num_rows
-                        )
+                    # per-file rows come from the window plan — no second
+                    # footer read per file per pass
+                    for f, n in zip(w.files, w.file_rows):
+                        cursor_fp = chain_fingerprint(cursor_fp, f, n)
                     cursor_files += len(w.files)
                     if prefetch_on and i + 1 < len(run_list):
                         _start_prefetch(i + 1)

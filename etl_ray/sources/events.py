@@ -36,6 +36,10 @@ class Window:
     index: int
     files: list[str]
     rows: int
+    #: per-file row counts, aligned with ``files`` — lets the replay
+    #: loop chain the cursor fingerprint without re-reading footers
+    #: plan_windows already read
+    file_rows: list[int] = None
 
 
 def list_segments(events_path: str) -> list[str]:
@@ -72,16 +76,18 @@ def plan_windows(files: list[str], window_events: int) -> list[Window]:
     """Greedy grouping of whole segment files into ~window_events windows."""
     windows: list[Window] = []
     cur: list[str] = []
+    cur_counts: list[int] = []
     cur_rows = 0
     for f in files:
         n = pq.read_metadata(f).num_rows
         cur.append(f)
+        cur_counts.append(n)
         cur_rows += n
         if cur_rows >= window_events:
-            windows.append(Window(len(windows), cur, cur_rows))
-            cur, cur_rows = [], 0
+            windows.append(Window(len(windows), cur, cur_rows, cur_counts))
+            cur, cur_counts, cur_rows = [], [], 0
     if cur:
-        windows.append(Window(len(windows), cur, cur_rows))
+        windows.append(Window(len(windows), cur, cur_rows, cur_counts))
     return windows
 
 
