@@ -495,7 +495,21 @@ def main() -> None:
     if "--tail" in sys.argv:
         print(json.dumps(run_tail(sf_dir, num_cpus)))
         return
-    print(json.dumps(run_bench(sf_dir, num_cpus)))
+    out = run_bench(sf_dir, num_cpus)
+    # fold the streaming-grain latency headline into the default output
+    # (four scalar keys — the stdout line stays compact); never let a
+    # tail-protocol failure cost the bulk headline
+    if not os.environ.get("GRAFT_BENCH_SKIP_TAIL"):
+        try:
+            time.sleep(2)
+            tail = run_tail(sf_dir, num_cpus)
+            out["tail_p50_sec"] = tail["value"]
+            out["tail_p99_sec"] = tail["p99_sec"]
+            out["tail_events_per_sec"] = tail["sustained_events_per_sec"]
+            out["tail_events_per_segment"] = tail["events_per_segment"]
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
