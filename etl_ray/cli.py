@@ -236,13 +236,26 @@ def cmd_tail(args) -> int:
     eng = ReplayEngine(args.lake, num_partitions=args.num_partitions)
     idle = 0
     passes = 0
+    applied_passes = 0
     while True:
         out = eng.replay(args.events, window_events=args.window_events)
         passes += 1
         ran = out.get("windows_run", 0)
-        print(json.dumps({"pass": passes, "windows_run": ran,
-                          "windows_skipped": out.get("windows_skipped", 0)}),
-              flush=True)
+        line = {"pass": passes, "windows_run": ran,
+                "windows_skipped": out.get("windows_skipped", 0)}
+        if ran:
+            applied_passes += 1
+            # the autopilot pass a separate cron job would otherwise run:
+            # compact chains, rebalance when the advisor says so, bound
+            # storage + lineage to the gc retention
+            if args.maintain_every and applied_passes % args.maintain_every == 0:
+                rep = eng.maintain(apply=True, gc_keep=args.gc_keep)
+                line["maintain"] = {
+                    "repartitioned": bool(rep.get("repartitioned")),
+                    "gc_deleted": rep["gc_deleted"],
+                    "manifests_expired": rep["manifests_expired"],
+                }
+        print(json.dumps(line), flush=True)
         idle = 0 if ran else idle + 1
         if args.max_idle_polls and idle >= args.max_idle_polls:
             break
@@ -394,6 +407,13 @@ def main(argv=None) -> int:
     t.add_argument("--max-idle-polls", type=int, default=3,
                    help="exit after this many consecutive empty polls "
                         "(0 = run forever)")
+    t.add_argument("--maintain-every", type=int, default=0,
+                   dest="maintain_every",
+                   help="run maintain(apply=True) after every N applied "
+                        "passes (0 = never): compact, rebalance on "
+                        "advisor recommendation, gc + manifest expiry")
+    t.add_argument("--gc-keep", type=int, default=2, dest="gc_keep",
+                   help="rollback checkpoints retained by the autopilot")
     t.set_defaults(fn=cmd_tail)
 
     gcp = sub.add_parser("gc", help="reclaim files of old checkpoints")
