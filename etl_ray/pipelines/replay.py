@@ -115,8 +115,9 @@ def _split_validated(t: pa.Table, P: int, S: int) -> list:
         # the range merge; substitute the canonical typed empty (evolved
         # columns unify via concat promote)
         base = t.slice(0, 0) if "part" in t.column_names else _rows_empty()
-        if "_dups" in base.column_names:
-            base = base.drop_columns(["_dups"])
+        helpers = [c for c in ("_dups", "_valid") if c in base.column_names]
+        if helpers:
+            base = base.drop_columns(helpers)
         return [(base, _COUNTS_EMPTY)] * S
     part = t.column("part").to_numpy(zero_copy_only=False).astype(_np.int64)
     valid = pc.fill_null(t.column("_valid"), False).to_numpy(
