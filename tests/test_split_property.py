@@ -80,3 +80,46 @@ def test_split_conserves_counts_and_routes_by_range(data):
             got[p] = got.get(p, 0) + e
     for p in set(parts):
         assert got.get(p, 0) == int(w[pa_parts == p].sum())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_keep_last_with_counts_conserves_mass(data):
+    """`_keep_last_per_key(with_counts=True)`: one winner per key, the
+    winner is the max-(commit_seq, seq) row, and the `_dups` column's
+    total equals the input row count — the invariant events_in relies
+    on under ANY batching."""
+    import pyarrow.compute as pc
+
+    from etl_ray.stages.validate import _keep_last_per_key
+
+    n = data.draw(st.integers(0, 50), label="n")
+    keys = data.draw(
+        st.lists(st.integers(0, 6), min_size=n, max_size=n), label="keys"
+    )
+    cs = data.draw(
+        st.lists(st.integers(0, 9), min_size=n, max_size=n), label="cs"
+    )
+    rows = [
+        (i, "U", cs[i], f"r{keys[i]}", "f.py", f"v{i}") for i in range(n)
+    ]
+    t = mklog(rows)
+    out = _keep_last_per_key(t, with_counts=True)
+    assert "_dups" in out.column_names
+    # mass conservation
+    assert sum(out.column("_dups").to_pylist()) == n
+    # one winner per key, and it carries the key's max (commit_seq, seq)
+    seen = {}
+    for r in out.to_pylist():
+        assert r["repo"] not in seen
+        seen[r["repo"]] = (r["commit_seq"], r["seq"])
+    for k in set(keys):
+        repo = f"r{k}"
+        want = max((cs[i], i) for i in range(n) if keys[i] == k)
+        assert seen[repo] == want, (repo, want, seen[repo])
+    # per-winner multiplicity == that key's input row count
+    from collections import Counter
+
+    cnt = Counter(keys)
+    for r in out.to_pylist():
+        assert r["_dups"] == cnt[int(r["repo"][1:])]
