@@ -71,3 +71,29 @@ def test_maintain_expires_with_gc_retention(ray_session, tmp_path):
     # audit survives an expiry + further windows
     hist = eng.metrics_history()
     assert [r["checkpoint_id"] for r in hist] == list(range(len(hist)))
+
+
+def test_crash_between_audit_append_and_unlink_is_harmless(
+    ray_session, tmp_path
+):
+    """expire() appends audit rows BEFORE unlinking manifests; a crash
+    in between leaves a row whose manifest still exists. audit_history
+    must dedup (live manifest wins) and a rerun must converge."""
+    import json
+
+    from etl_ray.state.manifest import AUDIT_LOG
+
+    eng = _mk(tmp_path)
+    before = eng.metrics_history()
+    # simulate the torn state: audit row written for a LIVE checkpoint
+    victim = before[0]
+    audit = os.path.join(eng.lake_dir, MANIFEST_DIR, AUDIT_LOG)
+    with open(audit, "a") as f:
+        f.write(json.dumps({**victim, "torn": True}) + "\n")
+    # dedup: the live manifest's row wins, the torn marker never shows
+    hist = eng.metrics_history()
+    assert hist == before
+    assert not any("torn" in r for r in hist)
+    # a rerun of expire converges and history stays complete
+    eng.store.expire(keep_checkpoints=2)
+    assert eng.metrics_history() == before
